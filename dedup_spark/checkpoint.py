@@ -1,0 +1,119 @@
+"""Signature checkpoint store — the reference's hash cache (J2/S5/S6,
+/root/reference/src/file_cache.rs) as a table.
+
+Reference semantics reproduced:
+- keyed lookup: path → cached hash, valid iff size+mtime+algorithm match
+  (FileCacheEntry::is_valid, src/file_cache.rs:43-66). Our key is
+  (repo, path, commit); validity = stored sha256 matches the row's
+  current sha256 (content-addressed — strictly stronger than mtime).
+- atomic publish: temp file + rename (src/file_cache.rs:183-223) → here
+  a staged parquet directory swapped into place (on a catalog-backed
+  deployment this is one Iceberg MERGE INTO snapshot commit; the parquet
+  path keeps the sandbox dependency-free — same protocol, same
+  atomicity point).
+- per-partition lineage + metrics rows (north_rule): every save records
+  (run_id, n_rows, n_reused, n_computed, ts) to <path>/_metrics.
+
+Usage (compute-where-null, the reference's cache probe loop
+src/file_utils.rs:552-604 as one join)::
+
+    store = SignatureStore(spark, path, config)
+    sigs  = store.with_cached_signatures(files_with_sha)   # left join
+    fresh = compute_signatures(sigs.filter(no cache hit))
+    store.save(fresh.union(hits))
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DedupConfig
+
+CACHE_KEY = ["repo", "path", "commit"]
+CACHE_COLS = CACHE_KEY + ["hash", "minhash", "simhash", "n_shingles"]
+
+
+class SignatureStore:
+    def __init__(self, spark: SparkSession, path: str, config: DedupConfig):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.config = config
+
+    @property
+    def _data_dir(self) -> str:
+        return f"{self.path}/data"
+
+    def load(self) -> DataFrame | None:
+        if not os.path.exists(self._data_dir):
+            return None
+        return self.spark.read.parquet(self._data_dir)
+
+    def with_cached_signatures(self, files: DataFrame, hash_col: str = "hash") -> DataFrame:
+        """Left-join cached signatures; ``cache_hit`` is true only when
+        the stored hash equals the row's current hash (invalidation on
+        content change, src/file_cache.rs:307-332 test semantics).
+        """
+        cached = self.load()
+        if cached is None:
+            return (
+                files.withColumn("minhash", F.lit(None).cast("array<int>"))
+                .withColumn("simhash", F.lit(None).cast("long"))
+                .withColumn("n_shingles", F.lit(None).cast("int"))
+                .withColumn("cache_hit", F.lit(False))
+            )
+        c = cached.select(
+            *CACHE_KEY,
+            F.col("hash").alias("_c_hash"),
+            F.col("minhash").alias("minhash"),
+            F.col("simhash").alias("simhash"),
+            F.col("n_shingles").alias("n_shingles"),
+        )
+        joined = files.join(c, CACHE_KEY, "left")
+        hit = F.col("_c_hash").isNotNull() & (F.col("_c_hash") == F.col(hash_col))
+        return (
+            joined.withColumn("cache_hit", hit)
+            .withColumn("minhash", F.when(hit, F.col("minhash")))
+            .withColumn("simhash", F.when(hit, F.col("simhash")))
+            .withColumn("n_shingles", F.when(hit, F.col("n_shingles")))
+            .drop("_c_hash")
+        )
+
+    def save(self, sigs: DataFrame, n_reused: int | None = None) -> None:
+        """Upsert: new rows win on key collision (MERGE INTO analog),
+        published by atomic directory swap.
+        """
+        new = sigs.select(*CACHE_COLS)
+        existing = self.load()
+        if existing is not None:
+            merged = new.unionByName(existing.join(new.select(*CACHE_KEY), CACHE_KEY, "left_anti"))
+        else:
+            merged = new
+        staged = f"{self.path}/_staged_{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(staged)
+        n_rows = self.spark.read.parquet(staged).count()
+        old = f"{self.path}/_old_{uuid.uuid4().hex}"
+        if os.path.exists(self._data_dir):
+            os.rename(self._data_dir, old)
+        os.rename(staged, self._data_dir)  # atomic publish point
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+        self._record_metrics(n_rows, n_reused)
+
+    def _record_metrics(self, n_rows: int, n_reused: int | None) -> None:
+        row = [(uuid.uuid4().hex, int(n_rows), n_reused, float(time.time()))]
+        df = self.spark.createDataFrame(
+            row, "run_id string, n_rows long, n_reused long, ts double"
+        )
+        df.write.mode("append").parquet(f"{self.path}/_metrics")
+
+    def metrics(self) -> DataFrame | None:
+        p = f"{self.path}/_metrics"
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)

@@ -1,0 +1,104 @@
+"""Pipeline configuration.
+
+Semantic source: the reference CLI/config surface
+(/root/reference/src/lib.rs:40-226, /root/reference/src/config.rs:26-114).
+Field-by-field mapping:
+
+- ``algorithm``        <- ``--algorithm`` (src/lib.rs:105-106; default xxhash
+                          there, sha256 here per BASELINE.json input_hint).
+- ``include/exclude``  <- rclone-style filter rules
+                          (src/file_utils.rs:113-227).
+- ``parallel``         <- ``--parallel`` (src/file_utils.rs:516-519) →
+                          ``spark.sql.shuffle.partitions`` guidance.
+- ``similarity_threshold`` <- ``--media-similarity`` 0-100
+                          (src/media_dedup.rs:92-101, default 90).
+- ``keep_strategy``    <- SelectionStrategy (src/file_utils.rs:971-990).
+- ``cache_*``          <- FileCache (src/file_cache.rs:80-116).
+
+The signature config (shingle k, minhash n/b/r, simhash radius) is *ours*
+(north_rule); frozen defaults define the "matched config" for the recall
+fixture.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+HASH_ALGORITHMS = ("sha256", "md5", "sha1", "crc32", "xxhash64")
+
+KEEP_STRATEGIES = (
+    "shortest_path",   # src/file_utils.rs:1008-1015 (min path length)
+    "longest_path",    # src/file_utils.rs:1016-1023
+    "newest_modified",  # src/file_utils.rs:1024-1031
+    "oldest_modified",  # src/file_utils.rs:1032-1039
+)
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- exact stage ---
+    algorithm: str = "sha256"          # canonical per-row invariant hash
+    size_prefilter: bool = True        # A1: group-by-size candidate pruning
+    min_content_len: int = 1           # F3: non-empty filter
+
+    # --- path filter rules (F2) ---
+    include: tuple[str, ...] = ()      # glob patterns; if any, path must match one
+    exclude: tuple[str, ...] = ()      # glob patterns; exclude wins
+    skip_hidden: bool = True           # F1
+
+    # --- shingling / signatures (frozen recall config) ---
+    shingle_k: int = 5                 # k-gram width (tokens) for minhash shingles
+    shingle_unit: str = "token"        # "token" | "char"
+    normalize: bool = True             # lowercase + whitespace collapse before shingling
+    minhash_n: int = 128               # signature length
+    lsh_bands: int = 32                # b — (1/b)^(1/r) ≈ 0.42 curve midpoint:
+    lsh_rows: int = 4                  #   P(candidate) ≥ 0.9998 at J ≥ 0.7, so
+    #                                      containment pairs (J≈0.7, LCS≈1.0)
+    #                                      still reach verification; r; b*r == minhash_n
+    simhash_bits: int = 64
+    simhash_radius: int = 6            # == reference 90% of 64 bits (media_dedup.rs:370-373)
+    simhash_blocks: int = 8            # 8x8-bit blocks → pigeonhole covers radius<=7
+
+    # --- candidate generation / skew ---
+    band_bucket_cap: int = 512         # drop LSH buckets larger than this (skew guard)
+    salt_buckets: int = 0              # >0: salt band keys into this many sub-buckets
+
+    # --- verification ---
+    similarity_threshold: float = 0.9  # reference --media-similarity 90/100
+    verify_with_content: bool = True   # token-jaccard / LCS verification pass
+    containment_threshold: float = 0.9  # LCS/min-len for containment pairs
+
+    # --- clustering ---
+    cc_max_iterations: int = 20
+
+    # --- selection / actions ---
+    keep_strategy: str = "shortest_path"
+    lang_preference: tuple[str, ...] = ()  # W3 format-preference analog
+
+    # --- checkpoint / resume (J2/S5/S6) ---
+    cache_path: str | None = None      # parquet dir (Iceberg table when available)
+
+    # --- execution ---
+    shuffle_partitions: int | None = None
+
+    def __post_init__(self) -> None:
+        if self.algorithm not in HASH_ALGORITHMS:
+            raise ValueError(f"unknown algorithm {self.algorithm!r}; one of {HASH_ALGORITHMS}")
+        if self.keep_strategy not in KEEP_STRATEGIES:
+            raise ValueError(f"unknown keep_strategy {self.keep_strategy!r}")
+        if self.lsh_bands * self.lsh_rows != self.minhash_n:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) must equal minhash_n ({self.minhash_n})"
+            )
+        if self.simhash_bits % self.simhash_blocks != 0:
+            raise ValueError("simhash_bits must be divisible by simhash_blocks")
+        if not 0.0 <= self.similarity_threshold <= 1.0:
+            raise ValueError("similarity_threshold must be in [0,1]")
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)
+
+
+#: The frozen config used by the recall fixture ("matched shingle/signature
+#: config" in BASELINE.json). Changing it invalidates expected-pair fixtures.
+RECALL_CONFIG = DedupConfig()

@@ -1,0 +1,56 @@
+"""Content hashing (reference H1, /root/reference/src/file_utils.rs:229-279).
+
+The reference reads whole files and emits lowercase hex digests for one of
+8 algorithms (default xxhash, src/lib.rs:105-106). Spark-native mapping:
+sha256/sha1/md5/crc32/xxhash64 are JVM built-ins (whole-stage codegen —
+no Python in the hot path). sha256 is the canonical per-row invariant
+(BASELINE.json input_hint). blake3/gxhash/fnv1a have no JVM builtin and
+are deliberately out of scope (documented delta, SURVEY §7.4).
+
+Note: Spark's ``xxhash64`` is 64-bit XXH64 with seed 42 returned as a
+signed long, not the reference's hex encoding — same family, different
+encoding; callers treating it as an opaque grouping key are unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def content_hash(col: Column | str, algorithm: str = "sha256") -> Column:
+    """Hash a string/binary column with the named algorithm.
+
+    Returns a string column for hex-digest algorithms, a long for
+    crc32/xxhash64 (opaque grouping keys).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if algorithm == "sha256":
+        return F.sha2(c, 256)
+    if algorithm == "sha1":
+        return F.sha1(c)
+    if algorithm == "md5":
+        return F.md5(c)
+    if algorithm == "crc32":
+        return F.crc32(c)
+    if algorithm == "xxhash64":
+        return F.xxhash64(c)
+    raise ValueError(f"unsupported hash algorithm: {algorithm!r}")
+
+
+def hash_prefix(col: Column | str, n: int = 16) -> Column:
+    """Display truncation (W5, /root/reference/src/main.rs:258)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c, 1, n)
+
+
+def sha256_fingerprint64(col: Column | str) -> Column:
+    """Stable 64-bit fingerprint: first 15 hex chars of sha256 as a long.
+
+    Used as a compact join/document key where the full digest is overkill
+    (cache keys, pair ids). 60 bits — collision-safe far beyond 10^12 rows
+    is NOT claimed; it is a *fingerprint*, the full sha256 stays the
+    correctness key.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.sha2(c, 256), 1, 15), 16, 10).cast("long")

@@ -1,0 +1,88 @@
+"""Longest-common-substring verification kernel (north_rule:
+"suffix-array-based longest-common-substring verification for
+containment duplicates").
+
+Implemented as a suffix automaton of the shorter string walked by the
+longer one — O(|a| + |b|) time/space, equivalent output to the classic
+suffix-array + LCP approach but with linear construction and no external
+deps. Pure Python/no Spark imports: runs inside grouped pandas UDF
+batches on executors.
+
+Reference analog: the final pairwise similarity gate
+``sim >= threshold`` (/root/reference/src/media_dedup.rs:658-660); the
+containment flavor (truncated/extended copies, FIXTURES.md family 4e)
+is scored as lcs_len / min(len_a, len_b).
+"""
+
+from __future__ import annotations
+
+
+class _SuffixAutomaton:
+    __slots__ = ("link", "length", "trans", "last")
+
+    def __init__(self, s: str):
+        self.link = [-1]
+        self.length = [0]
+        self.trans: list[dict[str, int]] = [{}]
+        self.last = 0
+        for ch in s:
+            self._extend(ch)
+
+    def _extend(self, ch: str) -> None:
+        cur = len(self.length)
+        self.length.append(self.length[self.last] + 1)
+        self.link.append(-1)
+        self.trans.append({})
+        p = self.last
+        while p != -1 and ch not in self.trans[p]:
+            self.trans[p][ch] = cur
+            p = self.link[p]
+        if p == -1:
+            self.link[cur] = 0
+        else:
+            q = self.trans[p][ch]
+            if self.length[p] + 1 == self.length[q]:
+                self.link[cur] = q
+            else:
+                clone = len(self.length)
+                self.length.append(self.length[p] + 1)
+                self.link.append(self.link[q])
+                self.trans.append(dict(self.trans[q]))
+                while p != -1 and self.trans[p].get(ch) == q:
+                    self.trans[p][ch] = clone
+                    p = self.link[p]
+                self.link[q] = clone
+                self.link[cur] = clone
+        self.last = cur
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """Length of the longest common substring of a and b."""
+    if not a or not b:
+        return 0
+    # build the automaton on the shorter string
+    if len(b) < len(a):
+        a, b = b, a
+    sa = _SuffixAutomaton(a)
+    best = cur_len = 0
+    v = 0
+    for ch in b:
+        while v != 0 and ch not in sa.trans[v]:
+            v = sa.link[v]
+            cur_len = sa.length[v]
+        if ch in sa.trans[v]:
+            v = sa.trans[v][ch]
+            cur_len += 1
+            if cur_len > best:
+                best = cur_len
+                if best == len(a):
+                    break
+    return best
+
+
+def containment_score(a: str, b: str) -> float:
+    """lcs_len / min(len) — 1.0 when the shorter is a substring of the
+    longer (pure containment)."""
+    if not a or not b:
+        return 0.0
+    return longest_common_substring_len(a, b) / min(len(a), len(b))

@@ -1,0 +1,178 @@
+"""Numpy shingle + signature kernels (no Spark imports — unit-testable,
+shipped to executors via --py-files).
+
+Role analog in the reference: the per-file fingerprint kernels H2/H4/H6
+(/root/reference/src/media_dedup.rs:182-202 image pHash,
+/root/reference/src/video_fingerprint.rs:11-56 frame fingerprints). The
+reference computes them *sequentially per file*
+(src/media_dedup.rs:556-587); here every step is vectorized numpy over
+Arrow batches — no per-row Python beyond the outer batch loop.
+
+Hashing scheme (deterministic, seed-free):
+- chars: polynomial rolling hash over UTF-8 bytes in Z/2^64 with an odd
+  base (odd => invertible mod 2^64), span hashes via prefix sums — O(N)
+  for all k-gram hashes of a document.
+- token shingles: each token span-hashed, then a second polynomial over
+  k consecutive token hashes (sliding window, k is small).
+- MinHash: multiply-shift family h_i(x) = (a_i*x + b_i) mod 2^64 >> 33,
+  31-bit outputs (fit IntegerType); signature = per-row min.
+- SimHash-64: bit-majority over the distinct shingle hash set
+  (reference analog: 64-bit gradient hash + Hamming threshold,
+  src/media_dedup.rs:354-377).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_BASE = np.uint64(0x9E3779B97F4A7C15 | 1)  # odd => invertible mod 2^64
+_BASE_INV = np.uint64(pow(int(_BASE), -1, 1 << 64))
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_WS = re.compile(r"\s+")
+
+_OLD_ERR = np.seterr(over="ignore")  # uint64 wraparound is the point
+np.seterr(**_OLD_ERR)
+
+
+def _rng_params(n: int, seed: int = 0x5EED) -> tuple[np.ndarray, np.ndarray]:
+    """n deterministic (a,b) pairs for the multiply-shift family."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, 1 << 63, size=n, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+    return a, b
+
+
+def normalize_text(text: str) -> str:
+    """Lowercase + collapse whitespace runs to single spaces + strip."""
+    return _WS.sub(" ", text.lower()).strip()
+
+
+def _span_hash_prefix(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Prefix machinery: returns (S, inv_pows) such that the hash of
+    span [i, j) is (S[j] - S[i]) * inv_pows[i]  (all mod 2^64).
+    """
+    n = data.shape[0]
+    with np.errstate(over="ignore"):
+        pows = np.empty(n, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        if n > 1:
+            np.multiply.accumulate(np.full(n - 1, _BASE, dtype=np.uint64), out=pows[1:])
+        inv_pows = np.empty(n, dtype=np.uint64)
+        inv_pows[0] = np.uint64(1)
+        if n > 1:
+            np.multiply.accumulate(np.full(n - 1, _BASE_INV, dtype=np.uint64), out=inv_pows[1:])
+        terms = (data.astype(np.uint64) + np.uint64(1)) * pows
+        S = np.zeros(n + 1, dtype=np.uint64)
+        np.add.accumulate(terms, out=S[1:])
+    return S, inv_pows
+
+
+def _mix(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates polynomial hash outputs."""
+    with np.errstate(over="ignore"):
+        h = h.astype(np.uint64, copy=True)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def char_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct 64-bit hashes of all k-char grams. O(N) vectorized."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = b.shape[0]
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    S, inv = _span_hash_prefix(b)
+    with np.errstate(over="ignore"):
+        h = (S[k:] - S[:-k]) * inv[: n - k + 1]
+    return np.unique(_mix(h))
+
+
+def token_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct 64-bit hashes of all k-token shingles."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = b.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    # token boundaries: maximal runs of non-space bytes (text pre-normalized)
+    is_tok = b != np.uint8(32)
+    starts = np.flatnonzero(is_tok & ~np.concatenate(([False], is_tok[:-1])))
+    ends = np.flatnonzero(is_tok & ~np.concatenate((is_tok[1:], [False]))) + 1
+    t = starts.shape[0]
+    if t < k:
+        return np.empty(0, dtype=np.uint64)
+    S, inv = _span_hash_prefix(b)
+    with np.errstate(over="ignore"):
+        tok_h = _mix((S[ends] - S[starts]) * inv[starts])
+        # second-level polynomial over k consecutive token hashes
+        win = np.lib.stride_tricks.sliding_window_view(tok_h, k)
+        pows = np.empty(k, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        if k > 1:
+            np.multiply.accumulate(np.full(k - 1, _BASE, dtype=np.uint64), out=pows[1:])
+        sh = (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(_mix(sh))
+
+
+def shingle_set(text: str, k: int, unit: str = "token", normalize: bool = True) -> np.ndarray:
+    if normalize:
+        text = normalize_text(text)
+    if unit == "token":
+        return token_shingle_hashes(text, k)
+    if unit == "char":
+        return char_shingle_hashes(text, k)
+    raise ValueError(f"unknown shingle unit {unit!r}")
+
+
+class MinHasher:
+    """n-permutation MinHash over 64-bit shingle hashes; 31-bit outputs."""
+
+    def __init__(self, n: int, seed: int = 0x5EED):
+        self.n = n
+        self.a, self.b = _rng_params(n, seed)
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray | None:
+        """int32[n] signature, or None for an empty shingle set."""
+        if shingles.shape[0] == 0:
+            return None
+        with np.errstate(over="ignore"):
+            h = self.a[:, None] * shingles[None, :] + self.b[:, None]
+        return (h >> np.uint64(33)).min(axis=1).astype(np.int32)
+
+    @staticmethod
+    def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float(np.mean(np.asarray(sig_a) == np.asarray(sig_b)))
+
+
+def simhash64(shingles: np.ndarray) -> int | None:
+    """64-bit SimHash via bit-majority over the distinct shingle set.
+    Returned as signed int64 (Spark LongType). None for empty sets.
+    """
+    if shingles.shape[0] == 0:
+        return None
+    bits = np.unpackbits(shingles.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    counts = bits.sum(axis=0)
+    maj = counts * 2 > shingles.shape[0]
+    val = np.uint64(0)
+    packed = np.packbits(maj.astype(np.uint8), bitorder="little")
+    val = int.from_bytes(packed.tobytes(), "little")
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def exact_jaccard(text_a: str, text_b: str, k: int, unit: str = "token", normalize: bool = True) -> float:
+    """Ground-truth shingle-set Jaccard (test oracle)."""
+    sa = shingle_set(text_a, k, unit, normalize)
+    sb = shingle_set(text_b, k, unit, normalize)
+    if sa.shape[0] == 0 or sb.shape[0] == 0:
+        return 0.0
+    inter = np.intersect1d(sa, sb).shape[0]
+    return inter / (sa.shape[0] + sb.shape[0] - inter)

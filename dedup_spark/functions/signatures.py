@@ -1,0 +1,102 @@
+"""Signature pandas UDFs (vectorized; the north_rule's "no per-row
+Python" boundary — Python↔JVM crossings happen only at Arrow batches).
+
+One UDF computes the shingle set once per document and emits both
+signatures (MinHash array + SimHash long) plus the shingle count —
+reference analog: a MediaFileInfo gains perceptual_hash + fingerprint in
+one metadata pass (/root/reference/src/media_dedup.rs:168-260).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from dedup_spark.config import DedupConfig
+from dedup_spark.functions.shingles import MinHasher, shingle_set, simhash64
+
+SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("minhash", ArrayType(IntegerType()), True),
+        StructField("simhash", LongType(), True),
+        StructField("n_shingles", IntegerType(), False),
+    ]
+)
+
+
+def make_signature_udf(config: DedupConfig):
+    """Series->DataFrame pandas UDF: content -> (minhash, simhash, n_shingles).
+
+    The MinHasher parameter matrix is built once per python worker (lazy
+    module-level closure state), not per batch.
+    """
+    k = config.shingle_k
+    unit = config.shingle_unit
+    norm = config.normalize
+    n = config.minhash_n
+
+    state: dict = {}
+
+    @pandas_udf(SIGNATURE_SCHEMA)
+    def signature_udf(content: pd.Series) -> pd.DataFrame:
+        hasher = state.get("h")
+        if hasher is None:
+            hasher = state["h"] = MinHasher(n)
+        minhashes, simhashes, counts = [], [], []
+        for text in content:
+            sh = shingle_set(text or "", k, unit, norm)
+            counts.append(sh.shape[0])
+            sig = hasher.signature(sh)
+            minhashes.append(None if sig is None else sig.tolist())
+            simhashes.append(simhash64(sh))
+        return pd.DataFrame(
+            {"minhash": minhashes, "simhash": simhashes, "n_shingles": counts}
+        )
+
+    return signature_udf
+
+
+def with_signatures(df: DataFrame, config: DedupConfig, content_col: str = "content") -> DataFrame:
+    """Append minhash / simhash / n_shingles columns."""
+    udf = make_signature_udf(config)
+    sig = F.col("_sig")
+    return (
+        df.withColumn("_sig", udf(F.col(content_col)))
+        .withColumn("minhash", sig["minhash"])
+        .withColumn("simhash", sig["simhash"])
+        .withColumn("n_shingles", sig["n_shingles"])
+        .drop("_sig")
+    )
+
+
+def minhash_agreement(sig_a: Column, sig_b: Column, n: int) -> Column:
+    """Estimated Jaccard: fraction of equal signature positions —
+    JVM-side via zip_with + aggregate (whole-stage codegen, no Python).
+    Reference analog: positional fingerprint agreement
+    (/root/reference/src/video_fingerprint.rs:163-180).
+    """
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return (
+        F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double") / F.lit(float(n))
+    )
+
+
+def hamming_distance64(a: Column, b: Column) -> Column:
+    """bit_count(a XOR b) — reference Hamming kernel
+    (/root/reference/src/media_dedup.rs:354-377), JVM built-in.
+    """
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def hamming_similarity64(a: Column, b: Column) -> Column:
+    """(64 - dist) / 64, the reference's percent similarity as a fraction."""
+    return (F.lit(64) - hamming_distance64(a, b)).cast("double") / F.lit(64.0)

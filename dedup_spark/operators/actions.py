@@ -1,0 +1,95 @@
+"""Action plan + execution (reference X1-X5).
+
+The reference mutates the filesystem (delete/move/copy with collision
+rename, /root/reference/src/file_utils.rs:1045-1191, dry-run logging
+:1050-1056). In a table pipeline "execute" is a dataset rewrite; the
+*plan* is a first-class DataFrame — exactly the reference's job queue
+(src/tui_app/mod.rs:31-45,1535-1756) made durable. Dry-run semantics are
+preserved: ``execute(..., dry_run=True)`` returns the plan with a
+simulated outcome column and touches nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ACTIONS = ("keep", "delete", "move", "copy", "ignore")
+
+
+def build_plan(
+    selected: DataFrame,
+    action: str = "delete",
+    target_prefix: str | None = None,
+) -> DataFrame:
+    """From select_kept output → one plan row per file:
+    (file_id, cluster_id, path, action, target).
+
+    Kept files get action='keep'; the rest get ``action``. move/copy
+    targets are target_prefix/<basename>, with the reference's
+    ``_copy(n)`` collision-rename (src/file_utils.rs:1106-1140) expressed
+    as a row_number suffix per (target name) partition.
+    """
+    if action not in ACTIONS:
+        raise ValueError(f"unknown action {action!r}")
+    base = selected.withColumn(
+        "action", F.when(F.col("is_kept"), F.lit("keep")).otherwise(F.lit(action))
+    )
+    if action in ("move", "copy"):
+        if not target_prefix:
+            raise ValueError(f"{action} requires target_prefix")
+        fname = F.element_at(F.split("path", "/"), -1)
+        w = Window.partitionBy(fname).orderBy("path", "file_id")
+        collision_n = F.row_number().over(w)
+        target = F.when(
+            F.col("action") == action,
+            F.concat(
+                F.lit(target_prefix.rstrip("/") + "/"),
+                F.when(collision_n == 1, fname).otherwise(
+                    F.concat_ws(
+                        "",
+                        F.regexp_replace(fname, r"(\.[^.]*)?$", ""),
+                        F.lit("_copy("),
+                        (collision_n - 1).cast("string"),
+                        F.lit(")"),
+                        F.regexp_extract(fname, r"(\.[^.]*)$", 1),
+                    )
+                ),
+            ),
+        )
+        base = base.withColumn("target", target)
+    else:
+        base = base.withColumn("target", F.lit(None).cast("string"))
+    return base.select("file_id", "cluster_id", "path", "action", "target")
+
+
+def mark_all(clusters: DataFrame, enable: bool = True) -> DataFrame:
+    """X5 bulk toggle: every row delete, or empty plan ('no job = Keep',
+    src/tui_app/mod.rs:574-627)."""
+    plan = clusters.select(
+        "file_id",
+        "cluster_id",
+        "path",
+        F.lit("delete").alias("action"),
+        F.lit(None).cast("string").alias("target"),
+    )
+    return plan if enable else plan.limit(0)
+
+
+def execute_plan(files: DataFrame, plan: DataFrame, dry_run: bool = True) -> DataFrame:
+    """Apply the plan to the dataset.
+
+    - dry_run: return the plan annotated with outcome='dry_run' (the
+      reference's "[DRY RUN] Would delete" lines, src/file_utils.rs:1052).
+    - real: return the surviving dataset — files minus delete/move rows
+      (left_anti on the actioned ids), the X1/X2 rewrite.
+    """
+    if dry_run:
+        return plan.withColumn("outcome", F.lit("dry_run"))
+    removed = plan.filter(F.col("action").isin("delete", "move")).select("file_id")
+    return files.join(removed, "file_id", "left_anti")
+
+
+def plan_summary(plan: DataFrame) -> DataFrame:
+    """X4 per-action accounting (success/fail tallies analog)."""
+    return plan.groupBy("action").agg(F.count(F.lit(1)).alias("n")).orderBy("action")

@@ -1,0 +1,89 @@
+"""Connected components over candidate pairs (replaces reference C2).
+
+The reference grows similarity groups greedily around a seed file
+(/root/reference/src/media_dedup.rs:631-671) — order-dependent and
+sequential. north_rule mandates the scalable substitute: alternating
+large-star / small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond") as an iterative DataFrame job:
+
+- large-star(u): m = min(Γ(u) ∪ {u}); link every *larger* neighbor to m.
+- small-star(u): over edges oriented high→low, m = min(Γ<(u) ∪ {u});
+  link u and all smaller neighbors to m.
+
+Both are groupBy+join rounds; the edge set converges to stars rooted at
+each component's minimum id in O(log n) rounds. Each iteration is
+localCheckpoint'ed to cut lineage (SURVEY §4 item 4); convergence is
+detected by an order-insensitive edge-set checksum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient high -> low
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    linked_nbrs = (
+        e.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    linked_self = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        linked_nbrs.union(linked_self)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in ``pairs``; the
+    cluster id is the component's minimum node id (deterministic labels,
+    SURVEY §7.3).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _checksum(edges)
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # converged star edges: u -> root(v). Roots map to themselves.
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    roots = edges.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")).distinct()
+    return members.union(roots).groupBy("node").agg(F.min("cluster_id").alias("cluster_id"))

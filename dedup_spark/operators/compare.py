@@ -1,0 +1,61 @@
+"""Multi-source compare / sync (reference §3.2: compare_directories,
+/root/reference/src/file_utils.rs:1276-1387).
+
+One DataFrame with a ``source`` column replaces per-directory rescans
+(the reference hashes everything twice in --deduplicate mode,
+src/file_utils.rs:1342-1355 — an inefficiency we drop, SURVEY §3.2).
+
+- missing_in_target (J1): hash-equality LEFT ANTI join; per *file*, not
+  per set — both members of a source-internal dup set are missing when
+  the hash is absent from target (tests/integration_tests.rs:725).
+- cross_source_duplicates (J4/F8): duplicate sets containing ≥1 source
+  AND ≥1 target file — conditional aggregation + semi join back.
+- copy_missing (S7): append survivors to the target table; dry-run
+  returns the plan DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def missing_in_target(
+    src: DataFrame, tgt: DataFrame, hash_col: str = "hash", broadcast_target: bool = False
+) -> DataFrame:
+    """Source rows whose content hash never appears in target (J1)."""
+    tgt_hashes = tgt.select(hash_col).distinct()
+    if broadcast_target:
+        tgt_hashes = F.broadcast(tgt_hashes)
+    return src.join(tgt_hashes, hash_col, "left_anti")
+
+
+def cross_source_duplicates(
+    files: DataFrame,
+    source_col: str = "source",
+    src_value: str = "src",
+    tgt_value: str = "tgt",
+    hash_col: str = "hash",
+) -> DataFrame:
+    """Rows of duplicate sets spanning both sources (F8/J4)."""
+    flags = files.groupBy(hash_col).agg(
+        F.max((F.col(source_col) == src_value).cast("int")).alias("has_src"),
+        F.max((F.col(source_col) == tgt_value).cast("int")).alias("has_tgt"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    spanning = flags.filter((F.col("has_src") == 1) & (F.col("has_tgt") == 1) & (F.col("n") >= 2))
+    return files.join(spanning.select(hash_col), hash_col, "left_semi")
+
+
+def copy_missing(
+    missing: DataFrame, target_path: str | None = None, dry_run: bool = True
+) -> DataFrame:
+    """S7: append missing rows to the target table; dry-run = plan only
+    (reference returns (count, log-lines) without copying,
+    src/file_utils.rs:1446-1567)."""
+    plan = missing.withColumn("action", F.lit("copy"))
+    if not dry_run:
+        if not target_path:
+            raise ValueError("copy requires target_path")
+        missing.write.mode("append").parquet(target_path)
+    return plan

@@ -1,0 +1,65 @@
+"""Report sinks (reference S4, A5, W4, W5).
+
+output_duplicates (/root/reference/src/file_utils.rs:908-969) serializes
+``{hash: {size, files[]}}``; the TUI groups sets by parent folder (A5,
+src/tui_app/mod.rs:278-310) and pins ordering (W4, :303-305).
+
+The member array only materializes here, at the report boundary, sorted
+for determinism. ``files_csv`` is the array joined with commas — the
+column the DuckDB oracle compares (array stringification differs across
+engines; a sorted CSV string does not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_report(clusters: DataFrame, key_col: str = "cluster_id") -> DataFrame:
+    """S4: one row per duplicate set.
+
+    Keyed by ``cluster_id`` (covers exact AND fuzzy sets — members of a
+    near-duplicate cluster have different hashes; the reference's
+    hash-keyed map only ever held exact sets). ``hash`` reported is the
+    representative's (min path ordering); ``size`` is min/max over
+    members (equal for exact sets, a range for fuzzy ones).
+    """
+    return (
+        clusters.groupBy(key_col)
+        .agg(
+            F.min("hash").alias("hash"),
+            F.min("size").alias("min_size"),
+            F.max("size").alias("max_size"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sort_array(F.collect_list("path")).alias("files"),
+        )
+        .withColumn("files_csv", F.concat_ws(",", "files"))
+        .orderBy(key_col)  # W4 deterministic ordering
+    )
+
+
+def folder_rollup(clusters: DataFrame) -> DataFrame:
+    """A5: duplicate-set count + file count per parent folder."""
+    parent = F.regexp_extract("path", r"^(.*)/[^/]*$", 1)
+    return (
+        clusters.withColumn("folder", parent)
+        .groupBy("folder")
+        .agg(
+            F.countDistinct("cluster_id").alias("n_sets"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size").alias("total_size"),
+        )
+        .orderBy("folder")
+    )
+
+
+def write_report(report: DataFrame, path: str, fmt: str = "json") -> None:
+    """Write the duplicate report (JSON lines or parquet)."""
+    writer = report.coalesce(1).write.mode("overwrite")
+    if fmt == "json":
+        writer.json(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    else:
+        raise ValueError(f"unsupported report format {fmt!r}")

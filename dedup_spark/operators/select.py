@@ -1,0 +1,100 @@
+"""Keep-file selection (reference W1/W3) and in-set ranking (W2).
+
+W1 (/root/reference/src/file_utils.rs:994-1043): per duplicate set pick
+one kept file by strategy; everything else becomes an action target.
+Reference ties are first-wins on HashMap order (non-deterministic); we
+pin the documented tie-break ``(key, path asc, file_id asc)`` (SURVEY
+§7.3) so golden tests are stable.
+
+W3 (/root/reference/src/media_dedup.rs:421-516): preference-list ranking
+(format list, lower index wins) then a secondary key — code analog:
+``lang`` preference then size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _strategy_keys(strategy: str) -> list[Column]:
+    if strategy == "shortest_path":
+        return [F.length("path").asc()]
+    if strategy == "longest_path":
+        return [F.length("path").desc()]
+    if strategy == "newest_modified":
+        return [F.col("modified_at").desc_nulls_last()]
+    if strategy == "oldest_modified":
+        return [F.col("modified_at").asc_nulls_last()]
+    raise ValueError(f"unknown keep strategy {strategy!r}")
+
+
+def select_kept(
+    clusters: DataFrame,
+    strategy: str = "shortest_path",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Append ``is_kept`` + ``rank_in_cluster``: rank 1 = the kept file.
+
+    determine_action_targets returns (kept, targets); here both live in
+    one DataFrame split by the boolean — no driver-side pair.
+    """
+    keys = _strategy_keys(strategy) + [F.col("path").asc(), F.col("file_id").asc()]
+    w = Window.partitionBy(cluster_col).orderBy(*keys)
+    return clusters.withColumn("rank_in_cluster", F.row_number().over(w)).withColumn(
+        "is_kept", F.col("rank_in_cluster") == 1
+    )
+
+
+def select_preferred(
+    clusters: DataFrame,
+    lang_preference: tuple[str, ...],
+    resolution_policy: str = "highest",
+    target_size: int | None = None,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """W3 analog: rank by preference-list position of ``lang`` (missing
+    langs rank after all listed ones, as unknown formats do in the
+    reference), then by the resolution policy over ``size``:
+    highest | lowest | closest_to(target_size).
+    """
+    pos = F.array_position(F.lit(list(lang_preference)), F.col("lang"))
+    pref_rank = F.when(pos > 0, pos).otherwise(F.lit(len(lang_preference) + 1))
+    if resolution_policy == "highest":
+        res_key = F.col("size").desc()
+    elif resolution_policy == "lowest":
+        res_key = F.col("size").asc()
+    elif resolution_policy == "closest_to":
+        if target_size is None:
+            raise ValueError("closest_to requires target_size")
+        res_key = ((F.col("size") - F.lit(target_size)) ** 2).asc()
+    else:
+        raise ValueError(f"unknown resolution policy {resolution_policy!r}")
+    w = Window.partitionBy(cluster_col).orderBy(
+        pref_rank.asc(), res_key, F.col("path").asc(), F.col("file_id").asc()
+    )
+    return clusters.withColumn("rank_in_cluster", F.row_number().over(w)).withColumn(
+        "is_kept", F.col("rank_in_cluster") == 1
+    )
+
+
+def rank_in_set(
+    clusters: DataFrame,
+    criterion: str = "path",
+    ascending: bool = True,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """W2 (sort_file_infos, src/file_utils.rs:1194-1208): display rank
+    within each set by name/size/modified/created/path-length.
+    """
+    key_col = {
+        "name": F.element_at(F.split("path", "/"), -1),
+        "path": F.col("path"),
+        "size": F.col("size"),
+        "modified": F.col("modified_at") if "modified_at" in clusters.columns else F.col("path"),
+        "created": F.col("created_at") if "created_at" in clusters.columns else F.col("path"),
+        "path_length": F.length("path"),
+    }[criterion]
+    key = key_col.asc() if ascending else key_col.desc()
+    w = Window.partitionBy(cluster_col).orderBy(key, F.col("path").asc(), F.col("file_id").asc())
+    return clusters.withColumn("display_rank", F.row_number().over(w))

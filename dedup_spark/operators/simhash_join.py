@@ -1,0 +1,67 @@
+"""SimHash Hamming-ball probing join (reference H2/H3 at scale).
+
+The reference's media matcher compares 64-bit perceptual hashes with a
+Hamming-distance threshold: similarity = (64-d)/64, default 90% ⇔ d ≤ 6
+(/root/reference/src/media_dedup.rs:354-377). Comparing all pairs is
+O(n²); the scale rewrite (north_rule "64-bit SimHash with Hamming-ball
+probing"): split the 64-bit hash into ``simhash_blocks`` equal blocks —
+by pigeonhole, two hashes within distance d share at least one exact
+block whenever blocks > d. With the default 8 blocks × 8 bits, every
+pair within radius ≤ 7 collides on some (block_id, block_value) key, so
+radius 6 probing is exact (recall 1.0 by construction, before bucket
+caps). Verification is a JVM-side ``bit_count(xor) <= radius`` filter in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DedupConfig
+from dedup_spark.functions.signatures import hamming_distance64
+from dedup_spark.operators.lsh import pairs_from_keys
+
+
+def simhash_block_keys(df: DataFrame, config: DedupConfig, id_col: str = "file_id") -> DataFrame:
+    """Explode each simhash into (block_id, block_val) probe keys."""
+    nblocks = config.simhash_blocks
+    width = config.simhash_bits // nblocks
+    mask = (1 << width) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("block_val"),
+            )
+            for i in range(nblocks)
+        ]
+    )
+    return (
+        df.filter(F.col("simhash").isNotNull())
+        .select(id_col, F.explode(blocks).alias("blk"))
+        .select(id_col, F.col("blk.block_id").alias("block_id"), F.col("blk.block_val").alias("block_val"))
+    )
+
+
+def simhash_candidate_pairs(
+    sig_df: DataFrame, config: DedupConfig, id_col: str = "file_id"
+) -> DataFrame:
+    """Distinct (id_a, id_b) pairs within Hamming radius of each other.
+
+    Probe-key collision generates candidates; the exact Hamming filter
+    verifies. Requires sig_df[id_col, simhash].
+    """
+    keys = simhash_block_keys(sig_df, config, id_col)
+    cand = pairs_from_keys(keys, ["block_id", "block_val"], config.band_bucket_cap, id_col)
+    sig = sig_df.select(F.col(id_col), F.col("simhash"))
+    out = (
+        cand.join(sig.withColumnsRenamed({id_col: "id_a", "simhash": "simhash_a"}), "id_a")
+        .join(sig.withColumnsRenamed({id_col: "id_b", "simhash": "simhash_b"}), "id_b")
+        .withColumn("hamming", hamming_distance64(F.col("simhash_a"), F.col("simhash_b")))
+        .filter(F.col("hamming") <= config.simhash_radius)
+        .select("id_a", "id_b", "hamming")
+    )
+    return out

@@ -1,0 +1,117 @@
+"""Candidate-pair verification (M5; reference threshold gate
+/root/reference/src/media_dedup.rs:658-660).
+
+Three tiers, cheapest first, each pruning the next tier's input:
+
+1. MinHash signature agreement (estimated Jaccard) — JVM-side
+   zip_with/aggregate, whole-stage codegen.
+2. SimHash Hamming distance ≤ radius — JVM-side bit_count(xor).
+3. Content verification — exact token-shingle Jaccard plus suffix-
+   automaton LCS containment in an Arrow-batched pandas UDF (only pairs
+   surviving tier 1/2 pay the Python cost; content is joined in at this
+   point only, never carried through the band shuffle).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from dedup_spark.config import DedupConfig
+from dedup_spark.functions.signatures import minhash_agreement
+
+_VERIFY_SCHEMA = StructType(
+    [
+        StructField("jaccard", DoubleType(), False),
+        StructField("containment", DoubleType(), False),
+    ]
+)
+
+
+def make_content_verify_udf(config: DedupConfig):
+    k, unit, norm = config.shingle_k, config.shingle_unit, config.normalize
+
+    @pandas_udf(_VERIFY_SCHEMA)
+    def verify_udf(content_a: pd.Series, content_b: pd.Series) -> pd.DataFrame:
+        from dedup_spark.functions.lcs import containment_score
+        from dedup_spark.functions.shingles import exact_jaccard
+
+        jac, cont = [], []
+        for a, b in zip(content_a, content_b):
+            a = a or ""
+            b = b or ""
+            jac.append(exact_jaccard(a, b, k, unit, norm))
+            cont.append(containment_score(a, b))
+        return pd.DataFrame({"jaccard": jac, "containment": cont})
+
+    return verify_udf
+
+
+def attach_pair_signatures(
+    pairs: DataFrame, sig_df: DataFrame, cols: list[str], id_col: str = "file_id"
+) -> DataFrame:
+    """Join per-side columns onto (id_a, id_b) pairs with _a/_b suffixes."""
+    a = sig_df.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in cols]
+    )
+    b = sig_df.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in cols]
+    )
+    return pairs.join(a, "id_a").join(b, "id_b")
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    sig_df: DataFrame,
+    config: DedupConfig,
+    id_col: str = "file_id",
+    with_content: bool | None = None,
+) -> DataFrame:
+    """Score candidate pairs and keep those passing the similarity gate.
+
+    Output: (id_a, id_b, est_jaccard, hamming, [jaccard, containment],
+    sim) — ``sim`` is the decision score: exact Jaccard when content
+    verification ran, else the MinHash estimate. A pair passes when
+    ``sim >= similarity_threshold`` OR (containment pass)
+    ``containment >= containment_threshold``.
+    """
+    if with_content is None:
+        with_content = config.verify_with_content
+    cols = ["minhash", "simhash"] + (["content"] if with_content else [])
+    joined = attach_pair_signatures(pairs, sig_df, cols, id_col)
+    scored = joined.withColumn(
+        "est_jaccard",
+        minhash_agreement(F.col("minhash_a"), F.col("minhash_b"), config.minhash_n),
+    ).withColumn(
+        "hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    )
+    # tier-1/2 prune before the expensive content pass: a pair must look
+    # plausible on at least one cheap signal to earn LCS verification.
+    # The floor sits well below the similarity threshold because
+    # containment pairs (truncated/extended copies) legitimately carry
+    # J ≈ 0.7 while LCS containment ≈ 1.0 — pruning at the threshold
+    # would drop them before the containment gate can admit them.
+    floor = min(0.5, config.similarity_threshold * 0.6)
+    plausible = (F.col("est_jaccard") >= F.lit(floor)) | (
+        F.col("hamming") <= F.lit(config.simhash_radius + 8)
+    )
+    scored = scored.filter(plausible)
+    if with_content:
+        vudf = make_content_verify_udf(config)
+        scored = (
+            scored.withColumn("_v", vudf(F.col("content_a"), F.col("content_b")))
+            .withColumn("jaccard", F.col("_v.jaccard"))
+            .withColumn("containment", F.col("_v.containment"))
+            .drop("_v", "content_a", "content_b")
+            .withColumn("sim", F.col("jaccard"))
+        )
+        passed = (F.col("sim") >= F.lit(config.similarity_threshold)) | (
+            F.col("containment") >= F.lit(config.containment_threshold)
+        )
+    else:
+        scored = scored.withColumn("sim", F.col("est_jaccard"))
+        passed = F.col("sim") >= F.lit(config.similarity_threshold)
+    return scored.filter(passed).drop("minhash_a", "minhash_b", "simhash_a", "simhash_b")

@@ -1,0 +1,128 @@
+"""DedupPipeline — the engine API (SURVEY §7.5), orchestrating
+load → signatures → candidates → verify → cluster → plan → report.
+
+Scale-critical design point: the fuzzy stage (signatures onward) runs on
+**exact-duplicate representatives only** (one row per distinct sha256).
+Identical files share every band, so a set of N identical files would
+otherwise form an N-sized LSH mega-bucket; collapsing first makes the
+fuzzy input proportional to distinct contents and removes the worst skew
+source before any shuffle. Fuzzy labels propagate back to all members
+through the exact-representative mapping — two files are in the same
+final cluster iff their contents are exact-equal OR their
+representatives land in one similarity component (exact ∪ fuzzy union,
+reference treats these as two pipelines both emitting DuplicateSets,
+/root/reference/src/main.rs:250-376 + media path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dedup_spark.checkpoint import SignatureStore
+from dedup_spark.config import DedupConfig
+from dedup_spark.functions.signatures import with_signatures
+from dedup_spark.operators.cc import connected_components
+from dedup_spark.operators.exact import with_content_hash
+from dedup_spark.operators.lsh import lsh_candidate_pairs
+from dedup_spark.operators.report import duplicate_report
+from dedup_spark.operators.select import select_kept
+from dedup_spark.operators.simhash_join import simhash_candidate_pairs
+from dedup_spark.operators.verify import verify_pairs
+from dedup_spark.sources.loader import load_code_files, prepare_code_files
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, config: DedupConfig | None = None):
+        self.spark = spark
+        self.config = config or DedupConfig()
+        self.store = (
+            SignatureStore(spark, self.config.cache_path, self.config)
+            if self.config.cache_path
+            else None
+        )
+
+    # ---- stages -----------------------------------------------------
+    def load(self, source: str) -> DataFrame:
+        return load_code_files(self.spark, source, self.config)
+
+    def signatures(self, files: DataFrame) -> DataFrame:
+        """hash + minhash + simhash per row, reusing the checkpoint when
+        configured (J2 compute-where-null)."""
+        hashed = with_content_hash(files, self.config)
+        if self.store is None:
+            return with_signatures(hashed, self.config)
+        probed = self.store.with_cached_signatures(hashed)
+        hits = probed.filter(F.col("cache_hit"))
+        misses = probed.filter(~F.col("cache_hit")).drop(
+            "minhash", "simhash", "n_shingles", "cache_hit"
+        )
+        fresh = with_signatures(misses, self.config).withColumn("cache_hit", F.lit(False))
+        sigs = hits.unionByName(fresh)
+        return sigs
+
+    def representatives(self, sigs: DataFrame) -> DataFrame:
+        """One row per distinct content hash (min file_id wins)."""
+        w = Window.partitionBy("hash").orderBy("file_id")
+        return sigs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    def candidates(self, reps: DataFrame) -> DataFrame:
+        """LSH ∪ SimHash candidate pairs over representatives."""
+        mh = lsh_candidate_pairs(reps, self.config)
+        sh = simhash_candidate_pairs(reps, self.config).select("id_a", "id_b")
+        return mh.union(sh).distinct()
+
+    def verify(self, pairs: DataFrame, reps: DataFrame) -> DataFrame:
+        return verify_pairs(pairs, reps, self.config)
+
+    def cluster(self, sigs: DataFrame, verified_pairs: DataFrame) -> DataFrame:
+        """Final cluster assignment: exact ∪ fuzzy.
+
+        Every file maps to its exact representative (min file_id of its
+        hash group); representatives are re-labeled by connected
+        components over verified similarity pairs; final cluster_id =
+        component label of the representative (defaults to the
+        representative itself — singleton or exact-only cluster).
+        """
+        w = Window.partitionBy("hash")
+        with_rep = sigs.withColumn("exact_rep", F.min("file_id").over(w))
+        comp = connected_components(
+            verified_pairs, max_iterations=self.config.cc_max_iterations
+        ).withColumnsRenamed({"node": "exact_rep", "cluster_id": "fuzzy_label"})
+        out = with_rep.join(comp, "exact_rep", "left").withColumn(
+            "cluster_id", F.coalesce("fuzzy_label", "exact_rep")
+        ).drop("fuzzy_label")
+        cw = Window.partitionBy("cluster_id")
+        return out.withColumn("cluster_size", F.count(F.lit(1)).over(cw))
+
+    # ---- end-to-end ---------------------------------------------------
+    def run(self, source: str | DataFrame, min_cluster_size: int = 1) -> DataFrame:
+        if isinstance(source, str):
+            files = self.load(source)
+        elif "file_id" in source.columns:
+            files = source
+        else:
+            files = prepare_code_files(source, self.config)
+        sigs = self.signatures(files)
+        if self.store is not None:
+            sigs = sigs.localCheckpoint()  # compute once: reused by save + downstream
+            n_reused = sigs.filter(F.col("cache_hit")).count()
+            self.store.save(sigs, n_reused=n_reused)
+            sigs = sigs.drop("cache_hit")
+        reps = self.representatives(sigs)
+        pairs = self.candidates(reps)
+        verified = self.verify(pairs, reps)
+        clusters = self.cluster(sigs, verified)
+        if min_cluster_size > 1:
+            clusters = clusters.filter(F.col("cluster_size") >= min_cluster_size)
+        return clusters
+
+    def plan(self, clusters: DataFrame, strategy: str | None = None) -> DataFrame:
+        from dedup_spark.operators.actions import build_plan
+
+        selected = select_kept(clusters, strategy or self.config.keep_strategy)
+        return build_plan(selected, action="delete")
+
+    def report(self, clusters: DataFrame) -> DataFrame:
+        return duplicate_report(clusters.filter(F.col("cluster_size") >= 2), "cluster_id")

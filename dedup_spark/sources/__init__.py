@@ -1,0 +1,1 @@
+"""dedup_spark — PySpark-native near-duplicate detection + clustering engine."""

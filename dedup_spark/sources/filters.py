@@ -1,0 +1,91 @@
+"""Path filter rules (reference F1/F2).
+
+Reimplements the rclone-style include/exclude predicate
+(/root/reference/src/file_utils.rs:113-227) as a single Catalyst boolean
+expression so it pushes into the scan:
+
+- precedence (is_match, src/file_utils.rs:212-227): exclude wins → then,
+  if any include patterns exist, path must match one → else pass.
+- hidden filter (F1, src/file_utils.rs:896-906): drop any path with a
+  dot-prefixed segment.
+
+Globs are translated to anchored regexes (``*`` = any run of non-``/``
+chars, ``**`` = anything, ``?`` = one non-``/`` char), matched against the
+full path, consistent with glob::Pattern usage in the reference.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_GLOB_TOKEN = re.compile(r"(\*\*|\*|\?|\[[^\]]*\]|.)", re.DOTALL)
+
+
+def glob_to_regex(pattern: str) -> str:
+    """Translate a glob into an anchored regex string."""
+    out = []
+    for tok in _GLOB_TOKEN.findall(pattern):
+        if tok == "**":
+            out.append(".*")
+        elif tok == "*":
+            out.append("[^/]*")
+        elif tok == "?":
+            out.append("[^/]")
+        elif tok.startswith("[") and tok.endswith("]") and len(tok) > 2:
+            inner = tok[1:-1]
+            if inner.startswith("!"):
+                inner = "^" + inner[1:]
+            out.append("[" + inner + "]")
+        else:
+            out.append(re.escape(tok))
+    return "^" + "".join(out) + "$"
+
+
+def hidden_path_predicate(path_col: Column | str = "path") -> Column:
+    """True when any path segment is dot-prefixed (F1)."""
+    c = F.col(path_col) if isinstance(path_col, str) else path_col
+    return c.rlike(r"(^|/)\.[^/]")
+
+
+def filter_rules_predicate(
+    path_col: Column | str = "path",
+    include: tuple[str, ...] = (),
+    exclude: tuple[str, ...] = (),
+    skip_hidden: bool = True,
+) -> Column:
+    """Boolean Column implementing the reference precedence exactly:
+    exclude → include → default-true (src/file_utils.rs:212-227).
+    """
+    c = F.col(path_col) if isinstance(path_col, str) else path_col
+    pred = F.lit(True)
+    if skip_hidden:
+        pred = pred & ~hidden_path_predicate(c)
+    for pat in exclude:
+        pred = pred & ~c.rlike(glob_to_regex(pat))
+    if include:
+        inc = F.lit(False)
+        for pat in include:
+            inc = inc | c.rlike(glob_to_regex(pat))
+        pred = pred & inc
+    return pred
+
+
+def parse_filter_file(text: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """Parse rclone-style filter rules (S9, src/file_utils.rs:113-184):
+    ``+ glob`` include, ``- glob`` exclude, ``#``/``;`` comments.
+    Returns (include, exclude).
+    """
+    include, exclude = [], []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#") or line.startswith(";"):
+            continue
+        if line.startswith("+ "):
+            include.append(line[2:].strip())
+        elif line.startswith("- "):
+            exclude.append(line[2:].strip())
+        # silently ignore malformed lines, as the reference does
+    return tuple(include), tuple(exclude)

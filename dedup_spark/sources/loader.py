@@ -1,0 +1,81 @@
+"""Input sources (reference S1-S3, S5).
+
+The reference's recursive directory walk
+(/root/reference/src/file_utils.rs:364-440) is, in table terms, a scan of
+an Iceberg/parquet table of file rows — the walk IS the scan. We assert
+the input_hint schema ``(repo, path, commit, lang, content)``, derive the
+engine columns (file_id, size), and apply the F1-F3 filters so Catalyst
+pushes them into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DedupConfig
+from dedup_spark.functions.hashing import sha256_fingerprint64
+from dedup_spark.sources.filters import filter_rules_predicate
+
+CODE_FILES_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def read_table(spark: SparkSession, source: str) -> DataFrame:
+    """Read an input table: Iceberg table name when a catalog is wired,
+    else a parquet path. Single switch point for the storage layer.
+    """
+    if source.endswith(".parquet") or "/" in source:
+        return spark.read.parquet(source)
+    return spark.read.table(source)
+
+
+def assert_schema(df: DataFrame, required: tuple[str, ...] = CODE_FILES_COLUMNS) -> DataFrame:
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(f"input table missing columns {missing}; has {df.columns}")
+    return df
+
+
+def load_code_files(spark: SparkSession, source: str, config: DedupConfig) -> DataFrame:
+    """S1+F1-F3: scan → path filter rules → non-empty filter → derived cols."""
+    return prepare_code_files(read_table(spark, source), config)
+
+
+def prepare_code_files(df: DataFrame, config: DedupConfig) -> DataFrame:
+    """Apply F1-F3 filters + derived columns to an input_hint DataFrame.
+
+    ``file_id`` is a deterministic 64-bit key from (repo,path,commit) so
+    cluster labels are stable across runs and cluster sizes (no
+    monotonically_increasing_id, which is partition-layout-dependent).
+    """
+    df = assert_schema(df)
+    df = df.filter(
+        filter_rules_predicate("path", config.include, config.exclude, config.skip_hidden)
+    )
+    df = df.filter(F.length("content") >= config.min_content_len)  # F3
+    return df.select(
+        sha256_fingerprint64(F.concat_ws("\x1f", "repo", "path", "commit")).alias("file_id"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.length("content").alias("size"),
+    )
+
+
+def documents_as_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapter: the driver's ``documents`` fixture table
+    (doc_id, text, lang, source, n_chars) in input_hint shape
+    (FIXTURES.md 'Driver-provided tables').
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("doc_id").cast("long").alias("file_id"),
+        F.col("source").alias("repo"),
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("path"),
+        F.lit("HEAD").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        F.col("n_chars").cast("long").alias("size"),
+    )

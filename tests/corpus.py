@@ -1,0 +1,190 @@
+"""Deterministic synthetic code corpus (FIXTURES.md F-1..F-3).
+
+Pure function of (seed, n_base) — no wall clock, no entropy. Mirrors the
+reference's TestEnv (/root/reference/tests/integration_tests.rs:20-28,
+125-191: N subfolders × files with duplicate-content sets of 2-3 copies,
+randomized sizes) plus the near-dup variant families of
+sample_media.sh:73-84 translated to code edits.
+
+Rows: (repo, path, commit, lang, content). Side outputs:
+- expected_exact: list of sets of row-keys sharing identical content
+- expected_pairs: list of (key_a, key_b, family) near-dup ground truth
+  (the recall ≥0.99 fixture)
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+LANGS = ["python", "java", "c", "js", "go", "md", "txt"]
+IDENTS = [
+    "count", "total", "result", "buffer", "index", "offset", "length", "value",
+    "stream", "parser", "handler", "config", "worker", "queue", "cache", "token",
+]
+LICENSE = (
+    "# Licensed under the Apache License, Version 2.0 (the 'License');\n"
+    "# you may not use this file except in compliance with the License.\n"
+    "# You may obtain a copy of the License at http://www.apache.org/licenses/\n"
+    "# Unless required by applicable law or agreed to in writing, software\n"
+    "# distributed under the License is distributed on an 'AS IS' BASIS.\n"
+)
+
+
+def _key(repo: str, path: str, commit: str) -> tuple[str, str, str]:
+    return (repo, path, commit)
+
+
+@dataclass
+class Corpus:
+    rows: list[dict] = field(default_factory=list)
+    expected_exact: list[list[tuple]] = field(default_factory=list)
+    expected_pairs: list[tuple] = field(default_factory=list)  # (key_a, key_b, family)
+    below_threshold_pairs: list[tuple] = field(default_factory=list)  # diagnostics
+
+
+def _gen_code(rng: random.Random, n_lines: int, lang: str) -> str:
+    lines = []
+    for _ in range(n_lines):
+        kind = rng.random()
+        a, b, c = rng.choice(IDENTS), rng.choice(IDENTS), rng.choice(IDENTS)
+        n = rng.randint(0, 99)
+        if kind < 0.3:
+            lines.append(f"def {a}_{b}({c}, limit={n}):")
+            lines.append(f"    return {c} + {n}")
+        elif kind < 0.6:
+            lines.append(f"{a} = {b}.process({c}, {n})")
+        elif kind < 0.8:
+            lines.append(f"if {a} > {n}: {b}.append({c})")
+        else:
+            lines.append(f"for {a} in range({n}): {b}[{a}] = {c}")
+    return "\n".join(lines) + "\n"
+
+
+def _variant(rng: random.Random, base: str, family: str) -> str:
+    lines = base.split("\n")
+    if family == "whitespace":
+        # indent reflow + trailing spaces: normalization-invariant edits
+        out = []
+        for ln in lines:
+            ln = ln.replace("    ", "\t") if rng.random() < 0.5 else ln
+            out.append(ln + ("  " if rng.random() < 0.3 else ""))
+        return "\n".join(out)
+    if family == "comment":
+        out = list(lines)
+        for _ in range(max(1, len(lines) // 30)):
+            pos = rng.randrange(len(out) + 1)
+            out.insert(pos, f"# note {rng.randint(0, 9999)}")
+        return "\n".join(out)
+    if family == "rename":
+        src = rng.choice([i for i in IDENTS if i in base] or IDENTS)
+        return base.replace(src, f"{src}_v2")
+    if family == "edit":
+        out = list(lines)
+        n_edit = max(1, len(out) // 40)  # small line edits, <3% of lines
+        for _ in range(n_edit):
+            pos = rng.randrange(len(out))
+            out[pos] = f"extra_{rng.randint(0, 999)} = compute({rng.randint(0, 99)})"
+        return "\n".join(out)
+    if family == "truncate":
+        keep = max(3, int(len(lines) * rng.uniform(0.72, 0.88)))
+        return "\n".join(lines[:keep]) + "\n"
+    if family == "extend":
+        return base + _gen_code(rng, max(2, len(lines) // 5), "python")
+    raise ValueError(family)
+
+
+def generate_corpus(
+    seed: int = 42,
+    n_unique: int = 60,
+    n_exact_sets: int = 8,
+    n_neardup_bases: int = 12,
+    n_boilerplate: int = 10,
+    with_junk: bool = True,
+) -> Corpus:
+    rng = random.Random(seed)
+    corpus = Corpus()
+    serial = [0]
+
+    def add(content: str, lang: str | None = None, hidden: bool = False, repo: str | None = None):
+        i = serial[0]
+        serial[0] += 1
+        lang = lang or rng.choice(LANGS)
+        repo = repo or f"repo_{rng.randrange(10):04d}"
+        depth = rng.randint(1, 4)
+        segs = [f"d{rng.randrange(8)}" for _ in range(depth)]
+        if hidden:
+            segs.insert(rng.randrange(len(segs) + 1), ".hidden")
+        ext = {"python": "py", "java": "java", "c": "c", "js": "js", "go": "go", "md": "md", "txt": "txt"}[lang]
+        path = "/".join(segs) + f"/file_{i:05d}.{ext}"
+        commit = "".join(rng.choice("0123456789abcdef") for _ in range(40))
+        row = {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+        corpus.rows.append(row)
+        return _key(repo, path, commit)
+
+    # 1. exact-duplicate sets (2-3 copies, different repos/paths)
+    for _ in range(n_exact_sets):
+        content = _gen_code(rng, rng.randint(8, 40), "python")
+        n_copies = rng.randint(2, 3)
+        keys = [add(content) for _ in range(n_copies)]
+        corpus.expected_exact.append(keys)
+
+    # 2. unique files
+    for _ in range(n_unique):
+        add(_gen_code(rng, rng.randint(4, 60), "python"))
+
+    # 3. same-size non-duplicates (equal length, different bytes)
+    base = _gen_code(rng, 10, "python")
+    shifted = "".join(chr(ord(c) + 1) if c.isalpha() and c != "z" else c for c in base)
+    add(base)
+    add(shifted[: len(base)])
+
+    # 4. near-duplicate variant families (the recall fixture).
+    # "Matched shingle/signature config" (BASELINE.json): a pair is
+    # *expected* iff it passes the frozen config's semantic gate —
+    # exact shingle Jaccard >= threshold OR LCS containment >=
+    # containment threshold — computed here with the same kernels the
+    # engine uses for ground truth. Variants that land below the gate
+    # are recorded in ``below_threshold_pairs`` (diagnostic only).
+    from dedup_spark.config import RECALL_CONFIG
+    from dedup_spark.functions.lcs import containment_score
+    from dedup_spark.functions.shingles import exact_jaccard
+
+    cfg = RECALL_CONFIG
+    families = ["whitespace", "comment", "rename", "edit", "truncate", "extend"]
+    for bi in range(n_neardup_bases):
+        content = _gen_code(rng, rng.randint(30, 80), "python")
+        k_base = add(content)
+        fams = rng.sample(families, k=rng.randint(2, 4))
+        for fam in fams:
+            var = _variant(rng, content, fam)
+            k_var = add(var)
+            j = exact_jaccard(content, var, cfg.shingle_k, cfg.shingle_unit, cfg.normalize)
+            c = containment_score(content, var)
+            if j >= cfg.similarity_threshold or c >= cfg.containment_threshold:
+                corpus.expected_pairs.append((k_base, k_var, fam))
+            else:
+                corpus.below_threshold_pairs.append((k_base, k_var, fam, round(j, 3), round(c, 3)))
+
+    # 5. empty / whitespace-only
+    if with_junk:
+        add("")
+        add("   \n  \t\n")
+
+    # 6. hot-shingle boilerplate block (identical large header, distinct bodies)
+    for _ in range(n_boilerplate):
+        add(LICENSE + _gen_code(rng, rng.randint(20, 50), "python"))
+
+    # 7. hidden paths / glob-excluded files
+    if with_junk:
+        add(_gen_code(rng, 10, "python"), hidden=True)
+        add(_gen_code(rng, 10, "md"))
+
+    return corpus
+
+
+def corpus_df(spark, corpus: Corpus):
+    return spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in corpus.rows],
+        "repo string, path string, commit string, lang string, content string",
+    )
