@@ -1,0 +1,78 @@
+"""X1-X5 action plan/execution: delete keeps exactly the kept file per
+set (reference delete test, /root/reference/tests/integration_tests.rs:369-451),
+move gets collision-renamed targets (:453-564 — exactly one renamed copy
+per basename), mark-all toggle, dry-run touches nothing.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.operators.actions import build_plan, execute_plan, mark_all, plan_summary
+from dedup_spark.operators.select import select_kept
+
+
+@pytest.fixture(scope="module")
+def clusters(spark):
+    rows = [
+        (1, 100, "a/keep.py", 10),
+        (2, 100, "deep/nested/one.py", 10),
+        (3, 100, "other/one.py", 10),   # same basename as file 2
+        (4, 200, "b/two.py", 20),
+        (5, 200, "c/longer/two.py", 20),
+    ]
+    return spark.createDataFrame(rows, "file_id long, cluster_id long, path string, size long")
+
+
+@pytest.fixture(scope="module")
+def selected(clusters):
+    return select_kept(clusters, "shortest_path").cache()
+
+
+def test_delete_plan_keeps_one_per_cluster(selected):
+    plan = build_plan(selected, "delete")
+    kept = plan.filter("action = 'keep'")
+    assert kept.count() == 2
+    assert {r["path"] for r in kept.collect()} == {"a/keep.py", "b/two.py"}
+    assert plan.filter("action = 'delete'").count() == 3
+
+
+def test_execute_delete(clusters, selected):
+    plan = build_plan(selected, "delete")
+    survivors = execute_plan(clusters, plan, dry_run=False)
+    assert {r["path"] for r in survivors.collect()} == {"a/keep.py", "b/two.py"}
+
+
+def test_dry_run_touches_nothing(clusters, selected):
+    plan = build_plan(selected, "delete")
+    out = execute_plan(clusters, plan, dry_run=True)
+    assert "outcome" in out.columns
+    assert out.filter("outcome = 'dry_run'").count() == plan.count()
+    assert clusters.count() == 5  # untouched
+
+
+def test_move_collision_rename(selected):
+    plan = build_plan(selected, "move", target_prefix="/dest")
+    moved = {r["path"]: r["target"] for r in plan.filter("action = 'move'").collect()}
+    targets = sorted(moved.values())
+    # two files named one.py → one plain, one _copy(1)
+    assert "/dest/one.py" in targets
+    assert "/dest/one_copy(1).py" in targets
+    assert len(set(targets)) == len(targets)  # all distinct
+
+
+def test_move_requires_prefix(selected):
+    with pytest.raises(ValueError, match="requires target_prefix"):
+        build_plan(selected, "move")
+
+
+def test_mark_all_toggle(clusters):
+    on = mark_all(clusters, True)
+    assert on.count() == 5
+    assert on.select("action").distinct().first()["action"] == "delete"
+    assert mark_all(clusters, False).count() == 0
+
+
+def test_plan_summary(selected):
+    plan = build_plan(selected, "delete")
+    counts = {r["action"]: r["n"] for r in plan_summary(plan).collect()}
+    assert counts == {"keep": 2, "delete": 3}

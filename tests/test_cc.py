@@ -1,0 +1,52 @@
+"""M6 connected components (large-star/small-star): chains, triangles,
+multiple components, deterministic min-id labels, convergence on long
+chains within the iteration budget.
+"""
+
+from pyspark.sql import functions as F
+
+from dedup_spark.operators.cc import connected_components
+
+
+def _labels(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {r["node"]: r["cluster_id"] for r in connected_components(df).collect()}
+
+
+def test_single_pair(spark):
+    assert _labels(spark, [(5, 9)]) == {5: 5, 9: 5}
+
+
+def test_triangle_and_chain(spark):
+    got = _labels(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_long_chain_converges(spark):
+    n = 64
+    got = _labels(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_duplicate_and_reversed_edges(spark):
+    got = _labels(spark, [(2, 1), (1, 2), (2, 3), (3, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_self_loops_ignored(spark):
+    got = _labels(spark, [(1, 1), (1, 2)])
+    assert got == {1: 1, 2: 1}
+
+
+def test_star_already(spark):
+    got = _labels(spark, [(1, 2), (1, 3), (1, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_merge_two_stars(spark):
+    # two stars bridged by one edge must fuse into one component
+    edges = [(1, 2), (1, 3), (10, 11), (10, 12), (3, 12)]
+    got = _labels(spark, edges)
+    assert set(got.values()) == {1}
+    assert len(got) == 6

@@ -1,0 +1,98 @@
+"""F-4 checkpoint/resume fixture: run 1 commits signatures for batch A;
+run 2 over A∪B must reuse A's signatures (cache-hit count asserted via
+metrics) and produce clusters identical to a cold run; one batch-B row
+re-uses a batch-A key with changed content and must be recomputed
+(FileCacheEntry::is_valid semantics,
+/root/reference/src/file_cache.rs:43-66,307-332).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from corpus import corpus_df, generate_corpus
+from dedup_spark.config import RECALL_CONFIG
+from dedup_spark.plans.pipeline import DedupPipeline
+
+
+@pytest.fixture()
+def cache_dir(tmp_path):
+    return str(tmp_path / "sigcache")
+
+
+def _assignments(df):
+    return sorted(
+        (r["repo"], r["path"], r["commit"], r["cluster_id"])
+        for r in df.select("repo", "path", "commit", "cluster_id").collect()
+    )
+
+
+def test_resume_reuses_and_matches_cold_run(spark, cache_dir):
+    corpus = generate_corpus(seed=7, n_unique=30, n_exact_sets=4, n_neardup_bases=6)
+    full = corpus_df(spark, corpus).cache()
+    half = full.limit(60).cache()
+
+    cfg = RECALL_CONFIG.with_(cache_path=cache_dir)
+    pipe = DedupPipeline(spark, cfg)
+
+    # run 1: batch A only
+    pipe.run(half).count()
+    m1 = pipe.store.metrics().orderBy("ts").collect()
+    assert m1[-1]["n_reused"] == 0
+    n_a = m1[-1]["n_rows"]
+    assert n_a > 0
+
+    # run 2: full corpus — A's signatures must be cache hits
+    warm = pipe.run(full)
+    warm_assign = _assignments(warm)
+    m2 = pipe.store.metrics().orderBy("ts").collect()
+    assert m2[-1]["n_reused"] == half.count() - _dropped(spark, half)
+
+    # cold run equivalence
+    cold = DedupPipeline(spark, RECALL_CONFIG).run(full)
+    assert warm_assign == _assignments(cold)
+
+
+def _dropped(spark, df):
+    """rows the F1-F3 filters remove (hidden/empty) — not cacheable."""
+    from dedup_spark.config import RECALL_CONFIG
+    from dedup_spark.sources.loader import prepare_code_files
+
+    return df.count() - prepare_code_files(df, RECALL_CONFIG).count()
+
+
+def test_invalidation_on_content_change(spark, cache_dir):
+    rows = [
+        ("r1", "a/one.py", "c1", "python", "alpha beta gamma delta epsilon zeta " * 10),
+        ("r1", "a/two.py", "c1", "python", "one two three four five six seven " * 10),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    cfg = RECALL_CONFIG.with_(cache_path=cache_dir)
+    pipe = DedupPipeline(spark, cfg)
+    pipe.run(spark.createDataFrame(rows, schema)).count()
+
+    # same key, new content → must recompute (stored sha mismatch)
+    changed = [(rows[0][0], rows[0][1], rows[0][2], "python", "totally new body entirely " * 12), rows[1]]
+    pipe2 = DedupPipeline(spark, cfg)
+    pipe2.run(spark.createDataFrame(changed, schema)).count()
+    m = pipe2.store.metrics().orderBy("ts").collect()
+    assert m[-1]["n_reused"] == 1  # only the unchanged row hit
+
+    # and the stored signature now reflects the new content
+    cached = pipe2.store.load()
+    row = cached.filter(F.col("path") == "a/one.py").first()
+    import hashlib
+
+    assert row["hash"] == hashlib.sha256(changed[0][4].encode()).hexdigest()
+
+
+def test_atomic_swap_leaves_single_data_dir(spark, cache_dir, tmp_path):
+    rows = [("r", "p.py", "c", "python", "content words here " * 8)]
+    schema = "repo string, path string, commit string, lang string, content string"
+    cfg = RECALL_CONFIG.with_(cache_path=cache_dir)
+    pipe = DedupPipeline(spark, cfg)
+    pipe.run(spark.createDataFrame(rows, schema)).count()
+    pipe.run(spark.createDataFrame(rows, schema)).count()
+    import os
+
+    entries = [e for e in os.listdir(cache_dir) if not e.startswith("_")]
+    assert entries == ["data"]

@@ -1,0 +1,77 @@
+"""J1/J4/F8/S7: multi-source compare — mirrors the reference's
+integration assertions (/root/reference/tests/integration_tests.rs:656-927):
+missing-in-target is per FILE by hash (both members of a source-internal
+dup set are missing when the hash is absent from target); cross-source
+sets need >=1 file on each side.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DedupConfig
+from dedup_spark.operators.compare import (
+    copy_missing,
+    cross_source_duplicates,
+    missing_in_target,
+)
+from dedup_spark.operators.exact import with_content_hash
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    rows = [
+        # source, path, content
+        ("src", "s/unique1.py", "unique content one " * 5),
+        ("src", "s/unique2.py", "unique content two " * 5),
+        ("src", "s/dup_a.py", "source internal dup " * 5),
+        ("src", "s/dup_b.py", "source internal dup " * 5),
+        ("src", "s/shared.py", "present in both sides " * 5),
+        ("tgt", "t/shared_copy.py", "present in both sides " * 5),
+        ("tgt", "t/own.py", "target only content " * 5),
+        ("tgt", "t/own_dup.py", "target only content " * 5),
+    ]
+    df = spark.createDataFrame(rows, "source string, path string, content string")
+    df = df.withColumn("file_id", F.xxhash64("path")).withColumn("size", F.length("content"))
+    return with_content_hash(df, DedupConfig()).cache()
+
+
+def test_missing_is_per_file_by_hash(files):
+    src = files.filter("source = 'src'")
+    tgt = files.filter("source = 'tgt'")
+    missing = {r["path"] for r in missing_in_target(src, tgt).collect()}
+    # both copies of the src-internal dup are missing (ref :725)
+    assert missing == {"s/unique1.py", "s/unique2.py", "s/dup_a.py", "s/dup_b.py"}
+
+
+def test_broadcast_variant_same_result(files):
+    src = files.filter("source = 'src'")
+    tgt = files.filter("source = 'tgt'")
+    a = {r["path"] for r in missing_in_target(src, tgt, broadcast_target=True).collect()}
+    b = {r["path"] for r in missing_in_target(src, tgt, broadcast_target=False).collect()}
+    assert a == b
+
+
+def test_cross_source_duplicates(files):
+    spanning = {r["path"] for r in cross_source_duplicates(files).collect()}
+    assert spanning == {"s/shared.py", "t/shared_copy.py"}
+
+
+def test_copy_missing_dry_run(files, tmp_path):
+    src = files.filter("source = 'src'")
+    tgt = files.filter("source = 'tgt'")
+    missing = missing_in_target(src, tgt)
+    plan = copy_missing(missing, dry_run=True)
+    assert plan.count() == 4
+    assert plan.select("action").distinct().first()["action"] == "copy"
+
+
+def test_copy_missing_real_append(files, tmp_path):
+    src = files.filter("source = 'src'")
+    tgt = files.filter("source = 'tgt'")
+    target_path = str(tmp_path / "tgt_table")
+    tgt.write.parquet(target_path)
+    copy_missing(missing_in_target(src, tgt), target_path, dry_run=False)
+    merged = files.sparkSession.read.parquet(target_path)
+    assert merged.count() == tgt.count() + 4
+    # after the copy, nothing is missing anymore
+    assert missing_in_target(src, merged).count() == 0

@@ -1,0 +1,80 @@
+"""C1/A1-A3/F3-F5: exact stage over the seeded corpus — mirrors the
+reference integration assertion "exactly NUM_DUPLICATE_CONTENT_SETS
+sets; all files in a set share hash+size"
+(/root/reference/tests/integration_tests.rs:320-367).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from corpus import corpus_df, generate_corpus
+from dedup_spark.config import DedupConfig
+from dedup_spark.operators.exact import exact_cluster_summary, exact_clusters, size_prefilter
+from dedup_spark.sources.loader import prepare_code_files
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(seed=42)
+
+
+@pytest.fixture(scope="module")
+def files(spark, corpus):
+    return prepare_code_files(corpus_df(spark, corpus), DedupConfig()).cache()
+
+
+def test_expected_exact_set_count(spark, files, corpus):
+    clusters = exact_clusters(files, DedupConfig(), min_cluster_size=2)
+    summary = exact_cluster_summary(clusters)
+    # boilerplate family shares headers but not full content → only the
+    # generated exact sets (bodies identical) appear
+    assert summary.count() == len(corpus.expected_exact)
+
+
+def test_members_share_hash_and_size(spark, files):
+    clusters = exact_clusters(files, DedupConfig(), min_cluster_size=2)
+    bad = (
+        clusters.groupBy("cluster_id")
+        .agg(
+            F.countDistinct("hash").alias("nh"),
+            F.countDistinct("size").alias("ns"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter((F.col("nh") != 1) | (F.col("ns") != 1) | (F.col("n") < 2))
+    )
+    assert bad.count() == 0
+
+
+def test_cluster_id_is_min_file_id(spark, files):
+    clusters = exact_clusters(files, DedupConfig(), min_cluster_size=2)
+    bad = clusters.groupBy("cluster_id").agg(F.min("file_id").alias("m")).filter(
+        F.col("cluster_id") != F.col("m")
+    )
+    assert bad.count() == 0
+
+
+def test_size_prefilter_keeps_all_duplicates(spark, files):
+    # pruning by size must never lose a true duplicate (same hash ⇒ same size)
+    with_pre = exact_clusters(files, DedupConfig(size_prefilter=True), min_cluster_size=2)
+    without = exact_clusters(files, DedupConfig(size_prefilter=False), min_cluster_size=2)
+    assert with_pre.count() == without.count()
+
+
+def test_size_prefilter_drops_unique_sizes(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99)], "file_id long, size long"
+    )
+    out = size_prefilter(df)
+    assert {r["file_id"] for r in out.collect()} == {1, 2}
+
+
+def test_nonempty_filter_drops_empty(spark, corpus):
+    raw = corpus_df(spark, corpus)
+    prepared = prepare_code_files(raw, DedupConfig())
+    assert prepared.filter(F.length("content") == 0).count() == 0
+    assert raw.filter(F.length("content") == 0).count() >= 1  # fixture has one
+
+
+def test_hidden_paths_dropped(spark, corpus):
+    prepared = prepare_code_files(corpus_df(spark, corpus), DedupConfig())
+    assert prepared.filter(F.col("path").rlike(r"(^|/)\.")).count() == 0

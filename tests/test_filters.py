@@ -1,0 +1,96 @@
+"""F1/F2/S9: glob translation, include/exclude precedence
+(exclude wins → include restricts → default pass,
+/root/reference/src/file_utils.rs:212-227), hidden-path filter, and the
+rclone-style filter-file parser (src/file_utils.rs:113-184).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.sources.filters import (
+    filter_rules_predicate,
+    glob_to_regex,
+    hidden_path_predicate,
+    parse_filter_file,
+)
+
+
+@pytest.fixture(scope="module")
+def paths(spark):
+    data = [
+        ("src/main.py",),
+        ("src/test/test_main.py",),
+        ("docs/readme.md",),
+        (".git/config",),
+        ("a/.hidden/file.py",),
+        ("deep/a/b/c/d.txt",),
+    ]
+    return spark.createDataFrame(data, "path string")
+
+
+def _kept(paths, **kw):
+    return {
+        r["path"]
+        for r in paths.filter(filter_rules_predicate("path", **kw)).collect()
+    }
+
+
+def test_glob_translation():
+    import re
+
+    assert re.match(glob_to_regex("*.py"), "main.py")
+    assert not re.match(glob_to_regex("*.py"), "src/main.py")  # * stops at /
+    assert re.match(glob_to_regex("**/*.py"), "src/deep/main.py")
+    assert re.match(glob_to_regex("file?.txt"), "file1.txt")
+    assert not re.match(glob_to_regex("file?.txt"), "file12.txt")
+    assert re.match(glob_to_regex("[abc].md"), "a.md")
+
+
+def test_default_pass(paths):
+    kept = _kept(paths, skip_hidden=False)
+    assert kept == {r["path"] for r in paths.collect()}
+
+
+def test_hidden_filter(paths):
+    kept = _kept(paths, skip_hidden=True)
+    assert ".git/config" not in kept
+    assert "a/.hidden/file.py" not in kept
+    assert "src/main.py" in kept
+
+
+def test_exclude_wins_over_include(paths):
+    kept = _kept(
+        paths,
+        include=("**/*.py",),
+        exclude=("**/test/**",),
+        skip_hidden=False,
+    )
+    assert "src/main.py" in kept
+    assert "src/test/test_main.py" not in kept  # matched include AND exclude
+    assert "docs/readme.md" not in kept  # include list restricts
+
+
+def test_include_restricts(paths):
+    kept = _kept(paths, include=("**/*.md",), skip_hidden=False)
+    assert kept == {"docs/readme.md"}
+
+
+def test_parse_filter_file():
+    text = """
+# comment
+; also comment
++ **/*.py
+- **/test/**
+
++ **/*.md
+not a rule
+"""
+    include, exclude = parse_filter_file(text)
+    assert include == ("**/*.py", "**/*.md")
+    assert exclude == ("**/test/**",)
+
+
+def test_hidden_predicate_vs_plain_dots(spark):
+    df = spark.createDataFrame([("a.b/c.py",), (".x/y",), ("x/.y/z",)], "path string")
+    flagged = {r["path"] for r in df.filter(hidden_path_predicate("path")).collect()}
+    assert flagged == {".x/y", "x/.y/z"}  # dots inside names are fine

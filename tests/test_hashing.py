@@ -1,0 +1,67 @@
+"""H1 hash goldens — values verbatim from the reference's unit tests
+(/root/reference/src/file_utils.rs:1595-1726): known digests of
+"The quick brown fox jumps over the lazy dog" and the empty string,
+plus invalid-algorithm error behavior.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.functions.hashing import content_hash, hash_prefix, sha256_fingerprint64
+
+FOX = "The quick brown fox jumps over the lazy dog"
+FOX_SHA256 = "d7a8fbb307d7809469ca9abcb0082e4f8d5651e46d3cdb762d02d0bf37c9e592"
+FOX_MD5 = "9e107d9d372bb6826bd81d3542a419d6"
+FOX_SHA1 = "2fd4e1c67a2d28fced849ee1bb76e7391b93eb12"
+EMPTY_SHA256 = "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+EMPTY_MD5 = "d41d8cd98f00b204e9800998ecf8427e"
+
+
+@pytest.fixture(scope="module")
+def one_row(spark):
+    return spark.createDataFrame([(FOX,), ("",)], "content string")
+
+
+def _digest(df, algo, content):
+    return (
+        df.filter(F.col("content") == content)
+        .select(content_hash("content", algo).alias("h"))
+        .first()["h"]
+    )
+
+
+def test_sha256_golden(one_row):
+    assert _digest(one_row, "sha256", FOX) == FOX_SHA256
+    assert _digest(one_row, "sha256", "") == EMPTY_SHA256
+
+
+def test_md5_golden(one_row):
+    assert _digest(one_row, "md5", FOX) == FOX_MD5
+    assert _digest(one_row, "md5", "") == EMPTY_MD5
+
+
+def test_sha1_golden(one_row):
+    assert _digest(one_row, "sha1", FOX) == FOX_SHA1
+
+
+def test_crc32_and_xxhash64_format(one_row):
+    # reference checks format, not value, for the non-crypto algorithms
+    assert isinstance(_digest(one_row, "crc32", FOX), int)
+    assert isinstance(_digest(one_row, "xxhash64", FOX), int)
+
+
+def test_invalid_algorithm_rejected(one_row):
+    with pytest.raises(ValueError, match="unsupported hash algorithm"):
+        content_hash("content", "blake99")
+
+
+def test_hash_prefix(one_row):
+    row = one_row.select(hash_prefix(content_hash("content", "sha256"), 16).alias("p")).first()
+    assert len(row["p"]) == 16
+
+
+def test_fingerprint64_stable_and_distinct(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "content string")
+    vals = [r["f"] for r in df.select(sha256_fingerprint64("content").alias("f")).collect()]
+    assert vals[0] == vals[2] != vals[1]
+    assert all(isinstance(v, int) for v in vals)

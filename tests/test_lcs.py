@@ -1,0 +1,56 @@
+"""Suffix-automaton LCS kernel tests. Goldens adapted from the reference
+fingerprint-similarity tests (/root/reference/src/video_fingerprint.rs:182-204,
+src/audio_fingerprint.rs:141-159): identical ⇒ 1.0, disjoint ⇒ 0.0,
+empty ⇒ 0.0, plus exact-length cases and the containment semantics the
+reference lacks (our truncation/extension family).
+"""
+
+from dedup_spark.functions.lcs import containment_score, longest_common_substring_len
+
+
+def test_lcs_basic():
+    assert longest_common_substring_len("abcdef", "zabcy") == 3  # "abc"
+    assert longest_common_substring_len("abc", "abc") == 3
+    assert longest_common_substring_len("abc", "xyz") == 0
+    assert longest_common_substring_len("", "abc") == 0
+    assert longest_common_substring_len("abc", "") == 0
+
+
+def test_lcs_symmetry():
+    a, b = "the quick brown fox", "a quick brown cat"
+    assert longest_common_substring_len(a, b) == longest_common_substring_len(b, a)
+    assert longest_common_substring_len(a, b) == len(" quick brown ")
+
+
+def test_lcs_repeated_patterns():
+    assert longest_common_substring_len("ababab", "babab") == 5
+    assert longest_common_substring_len("aaaa", "aa") == 2
+
+
+def test_containment_identical():
+    assert containment_score("hello world", "hello world") == 1.0
+
+
+def test_containment_truncation():
+    full = "line one\nline two\nline three\nline four\n"
+    trunc = "line one\nline two\n"
+    assert containment_score(full, trunc) == 1.0  # shorter ⊂ longer
+
+
+def test_containment_extension():
+    base = "def f():\n    return 1\n"
+    extended = base + "def g():\n    return 2\n"
+    assert containment_score(base, extended) == 1.0
+
+
+def test_containment_partial_and_empty():
+    assert containment_score("abcdef", "abcxyz") == 0.5
+    assert containment_score("", "abc") == 0.0
+    assert containment_score("abc", "") == 0.0
+
+
+def test_lcs_long_input_linear_behavior():
+    # sanity: 20k-char inputs complete (O(n) automaton, not O(n^2) DP)
+    a = ("x" * 50 + "y") * 200
+    b = a[5000:15000]
+    assert longest_common_substring_len(a, b) == len(b)

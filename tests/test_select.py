@@ -1,0 +1,84 @@
+"""W1/W2/W3: keep-policy selection with deterministic expected winners
+(FIXTURES.md F-3), including the pinned tie-break (secondary key =
+path asc). Strategies from /root/reference/src/file_utils.rs:994-1043.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.operators.select import rank_in_set, select_kept, select_preferred
+
+
+@pytest.fixture(scope="module")
+def cluster(spark):
+    ts = lambda d: datetime.datetime(2024, 1, d, tzinfo=datetime.timezone.utc)
+    rows = [
+        # file_id, cluster_id, path, lang, size, modified_at
+        (1, 100, "a/b/c/deep_file.py", "python", 50, ts(3)),
+        (2, 100, "x/f.py", "python", 60, ts(5)),
+        (3, 100, "mid/file.py", "java", 70, ts(1)),
+        (4, 100, "y/g.py", "go", 40, ts(5)),  # mtime tie with file 2
+    ]
+    return spark.createDataFrame(
+        rows, "file_id long, cluster_id long, path string, lang string, size long, modified_at timestamp"
+    )
+
+
+def _kept(df):
+    return df.filter("is_kept").first()
+
+
+def test_shortest_path(cluster):
+    assert _kept(select_kept(cluster, "shortest_path"))["file_id"] == 2  # len 6
+    # x/f.py(6) vs y/g.py(6): tie → path asc → x/f.py
+    assert _kept(select_kept(cluster, "shortest_path"))["path"] == "x/f.py"
+
+
+def test_longest_path(cluster):
+    assert _kept(select_kept(cluster, "longest_path"))["path"] == "a/b/c/deep_file.py"
+
+
+def test_newest_modified_tie_break(cluster):
+    # files 2 and 4 share the newest mtime; tie-break = path asc → x/f.py
+    assert _kept(select_kept(cluster, "newest_modified"))["file_id"] == 2
+
+
+def test_oldest_modified(cluster):
+    assert _kept(select_kept(cluster, "oldest_modified"))["file_id"] == 3
+
+
+def test_exactly_one_kept_per_cluster(cluster):
+    out = select_kept(cluster, "shortest_path")
+    assert out.filter("is_kept").count() == 1
+    assert out.count() == 4
+    ranks = sorted(r["rank_in_cluster"] for r in out.collect())
+    assert ranks == [1, 2, 3, 4]
+
+
+def test_preferred_lang_ranking(cluster):
+    # preference go > java > python; highest size among best lang wins
+    out = select_preferred(cluster, ("go", "java", "python"), "highest")
+    assert _kept(out)["lang"] == "go"
+    # unknown lang ranks last
+    out2 = select_preferred(cluster, ("rust",), "highest")
+    assert _kept(out2)["size"] == 70  # all unknown → pure size order
+
+
+def test_preferred_closest_to(cluster):
+    out = select_preferred(cluster, (), "closest_to", target_size=55)
+    kept = _kept(out)
+    assert kept["size"] in (50, 60)  # dist 5 each → path asc tie-break
+    assert kept["path"] == min("a/b/c/deep_file.py", "x/f.py")
+
+
+def test_rank_in_set_by_size(cluster):
+    out = rank_in_set(cluster, "size", ascending=False)
+    top = out.filter(F.col("display_rank") == 1).first()
+    assert top["size"] == 70
+
+
+def test_invalid_strategy_rejected(cluster):
+    with pytest.raises(ValueError):
+        select_kept(cluster, "biggest_vibes")

@@ -1,0 +1,105 @@
+"""Signature kernel unit tests (SURVEY §5 layer 1 analog): determinism,
+MinHash Jaccard-estimation accuracy, SimHash locality, boundary golden
+for the 64-bit Hamming threshold (radius 6 passes, 7 fails — the
+reference's 90%-of-64-bits gate, /root/reference/src/media_dedup.rs:365-373).
+"""
+
+import numpy as np
+import pytest
+
+from dedup_spark.functions.shingles import (
+    MinHasher,
+    exact_jaccard,
+    hamming64,
+    normalize_text,
+    shingle_set,
+    simhash64,
+)
+
+CODE = "def process(buffer, limit):\n    total = 0\n    for index in range(limit):\n        total += buffer[index]\n    return total\n" * 3
+
+
+def test_normalize():
+    assert normalize_text("A  B\t\nc") == "a b c"
+
+
+def test_shingles_deterministic_and_distinct():
+    s1 = shingle_set(CODE, 5)
+    s2 = shingle_set(CODE, 5)
+    assert np.array_equal(s1, s2)
+    assert s1.shape[0] > 0
+    assert np.array_equal(s1, np.unique(s1))  # sorted distinct
+
+
+def test_char_vs_token_units():
+    sc = shingle_set("abcdef", 3, "char", normalize=False)
+    assert sc.shape[0] == 4  # abc bcd cde def
+    st = shingle_set("a b c d", 2, "token")
+    assert st.shape[0] == 3  # (a b) (b c) (c d)
+
+
+def test_too_short_inputs():
+    assert shingle_set("a b", 5).shape[0] == 0
+    assert shingle_set("", 5).shape[0] == 0
+    assert MinHasher(16).signature(shingle_set("", 5)) is None
+    assert simhash64(shingle_set("", 5)) is None
+
+
+def test_whitespace_reflow_invariance():
+    # normalization makes indent/spacing edits signature-invariant
+    a = shingle_set("def f(x):\n    return x\n", 3)
+    b = shingle_set("def  f(x):\n\treturn   x", 3)
+    assert np.array_equal(a, b)
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(7)
+    universe = rng.integers(0, 2**63, 2000, dtype=np.uint64)
+    mh = MinHasher(128)
+    for overlap, expected in [(1800, 0.818), (1000, 0.333), (0, 0.0)]:
+        a = np.unique(universe[:1900])
+        b = np.unique(np.concatenate([universe[1900 - overlap : 1900], rng.integers(0, 2**63, 1900 - overlap, dtype=np.uint64)]))
+        true_j = np.intersect1d(a, b).shape[0] / np.union1d(a, b).shape[0]
+        est = MinHasher.estimate_jaccard(mh.signature(a), mh.signature(b))
+        assert abs(est - true_j) < 0.13, (overlap, true_j, est)
+
+
+def test_minhash_identical_and_disjoint():
+    mh = MinHasher(64)
+    s = shingle_set(CODE, 5)
+    assert MinHasher.estimate_jaccard(mh.signature(s), mh.signature(s)) == 1.0
+    other = shingle_set("completely different words " * 20, 5)
+    assert MinHasher.estimate_jaccard(mh.signature(s), mh.signature(other)) < 0.1
+
+
+def test_simhash_locality():
+    base = "x = compute(value) ; result = value + offset ; " * 30
+    close = base.replace("offset", "offsetz", 2)
+    far = "entirely unrelated content about databases " * 30
+    h0, h1, h2 = (simhash64(shingle_set(t, 5)) for t in (base, close, far))
+    assert hamming64(h0, h1) < hamming64(h0, h2)
+    assert hamming64(h0, h0) == 0
+
+
+def test_hamming_threshold_boundary():
+    # reference: similarity >= 90 of 100 ⇔ distance <= 6 of 64
+    base = 0
+    six = (1 << 6) - 1  # 6 bits set
+    seven = (1 << 7) - 1
+    assert hamming64(base, six) == 6
+    assert (64 - hamming64(base, six)) / 64 * 100 >= 90
+    assert (64 - hamming64(base, seven)) / 64 * 100 < 90
+
+
+def test_exact_jaccard_goldens():
+    # identical ⇒ 1.0, disjoint ⇒ 0.0, empty ⇒ 0.0 (reference
+    # similarity-kernel goldens, src/audio_fingerprint.rs:141-159)
+    assert exact_jaccard(CODE, CODE, 5) == 1.0
+    assert exact_jaccard(CODE, "zz yy xx ww vv uu tt ss rr qq pp oo", 5) == 0.0
+    assert exact_jaccard("", CODE, 5) == 0.0
+
+
+def test_signature_int32_range():
+    sig = MinHasher(128).signature(shingle_set(CODE, 5))
+    assert sig.dtype == np.int32
+    assert (sig >= 0).all()
