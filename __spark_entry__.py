@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship near-dup pipeline end-to-end at sf0.001;
+``queries()``/``oracle_sql()`` expose one entry per SQL-expressible
+operator (SURVEY.md §2) plus rows-only entries for the non-SQL fuzzy
+stages (MinHash/LSH, SimHash probing, verification, connected
+components — iterative / UDF-backed, no DuckDB equivalent).
 """
 
 from __future__ import annotations
@@ -12,27 +12,68 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dedup pipeline (exact ∪ fuzzy) on sf0.001 →
+    duplicate-set report."""
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.plans.pipeline import DedupPipeline
+    from dedup_spark.sources.loader import documents_as_code_files
+
+    files = documents_as_code_files(spark, "/root/testdata/sf0.001")
+    pipe = DedupPipeline(spark, DedupConfig())
+    clusters = pipe.run(files)
+    return pipe.report(clusters).drop("files")
+
+
+# ---- rows-only (non-SQL-expressible) fuzzy-stage queries -----------------
+
+def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4+M5: LSH ∪ SimHash candidates, verified (threshold gate).
+    Iterative-free but UDF/signature-based → rows-only check."""
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.plans.pipeline import DedupPipeline
+    from dedup_spark.sources.loader import documents_as_code_files
+
+    pipe = DedupPipeline(spark, DedupConfig())
+    files = documents_as_code_files(spark, sf_dir)
+    sigs = pipe.signatures(files)
+    reps = pipe.representatives(sigs)
+    verified = pipe.verify(pipe.candidates(reps), reps)
+    return verified.select(
+        "id_a", "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("containment", 6).alias("containment"),
+    ).orderBy("id_a", "id_b")
+
+
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: full pipeline cluster assignment (connected components —
+    iterative, rows-only check)."""
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.plans.pipeline import DedupPipeline
+    from dedup_spark.sources.loader import documents_as_code_files
+
+    pipe = DedupPipeline(spark, DedupConfig())
+    clusters = pipe.run(documents_as_code_files(spark, sf_dir))
+    return clusters.select("file_id", "cluster_id", "cluster_size").orderBy("file_id")
+
+
+_ROWS_ONLY = {
+    "near_dup_pairs": _q_near_dup_pairs,
+    "near_dup_clusters": _q_near_dup_clusters,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dedup_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {**QUERIES, **_ROWS_ONLY}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dedup_spark.queries import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,139 @@
+"""Bench harness: headline pipeline stages at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "files_per_sec": ...}
+
+Stage queries are the engine's real phases, not toy scans:
+  exact      — scan → sha256 → hash groupBy → dup-set stats
+  signatures — shingle → MinHash(128) + SimHash64 pandas-UDF kernels
+  candidates — LSH band self-join ∪ SimHash Hamming probing
+  verify_cc  — tiered verification + connected components
+  keep_plan  — token-set clusters → keep-selection window → action plan
+  compare    — hash anti join + cross-source spanning sets
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dedup_spark.config import DedupConfig  # noqa: E402
+from dedup_spark.operators.actions import build_plan  # noqa: E402
+from dedup_spark.operators.compare import cross_source_duplicates, missing_in_target  # noqa: E402
+from dedup_spark.operators.exact import exact_clusters  # noqa: E402
+from dedup_spark.operators.select import select_kept  # noqa: E402
+from dedup_spark.plans.pipeline import DedupPipeline  # noqa: E402
+from dedup_spark.queries import CFG_NOSIZE, tokenset_hash  # noqa: E402
+from dedup_spark.session import get_spark  # noqa: E402
+from dedup_spark.sources.loader import documents_as_code_files  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("dedup-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = DedupConfig()
+    pipe = DedupPipeline(spark, cfg)
+
+    files = documents_as_code_files(spark, sf_dir)
+    n_files = files.count()  # warm the JVM + page cache before timing
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # exact stage: hash + groupBy + summary agg
+    timed(
+        "exact",
+        lambda: exact_clusters(files, cfg, min_cluster_size=1)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("hash").alias("d"),
+            F.max("cluster_size").alias("m"),
+        )
+        .collect(),
+    )
+
+    # signature kernels (pandas UDFs): force full materialization
+    # (localCheckpoint is eager → belongs inside the timed block)
+    sigs = None
+
+    def _sigs():
+        nonlocal sigs
+        sigs = pipe.signatures(files).localCheckpoint()
+        sigs.count()
+
+    timed("signatures", _sigs)
+
+    reps = pipe.representatives(sigs).localCheckpoint()
+    cands = None
+
+    def _cands():
+        nonlocal cands
+        cands = pipe.candidates(reps).localCheckpoint()
+        cands.count()
+
+    timed("candidates", _cands)
+
+    def _verify_cc():
+        verified = pipe.verify(cands, reps)
+        clusters = pipe.cluster(sigs, verified)
+        clusters.agg(F.countDistinct("cluster_id"), F.max("cluster_size")).collect()
+
+    timed("verify_cc", _verify_cc)
+
+    def _keep_plan():
+        tok = files.withColumn("hash", tokenset_hash())
+        clus = exact_clusters(tok, CFG_NOSIZE, min_cluster_size=2)
+        plan = build_plan(select_kept(clus, "shortest_path"), action="delete")
+        plan.groupBy("action").count().collect()
+
+    timed("keep_plan", _keep_plan)
+
+    def _compare():
+        tok = files.withColumn("hash", tokenset_hash())
+        src = tok.filter(F.col("repo") != "src0")
+        tgt = tok.filter(F.col("repo") == "src0")
+        missing_in_target(src, tgt, broadcast_target=True).count()
+        half = tok.withColumn(
+            "half",
+            F.when(
+                F.regexp_extract("repo", r"^src(\d+)$", 1).cast("int") < 10, "src"
+            ).otherwise("tgt"),
+        )
+        cross_source_duplicates(half, source_col="half").count()
+
+    timed("compare", _compare)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_pipeline_stages_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "n_files": n_files,
+                "files_per_sec": round(n_files / total, 1) if total else None,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

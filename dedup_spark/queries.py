@@ -1,0 +1,433 @@
+"""Driver-contract query registry.
+
+One entry per SQL-expressible operator from SURVEY.md §2, each as a
+(Spark callable, DuckDB oracle SQL) pair over the driver's fixture
+tables (``documents`` primarily — mapped to the input_hint shape by
+``documents_as_code_files``).
+
+The fixture corpus has **no exact sha256 duplicates** at sf<=0.1, so
+cluster-shaped operators (keep-selection, report, plan, rollup,
+cross-source) are exercised over a *token-set fingerprint* key —
+sha256 of the sorted distinct whitespace tokens — which yields real
+multi-member clusters (75/500 docs at sf0.01) while remaining an
+exact, SQL-expressible equality key. The pure sha256 stage is kept as
+its own query (empty dup-set result is itself an assertion).
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the oracle SQL (driver hashes values under sorted
+column names). row_number outputs are cast to long to match DuckDB's
+BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DedupConfig
+from dedup_spark.operators.actions import build_plan, plan_summary
+from dedup_spark.operators.compare import cross_source_duplicates, missing_in_target
+from dedup_spark.operators.exact import exact_clusters, size_prefilter, with_content_hash
+from dedup_spark.operators.report import duplicate_report, folder_rollup
+from dedup_spark.operators.select import rank_in_set, select_kept, select_preferred
+from dedup_spark.sources.filters import filter_rules_predicate
+from dedup_spark.sources.loader import documents_as_code_files
+
+CFG = DedupConfig()
+# token-set clusters: members may differ in length → size prefilter invalid
+CFG_NOSIZE = DedupConfig(size_prefilter=False)
+
+# ---------------------------------------------------------------------------
+# shared plan fragments
+# ---------------------------------------------------------------------------
+
+def tokenset_hash(col: str = "content"):
+    """Exact equality key over the *distinct token set* — the coarse
+    exact-dedup mode (bag-of-words identity); sha256 of the sorted
+    distinct whitespace tokens. (Function, not a module-level Column:
+    Column construction needs an active SparkContext.)"""
+    return F.sha2(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col(col), " ")))), 256
+    )
+
+# DuckDB mirror of the documents → input_hint mapping (loader.py
+# documents_as_code_files) and of TOKENSET_HASH.
+SQL_FILES = """
+files AS (
+  SELECT CAST(doc_id AS BIGINT)                      AS file_id,
+         source                                      AS repo,
+         source || '/' || CAST(doc_id AS VARCHAR)    AS path,
+         lang,
+         text                                        AS content,
+         CAST(n_chars AS BIGINT)                     AS size
+  FROM documents
+)
+"""
+
+SQL_TOK = """
+tok AS (
+  SELECT *,
+         sha256(array_to_string(list_sort(list_distinct(string_split(content, ' '))), ' '))
+           AS hash
+  FROM files
+)
+"""
+
+SQL_CLUS = """
+clus AS (
+  SELECT *,
+         MIN(file_id) OVER (PARTITION BY hash)               AS cluster_id,
+         CAST(COUNT(*) OVER (PARTITION BY hash) AS BIGINT)   AS cluster_size
+  FROM tok
+  QUALIFY cluster_size >= 2
+)
+"""
+
+_PRE = f"WITH {SQL_FILES}, {SQL_TOK}, {SQL_CLUS}"
+
+
+def _files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return documents_as_code_files(spark, sf_dir)
+
+
+def _tokenset_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _files(spark, sf_dir).withColumn("hash", tokenset_hash())
+    return exact_clusters(df, CFG_NOSIZE, min_cluster_size=2)
+
+
+# ---------------------------------------------------------------------------
+# queries — each fn paired with ORACLE[name]
+# ---------------------------------------------------------------------------
+
+def q_exact_hash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/A2/H1: sha256 content clusters over every row (singletons kept:
+    the fixture has no exact dups, which this query *asserts*)."""
+    out = exact_clusters(_files(spark, sf_dir), CFG, min_cluster_size=1)
+    return out.select("file_id", "hash", "cluster_id", "cluster_size")
+
+
+def q_exact_dup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: sha256 sets with >=2 members (empty on this corpus — the
+    empty result is the assertion)."""
+    out = exact_clusters(_files(spark, sf_dir), CFG, min_cluster_size=2)
+    return out.select("file_id", "hash", "cluster_id", "cluster_size")
+
+
+def q_tokenset_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 on the token-set key: real multi-member clusters."""
+    return _tokenset_clusters(spark, sf_dir).select(
+        "file_id", "path", "cluster_id", "cluster_size"
+    )
+
+
+def q_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/A3/W4: one row per duplicate set, sorted member CSV."""
+    rep = duplicate_report(_tokenset_clusters(spark, sf_dir))
+    return rep.select("cluster_id", "hash", "min_size", "max_size", "n_files", "files_csv")
+
+
+def q_size_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/F4: rows whose size occurs more than once (candidate pruning)."""
+    return size_prefilter(_files(spark, sf_dir)).select("file_id", "size")
+
+
+def q_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: rclone-precedence include/exclude glob predicate."""
+    pred = filter_rules_predicate(
+        "path", include=("src1/**", "src3/**"), exclude=("*/*7",)
+    )
+    return _files(spark, sf_dir).filter(pred).select("file_id", "path")
+
+
+def q_keep_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 shortest_path keep-selection with pinned tie-break."""
+    out = select_kept(_tokenset_clusters(spark, sf_dir), "shortest_path")
+    return out.select(
+        "file_id", "cluster_id",
+        F.col("rank_in_cluster").cast("long").alias("rank_in_cluster"), "is_kept",
+    )
+
+
+def q_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 longest_path variant."""
+    out = select_kept(_tokenset_clusters(spark, sf_dir), "longest_path")
+    return out.select(
+        "file_id", "cluster_id",
+        F.col("rank_in_cluster").cast("long").alias("rank_in_cluster"), "is_kept",
+    )
+
+
+def q_preferred_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: preference-list ranking (lang analog of format prefs) then
+    highest-resolution (size) policy."""
+    out = select_preferred(
+        _tokenset_clusters(spark, sf_dir), ("en", "de"), resolution_policy="highest"
+    )
+    return out.select(
+        "file_id", "cluster_id",
+        F.col("rank_in_cluster").cast("long").alias("rank_in_cluster"), "is_kept",
+    )
+
+
+def q_rank_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: display rank within set by size ascending."""
+    out = rank_in_set(_tokenset_clusters(spark, sf_dir), "size", ascending=True)
+    return out.select(
+        "file_id", "cluster_id", F.col("display_rank").cast("long").alias("display_rank")
+    )
+
+
+def q_folder_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-parent-folder duplicate rollup."""
+    return folder_rollup(_tokenset_clusters(spark, sf_dir)).select(
+        "folder", "n_sets", "n_files", "total_size"
+    )
+
+
+def q_missing_in_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: per-file hash anti join — sources src1.. vs target src0
+    (token-set key so hash hits exist)."""
+    tok = _files(spark, sf_dir).withColumn("hash", tokenset_hash())
+    src = tok.filter(F.col("repo") != "src0")
+    tgt = tok.filter(F.col("repo") == "src0")
+    return missing_in_target(src, tgt, broadcast_target=True).select("file_id", "path")
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/F8: duplicate sets spanning the src0-9 and src10-19 halves."""
+    tok = _files(spark, sf_dir).withColumn("hash", tokenset_hash()).withColumn(
+        "half",
+        F.when(F.regexp_extract("repo", r"^src(\d+)$", 1).cast("int") < 10, "src").otherwise("tgt"),
+    )
+    out = cross_source_duplicates(tok, source_col="half")
+    return out.select("file_id", "hash")
+
+
+def q_plan_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X4: delete action plan (keep winner per cluster, delete rest)."""
+    sel = select_kept(_tokenset_clusters(spark, sf_dir), "shortest_path")
+    return build_plan(sel, action="delete")
+
+
+def q_plan_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: move plan with target paths under a prefix."""
+    sel = select_kept(_tokenset_clusters(spark, sf_dir), "shortest_path")
+    return build_plan(sel, action="move", target_prefix="dup_archive")
+
+
+def q_plan_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-action accounting."""
+    sel = select_kept(_tokenset_clusters(spark, sf_dir), "shortest_path")
+    return plan_summary(build_plan(sel, action="delete"))
+
+
+def q_hash_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: multiple digest algorithms per row (sha256 + md5 — the two
+    with DuckDB equivalents; sha1/crc32/xxhash64 covered by unit tests)."""
+    f = with_content_hash(_files(spark, sf_dir), CFG)
+    return f.select(
+        "file_id", F.col("hash").alias("sha256"), F.md5("content").alias("md5")
+    )
+
+
+def q_hash_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: 16-char display prefix of the digest."""
+    return _files(spark, sf_dir).select(
+        "file_id", F.substring(F.sha2("content", 256), 1, 16).alias("hash16")
+    )
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup summary: file counts vs distinct contents vs
+    distinct token sets."""
+    f = _files(spark, sf_dir).withColumn("sha", F.sha2("content", 256)).withColumn(
+        "tok", TOKENSET_HASH
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.countDistinct("sha").alias("n_distinct_content"),
+        F.countDistinct("tok").alias("n_distinct_tokenset"),
+        (F.count(F.lit(1)) - F.countDistinct("tok")).alias("n_redundant"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "exact_hash_clusters": f"""
+WITH {SQL_FILES}
+SELECT file_id, sha256(content) AS hash,
+       MIN(file_id) OVER (PARTITION BY sha256(content)) AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY sha256(content)) AS BIGINT) AS cluster_size
+FROM files
+""",
+    "exact_dup_sets": f"""
+WITH {SQL_FILES}
+SELECT file_id, sha256(content) AS hash,
+       MIN(file_id) OVER (PARTITION BY sha256(content)) AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY sha256(content)) AS BIGINT) AS cluster_size
+FROM files
+QUALIFY cluster_size >= 2
+""",
+    "tokenset_clusters": f"""
+{_PRE}
+SELECT file_id, path, cluster_id, cluster_size FROM clus
+""",
+    "dup_report": f"""
+{_PRE}
+SELECT cluster_id, MIN(hash) AS hash, MIN(size) AS min_size, MAX(size) AS max_size,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       array_to_string(list_sort(list(path)), ',') AS files_csv
+FROM clus GROUP BY cluster_id
+""",
+    "size_prefilter": f"""
+WITH {SQL_FILES}
+SELECT file_id, size FROM files
+QUALIFY COUNT(*) OVER (PARTITION BY size) > 1
+""",
+    "filter_rules": f"""
+WITH {SQL_FILES}
+SELECT file_id, path FROM files
+WHERE NOT regexp_matches(path, '^[^/]*/[^/]*7$')
+  AND (regexp_matches(path, '^src1/.*$') OR regexp_matches(path, '^src3/.*$'))
+""",
+    "keep_shortest": f"""
+{_PRE}
+SELECT file_id, cluster_id,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY length(path), path, file_id)
+         AS rank_in_cluster,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY length(path), path, file_id) = 1
+         AS is_kept
+FROM clus
+""",
+    "keep_longest": f"""
+{_PRE}
+SELECT file_id, cluster_id,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY length(path) DESC, path, file_id)
+         AS rank_in_cluster,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY length(path) DESC, path, file_id) = 1
+         AS is_kept
+FROM clus
+""",
+    "preferred_lang": f"""
+{_PRE}
+SELECT file_id, cluster_id,
+       ROW_NUMBER() OVER (
+         PARTITION BY cluster_id
+         ORDER BY CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 ELSE 3 END,
+                  size DESC, path, file_id) AS rank_in_cluster,
+       ROW_NUMBER() OVER (
+         PARTITION BY cluster_id
+         ORDER BY CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 ELSE 3 END,
+                  size DESC, path, file_id) = 1 AS is_kept
+FROM clus
+""",
+    "rank_in_set": f"""
+{_PRE}
+SELECT file_id, cluster_id,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY size, path, file_id)
+         AS display_rank
+FROM clus
+""",
+    "folder_rollup": f"""
+{_PRE}
+SELECT regexp_extract(path, '^(.*)/[^/]*$', 1) AS folder,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_sets,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(size) AS BIGINT) AS total_size
+FROM clus GROUP BY 1
+""",
+    "missing_in_target": f"""
+WITH {SQL_FILES}, {SQL_TOK}
+SELECT file_id, path FROM tok
+WHERE repo <> 'src0'
+  AND hash NOT IN (SELECT hash FROM tok WHERE repo = 'src0')
+""",
+    "cross_source_dups": f"""
+WITH {SQL_FILES}, {SQL_TOK},
+halves AS (
+  SELECT *, CASE WHEN CAST(regexp_extract(repo, '^src(\\d+)$', 1) AS INT) < 10
+                 THEN 'src' ELSE 'tgt' END AS half
+  FROM tok
+),
+spanning AS (
+  SELECT hash FROM halves GROUP BY hash
+  HAVING MAX(CASE WHEN half = 'src' THEN 1 ELSE 0 END) = 1
+     AND MAX(CASE WHEN half = 'tgt' THEN 1 ELSE 0 END) = 1
+     AND COUNT(*) >= 2
+)
+SELECT file_id, hash FROM halves WHERE hash IN (SELECT hash FROM spanning)
+""",
+    "plan_delete": f"""
+{_PRE},
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY length(path), path, file_id) AS rn
+  FROM clus
+)
+SELECT file_id, cluster_id, path,
+       CASE WHEN rn = 1 THEN 'keep' ELSE 'delete' END AS action,
+       CAST(NULL AS VARCHAR) AS target
+FROM ranked
+""",
+    "plan_move": f"""
+{_PRE},
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY length(path), path, file_id) AS rn
+  FROM clus
+)
+SELECT file_id, cluster_id, path,
+       CASE WHEN rn = 1 THEN 'keep' ELSE 'move' END AS action,
+       CASE WHEN rn = 1 THEN NULL
+            ELSE 'dup_archive/' || regexp_extract(path, '([^/]*)$', 1) END AS target
+FROM ranked
+""",
+    "plan_summary": f"""
+{_PRE},
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY length(path), path, file_id) AS rn
+  FROM clus
+)
+SELECT CASE WHEN rn = 1 THEN 'keep' ELSE 'delete' END AS action,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ranked GROUP BY 1
+""",
+    "hash_variants": f"""
+WITH {SQL_FILES}
+SELECT file_id, sha256(content) AS sha256, md5(content) AS md5 FROM files
+""",
+    "hash_prefix": f"""
+WITH {SQL_FILES}
+SELECT file_id, substring(sha256(content), 1, 16) AS hash16 FROM files
+""",
+    "dedup_stats": f"""
+WITH {SQL_FILES}, {SQL_TOK}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(COUNT(DISTINCT sha256(content)) AS BIGINT) AS n_distinct_content,
+       CAST(COUNT(DISTINCT hash) AS BIGINT) AS n_distinct_tokenset,
+       CAST(COUNT(*) - COUNT(DISTINCT hash) AS BIGINT) AS n_redundant
+FROM tok
+""",
+}
+
+QUERIES = {
+    "exact_hash_clusters": q_exact_hash_clusters,
+    "exact_dup_sets": q_exact_dup_sets,
+    "tokenset_clusters": q_tokenset_clusters,
+    "dup_report": q_dup_report,
+    "size_prefilter": q_size_prefilter,
+    "filter_rules": q_filter_rules,
+    "keep_shortest": q_keep_shortest,
+    "keep_longest": q_keep_longest,
+    "preferred_lang": q_preferred_lang,
+    "rank_in_set": q_rank_in_set,
+    "folder_rollup": q_folder_rollup,
+    "missing_in_target": q_missing_in_target,
+    "cross_source_dups": q_cross_source_dups,
+    "plan_delete": q_plan_delete,
+    "plan_move": q_plan_move,
+    "plan_summary": q_plan_summary,
+    "hash_variants": q_hash_variants,
+    "hash_prefix": q_hash_prefix,
+    "dedup_stats": q_dedup_stats,
+}
