@@ -61,9 +61,40 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.select("file_id", "cluster_id", "cluster_size").orderBy("file_id")
 
 
+def _q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH buckets + exact re-rank
+    (seeded planes; probabilistic recall → rows-only check)."""
+    from dedup_spark.operators.similarity import ann_topk_rhp
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_rhp(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_planes=8, n_tables=8, dim=64
+    ).orderBy("query_id", "neighbor_id")
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (pandas-UDF kernel)."""
+    from dedup_spark.operators.textstats import with_fingerprint
+    from dedup_spark.sources.loader import documents_as_code_files
+
+    files = documents_as_code_files(spark, sf_dir)
+    return with_fingerprint(files).select("file_id", "fingerprint").orderBy("file_id")
+
+
+def _q_asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → mapInPandas metadata
+    extraction (magic sniff + deterministic fake decode)."""
+    from dedup_spark.operators.multimodal import documents_as_assets, extract_asset_meta
+
+    return extract_asset_meta(documents_as_assets(spark, sf_dir)).orderBy("asset_id")
+
+
 _ROWS_ONLY = {
     "near_dup_pairs": _q_near_dup_pairs,
     "near_dup_clusters": _q_near_dup_clusters,
+    "embedding_ann": _q_embedding_ann,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "asset_meta": _q_asset_meta,
 }
 
 

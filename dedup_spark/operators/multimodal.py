@@ -1,0 +1,145 @@
+"""Multimodal asset plumbing: opaque ``binary`` payload columns with
+typed metadata, processed through Arrow-batched ``mapInPandas``.
+
+The Spark-side contract is real and tested — schema, partition-safe
+batch iteration, UDF signatures, deterministic outputs. The actual
+media decoding (image resize, audio resample, video frame-sample)
+is STUBBED: the decode libraries are not in this container, so
+``decode_asset`` raises NotImplementedError unless ``fake=True``
+selects the deterministic fake decoder (byte-structure parsing only).
+
+Reference tie-in: the reference's media pipeline (MediaFileInfo +
+MediaMetadata, /root/reference/src/media_dedup.rs:107-133) computes
+per-file metadata then fingerprints; this module is that boundary for
+binary payloads, with the fingerprint stage handed to the engine's
+SimHash/MinHash kernels over extracted byte shingles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("kind", StringType(), False),       # image | audio | video | blob
+        StructField("payload", BinaryType(), True),      # opaque encoded bytes
+        StructField("mime", StringType(), True),
+    ]
+)
+
+META_FIELDS = [
+    StructField("asset_id", LongType(), False),
+    StructField("kind", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("magic", StringType(), True),           # first-4-bytes hex
+    StructField("byte_entropy_q", LongType(), False),   # 0-1000 quantized
+]
+META_SCHEMA = StructType(META_FIELDS)
+
+# magic-byte table (public file-format signatures)
+_MAGIC_KINDS = {
+    "89504e47": "image",  # PNG
+    "ffd8ffe0": "image",  # JPEG
+    "49443303": "audio",  # MP3/ID3
+    "1a45dfa3": "video",  # Matroska/WebM
+}
+
+
+def detect_kind_from_magic(payload: bytes | None) -> str:
+    """F6 analog (detect_media_type by magic bytes then extension,
+    /root/reference/src/media_dedup.rs:136-166): sniff the payload
+    header; unknown → 'blob'."""
+    if not payload or len(payload) < 4:
+        return "blob"
+    return _MAGIC_KINDS.get(payload[:4].hex(), "blob")
+
+
+def decode_asset(payload: bytes, kind: str, fake: bool = False) -> dict:
+    """Decode stub. Real decoders (PIL/ffmpeg/librosa) are not in this
+    container; ``fake=True`` runs the deterministic byte-structure fake
+    used by tests and the Spark plumbing."""
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires image/audio libs not present in this "
+            "environment; pass fake=True for the deterministic fake decoder"
+        )
+    hist = [0] * 16
+    for b in payload[:4096]:
+        hist[b >> 4] += 1
+    total = max(1, sum(hist))
+    # quantized Shannon-ish concentration proxy (integer math → exact
+    # cross-run determinism, no float entropy)
+    peak = max(hist)
+    return {"n_bytes": len(payload), "concentration_q": (peak * 1000) // total}
+
+
+def extract_asset_meta(assets: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """mapInPandas metadata extraction: per-partition Arrow batches in,
+    typed META_SCHEMA rows out. No collect, no per-row Python UDF."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                kind = detect_kind_from_magic(raw)
+                d = decode_asset(raw, kind, fake=True)
+                metas.append(
+                    {
+                        "asset_id": int(aid),
+                        "kind": kind,
+                        "n_bytes": d["n_bytes"],
+                        "magic": raw[:4].hex() if len(raw) >= 4 else None,
+                        "byte_entropy_q": d["concentration_q"],
+                    }
+                )
+            yield pd.DataFrame(metas, columns=[f.name for f in META_FIELDS])
+
+    return assets.mapInPandas(_extract, META_SCHEMA)
+
+
+def byte_shingles(assets: DataFrame, k: int = 8, stride: int = 4) -> DataFrame:
+    """Payload → hex byte-shingle strings for the engine's MinHash/
+    SimHash kernels (content-free near-dup over binaries). JVM path:
+    hex once, then substring shingles via transform/sequence."""
+    hexed = assets.withColumn("_hex", F.hex("payload"))
+    hk, hs = 2 * k, 2 * stride
+    shingles = F.expr(
+        f"CASE WHEN length(_hex) >= {hk} THEN "
+        f"array_distinct(transform(sequence(0, CAST((length(_hex) - {hk}) / {hs} AS INT)), "
+        f"i -> substring(_hex, i * {hs} + 1, {hk}))) ELSE array(_hex) END"
+    )
+    return hexed.select("asset_id", shingles.alias("shingles")).drop("_hex")
+
+
+def documents_as_assets(spark, sf_dir: str) -> DataFrame:
+    """Fixture adapter: documents → asset rows with payload =
+    utf-8 bytes prefixed by a deterministic per-row magic header
+    (cycles PNG/JPEG/MP3/MKV by doc_id) so kind detection and decode
+    plumbing are exercised without real media files."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    magics = list(_MAGIC_KINDS)
+    header = F.unhex(
+        F.element_at(
+            F.array(*[F.lit(m) for m in magics]),
+            (F.col("doc_id") % len(magics) + 1).cast("int"),
+        )
+    )
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("blob").alias("kind"),
+        F.concat(header, F.encode("text", "utf-8")).alias("payload"),
+        F.lit(None).cast("string").alias("mime"),
+    )

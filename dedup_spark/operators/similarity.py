@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, same results contract:
+
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small)
+  query set against the full corpus, JVM-side dot product via
+  zip_with/aggregate (sequential left-fold in double → bit-identical
+  to a sequential oracle), window top-k. The per-query cost is one
+  scan; right for query sets ≪ corpus.
+- ``ann_topk_rhp`` — the scale path: random-hyperplane LSH buckets
+  (sign bits of projections onto seeded Gaussian planes). Candidates
+  are bucket-mates under any of ``n_tables`` independent sign
+  prefixes; exact cosine re-rank on candidates only. Recall is tuned
+  by (n_planes, n_tables); at 100 TB this is the difference between a
+  full cross join and a bucket-local one.
+
+Also n-gram Jaccard near-dup detection over text (exact, JVM-side
+shingle self-join — the non-probabilistic little sibling of MinHash):
+``ngram_jaccard_pairs``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold double dot product (deterministic IEEE)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query row.
+
+    Returns (query_id, neighbor_id, cos) — cos rounded to 3 dp for
+    cross-engine value comparison; ORDERING uses the full-precision
+    value with neighbor_id tie-break.
+    """
+    c = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    pairs = pairs.withColumn("_cos", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 3).alias("cos3"))
+    )
+
+
+def rhp_bucket_keys(
+    df: DataFrame,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(table_id, bucket) keys per row: bucket = sign-bit string of the
+    projections onto that table's seeded Gaussian planes. Deterministic
+    (seeded numpy, planes shipped as literals)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    keys = []
+    for t in range(n_tables):
+        bits = [
+            F.when(_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in planes[t, p]])) >= 0, "1").otherwise("0")
+            for p in range(n_planes)
+        ]
+        keys.append(F.struct(F.lit(t).alias("table_id"), F.concat(*bits).alias("bucket")))
+    return df.select("*", F.explode(F.array(*keys)).alias("_k")).select(
+        "*", F.col("_k.table_id").alias("table_id"), F.col("_k.bucket").alias("bucket")
+    ).drop("_k")
+
+
+def ann_topk_rhp(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket-join candidates (any shared table
+    bucket), exact cosine re-rank. Same output shape as cosine_topk."""
+    ckeys = rhp_bucket_keys(with_norm(emb, vec_col), n_planes, n_tables, dim, seed, vec_col)
+    qkeys = rhp_bucket_keys(with_norm(queries, vec_col), n_planes, n_tables, dim, seed, vec_col)
+    c = ckeys.select(
+        "table_id", "bucket",
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), F.col("_norm").alias("_cn"),
+    )
+    q = qkeys.select(
+        "table_id", "bucket",
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), F.col("_norm").alias("_qn"),
+    )
+    cand = (
+        q.join(c, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cand = cand.withColumn("_cos", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 3).alias("cos3"))
+    )
+
+
+# ---- exact n-gram Jaccard near-dup pairs ---------------------------------
+
+def ngram_shingles(tok_col: str = "t", n: int = 3) -> Column:
+    """Distinct word n-grams of a token-array column, JVM-side.
+    Docs with fewer than n tokens yield no shingles (sequence() would
+    count DOWN for a negative span — guard it)."""
+    spans = ", ".join(f"{tok_col}[i+{j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({tok_col}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({tok_col}) - {n}), "
+        f"i -> concat_ws(' ', {spans}))) "
+        f"ELSE array() END"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "file_id",
+    col: str = "content",
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams via shingle self-join:
+    explode → equi-join on shingle → |A∩B| per pair → J =
+    |A∩B|/(|A|+|B|-|A∩B|) ≥ threshold. Entirely JVM-side; the join key
+    is the shingle string (skew-prone shingles are the same ones LSH
+    salts for — AQE skew-join handles residual heat here).
+    """
+    toks = df.select(F.col(id_col), F.split(F.trim(F.col(col)), r"\s+").alias("t"))
+    sh = toks.select(id_col, F.explode(ngram_shingles("t", n)).alias("s")).filter(
+        F.length("s") > 0
+    )
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("jaccard", F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

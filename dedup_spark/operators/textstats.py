@@ -1,0 +1,172 @@
+"""Text-analysis operators for training-data curation: quality
+scoring, token counting, language identification, document
+fingerprinting.
+
+All hot-path expressions are JVM built-ins (whole-stage codegen); only
+the rolling-hash fingerprint is a pandas UDF (vectorized, Arrow
+batches). Everything except the fingerprint is SQL-mirrorable for the
+DuckDB oracle (queries.py keeps the mirrors).
+
+Reference tie-in: these generalize the reference's per-file metadata
+extraction (H8, /root/reference/src/media_dedup.rs:294-327 — width/
+height/duration as ranking features) to text-corpus features used by
+keep-policies and filtering.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+# Frozen marker-token lists for the n-gram/stopword language heuristic.
+# Deterministic tie order: first list in LANG_MARKERS order wins.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "es": ("el", "la", "los", "de", "que", "y", "un"),
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "fr": ("le", "les", "des", "et", "une", "est"),
+}
+
+EN_STOPWORDS = (
+    "the", "and", "of", "to", "in", "is", "a", "for", "on", "with",
+    "as", "at", "by", "it", "or", "be", "this", "that", "are", "an",
+)
+
+_WS = r"\s+"
+_PUNCT_CLASS = "[^a-zA-Z0-9\\s]"
+
+
+def tokens(col: str = "content") -> Column:
+    """Whitespace tokens of the trimmed text; empty text → empty array
+    (split('') yields [''] otherwise — pinned here once for every
+    downstream token op)."""
+    c = F.trim(F.col(col))
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, _WS)
+    )
+
+
+def n_tokens(col: str = "content") -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def _char_class_count(col: str, pattern: str) -> Column:
+    """Occurrences of a 1-char class — length delta after global removal
+    (identical semantics in DuckDB's regexp_replace(...,'g'))."""
+    return (F.length(F.col(col)) - F.length(F.regexp_replace(F.col(col), pattern, ""))).cast(
+        "long"
+    )
+
+
+def with_text_stats(df: DataFrame, col: str = "content") -> DataFrame:
+    """Quality features per document. Ratios are rounded to 6 dp (the
+    cross-engine comparison contract; full precision is meaningless for
+    quality gates anyway)."""
+    toks = tokens(col)
+    nt = F.size(toks).cast("long")
+    nc = F.length(col).cast("long")
+    n_punct = _char_class_count(col, _PUNCT_CLASS)
+    n_upper = _char_class_count(col, "[A-Z]")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))).cast("long")
+    safe_nt = F.when(nt > 0, nt).otherwise(F.lit(1))
+    safe_nc = F.when(nc > 0, nc).otherwise(F.lit(1))
+    return (
+        df.withColumn("n_tokens", nt)
+        .withColumn("n_chars_c", nc)
+        .withColumn("punct_ratio", F.round(n_punct / safe_nc, 6))
+        .withColumn("upper_ratio", F.round(n_upper / safe_nc, 6))
+        .withColumn("stopword_ratio", F.round(n_stop / safe_nt, 6))
+        .withColumn("avg_token_len", F.round((nc - (nt - 1)) / safe_nt, 6))
+    )
+
+
+def quality_flag(
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.3,
+) -> Column:
+    """Boolean gate over with_text_stats output — the curation filter."""
+    return (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    )
+
+
+def marker_score(lang: str, col: str = "content") -> Column:
+    """Occurrence count of the language's marker tokens."""
+    markers = list(LANG_MARKERS[lang])
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*markers))).cast("long")
+
+
+def with_language_id(df: DataFrame, col: str = "content") -> DataFrame:
+    """Marker-token language heuristic: argmax over LANG_MARKERS scores,
+    ties broken by LANG_MARKERS order, all-zero → 'unknown'. CJK text
+    short-circuits on any Han codepoint."""
+    scores = {lang: marker_score(lang, col) for lang in LANG_MARKERS}
+    out = df
+    for lang, s in scores.items():
+        out = out.withColumn(f"score_{lang}", s)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(F.col(col).rlike("[\\u4e00-\\u9fff]"), F.lit("zh")).when(
+        best == 0, F.lit("unknown")
+    )
+    for lang in LANG_MARKERS:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return out.withColumn("lang_pred", pred)
+
+
+def token_count_rollup(df: DataFrame, group_col: str = "repo") -> DataFrame:
+    """Corpus token accounting per group (the 'how many tokens am I
+    training on' query)."""
+    return (
+        df.withColumn("n_tokens", n_tokens())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+# ---- rolling-hash fingerprint (pandas UDF — rows-only oracle) ------------
+
+FNV_OFFSET = 0xCBF29CE484222325
+FNV_PRIME = 0x100000001B3
+_MASK = (1 << 64) - 1
+
+
+def rolling_fingerprint_py(text: str, window: int = 8) -> int:
+    """64-bit document fingerprint: FNV-1a over each ``window``-token
+    span, XOR-combined (order-insensitive across spans, order-sensitive
+    within — robust to block moves, cheap, deterministic)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    spans = [toks[i : i + window] for i in range(0, max(1, len(toks) - window + 1))]
+    acc = 0
+    for span in spans:
+        h = FNV_OFFSET
+        for t in span:
+            for b in t.encode("utf-8"):
+                h = ((h ^ b) * FNV_PRIME) & _MASK
+            h = ((h ^ 0x1F) * FNV_PRIME) & _MASK  # token boundary byte
+        acc ^= h
+    return acc - (1 << 64) if acc >= (1 << 63) else acc  # signed long
+
+
+def make_fingerprint_udf(window: int = 8):
+    @pandas_udf(LongType())
+    def fp_udf(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(lambda t: rolling_fingerprint_py(t, window))
+
+    return fp_udf
+
+
+def with_fingerprint(df: DataFrame, col: str = "content", window: int = 8) -> DataFrame:
+    return df.withColumn("fingerprint", make_fingerprint_udf(window)(F.col(col)))

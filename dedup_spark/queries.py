@@ -51,7 +51,7 @@ def tokenset_hash(col: str = "content"):
     )
 
 # DuckDB mirror of the documents → input_hint mapping (loader.py
-# documents_as_code_files) and of TOKENSET_HASH.
+# documents_as_code_files) and of tokenset_hash.
 SQL_FILES = """
 files AS (
   SELECT CAST(doc_id AS BIGINT)                      AS file_id,
@@ -241,7 +241,7 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level dedup summary: file counts vs distinct contents vs
     distinct token sets."""
     f = _files(spark, sf_dir).withColumn("sha", F.sha2("content", 256)).withColumn(
-        "tok", TOKENSET_HASH
+        "tok", tokenset_hash()
     )
     return f.agg(
         F.count(F.lit(1)).alias("n_files"),
@@ -251,7 +251,159 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (textstats / similarity)
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + gate per document (curation filter)."""
+    from dedup_spark.operators.textstats import quality_flag, with_text_stats
+
+    out = with_text_stats(_files(spark, sf_dir)).withColumn("is_quality", quality_flag())
+    return out.select(
+        "file_id", "n_tokens", "punct_ratio", "upper_ratio",
+        "stopword_ratio", "avg_token_len", "is_quality",
+    )
+
+
+def q_token_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per repo."""
+    from dedup_spark.operators.textstats import token_count_rollup
+
+    return token_count_rollup(_files(spark, sf_dir), "repo").select(
+        "repo", "n_docs", "total_tokens", "avg_tokens", "max_tokens"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic."""
+    from dedup_spark.operators.textstats import with_language_id
+
+    return with_language_id(_files(spark, sf_dir)).select("file_id", "lang_pred")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (shingle self-join)."""
+    from dedup_spark.operators.similarity import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_files(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 20 query vectors."""
+    from dedup_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+_STOPWORDS_SQL = "['the','and','of','to','in','is','a','for','on','with','as','at','by','it','or','be','this','that','are','an']"
+
+SQL_TOKS = r"""
+toksn AS (
+  SELECT *,
+         CASE WHEN length(trim(content)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(content), '\s+') END AS toks,
+         CAST(length(content) AS BIGINT) AS nc
+  FROM files
+),
+stats AS (
+  SELECT *,
+         CAST(len(toks) AS BIGINT) AS nt,
+         nc - CAST(length(regexp_replace(content, '[^a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+         nc - CAST(length(regexp_replace(content, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+         CAST(len(list_filter(toks, t -> list_contains(%s, t))) AS BIGINT) AS n_stop
+  FROM toksn
+)
+""" % _STOPWORDS_SQL
+
+
 ORACLE: dict[str, str] = {
+    "text_quality": f"""
+WITH {SQL_FILES}, {SQL_TOKS}
+SELECT file_id, nt AS n_tokens,
+       round(n_punct / greatest(nc, 1), 6) AS punct_ratio,
+       round(n_upper / greatest(nc, 1), 6) AS upper_ratio,
+       round(n_stop / greatest(nt, 1), 6) AS stopword_ratio,
+       round((nc - (nt - 1)) / greatest(nt, 1), 6) AS avg_token_len,
+       (nt >= 5 AND nt <= 100000
+        AND round(n_punct / greatest(nc, 1), 6) <= 0.3) AS is_quality
+FROM stats
+""",
+    "token_rollup": f"""
+WITH {SQL_FILES}, {SQL_TOKS}
+SELECT repo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+       round(AVG(len(toks)), 6) AS avg_tokens,
+       CAST(MAX(len(toks)) AS BIGINT) AS max_tokens
+FROM toksn GROUP BY repo
+""",
+    "lang_id": f"""
+WITH {SQL_FILES},
+t AS (
+  SELECT file_id, content,
+         CASE WHEN length(trim(content)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(content), '\\s+') END AS toks
+  FROM files
+),
+s AS (
+  SELECT file_id, content,
+    len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','a'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['el','la','los','de','que','y','un'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['le','les','des','et','une','est'], x))) AS s_fr
+  FROM t
+)
+SELECT file_id,
+  CASE WHEN regexp_matches(content, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+       WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown'
+       WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+       WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM s
+""",
+    "ngram_jaccard": f"""
+WITH {SQL_FILES},
+t AS (
+  SELECT file_id,
+         CASE WHEN length(trim(content)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(content), '\\s+') END AS toks
+  FROM files
+),
+sh AS (
+  SELECT file_id,
+         UNNEST(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                               FOR i IN range(1, len(toks) - 1)])) AS s
+  FROM t WHERE len(toks) >= 3
+),
+counts AS (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY file_id),
+shared AS (
+  SELECT a.file_id AS id_a, b.file_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.file_id < b.file_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(shared / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
+FROM shared
+JOIN counts ca ON ca.file_id = id_a
+JOIN counts cb ON cb.file_id = id_b
+WHERE round(shared / (ca.n_sh + cb.n_sh - shared), 6) >= 0.5
+""",
+    "embedding_topk": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
+p AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qv, c.v) / (qn * c.nrm) AS cs
+  FROM q JOIN n c ON c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(cs, 3) AS cos3
+FROM p
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) <= 5
+""",
     "exact_hash_clusters": f"""
 WITH {SQL_FILES}
 SELECT file_id, sha256(content) AS hash,
@@ -411,6 +563,11 @@ FROM tok
 }
 
 QUERIES = {
+    "text_quality": q_text_quality,
+    "token_rollup": q_token_rollup,
+    "lang_id": q_lang_id,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_topk": q_embedding_topk,
     "exact_hash_clusters": q_exact_hash_clusters,
     "exact_dup_sets": q_exact_dup_sets,
     "tokenset_clusters": q_tokenset_clusters,

@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import pytest
+
+from dedup_spark.operators.multimodal import (
+    ASSET_SCHEMA,
+    byte_shingles,
+    decode_asset,
+    detect_kind_from_magic,
+    documents_as_assets,
+    extract_asset_meta,
+)
+
+PNG = bytes.fromhex("89504e47") + b"fakepngdata"
+MP3 = bytes.fromhex("49443303") + b"fakemp3data"
+
+
+def _assets(spark):
+    rows = [(1, "blob", PNG, None), (2, "blob", MP3, None), (3, "blob", b"xy", None)]
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def test_detect_kind():
+    assert detect_kind_from_magic(PNG) == "image"
+    assert detect_kind_from_magic(MP3) == "audio"
+    assert detect_kind_from_magic(b"no") == "blob"
+    assert detect_kind_from_magic(None) == "blob"
+
+
+def test_decode_stub_gated():
+    with pytest.raises(NotImplementedError):
+        decode_asset(PNG, "image")
+    d = decode_asset(PNG, "image", fake=True)
+    assert d["n_bytes"] == len(PNG)
+    assert 0 <= d["concentration_q"] <= 1000
+
+
+def test_extract_asset_meta(spark):
+    out = {r["asset_id"]: r for r in extract_asset_meta(_assets(spark)).collect()}
+    assert out[1]["kind"] == "image"
+    assert out[2]["kind"] == "audio"
+    assert out[3]["kind"] == "blob"
+    assert out[1]["n_bytes"] == len(PNG)
+    assert out[1]["magic"] == "89504e47"
+    assert out[3]["magic"] is None
+
+
+def test_extract_meta_deterministic(spark):
+    a = extract_asset_meta(_assets(spark)).collect()
+    b = extract_asset_meta(_assets(spark)).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_byte_shingles(spark):
+    out = {r["asset_id"]: r["shingles"] for r in byte_shingles(_assets(spark), k=4, stride=2).collect()}
+    # 4-byte shingles as 8-hex-char strings, stride 2 bytes
+    assert all(len(s) == 8 for s in out[1])
+    assert out[1][0] == "89504E47"
+    # short payload → single whole-payload shingle
+    assert out[3] == ["7879"]
+
+
+def test_documents_as_assets(spark):
+    assets = documents_as_assets(spark, "/root/testdata/sf0.001")
+    assert assets.schema.fieldNames() == ["asset_id", "kind", "payload", "mime"]
+    meta = extract_asset_meta(assets.limit(8))
+    kinds = {r["kind"] for r in meta.collect()}
+    assert kinds <= {"image", "audio", "video", "blob"}
+    assert len(kinds) >= 3  # header cycling exercises several kinds

@@ -1,0 +1,88 @@
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.operators.similarity import (
+    ann_topk_rhp,
+    cosine_topk,
+    ngram_jaccard_pairs,
+    ngram_shingles,
+)
+
+
+def _emb_df(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [[1, 0, 0], [0.9, 0.1, 0], [0, 1, 0], [-1, 0, 0]]
+    df = _emb_df(spark, vecs)
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    exp = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(out[0]["cos3"] - round(exp, 3)) < 1e-9
+
+
+def test_cosine_topk_excludes_self_and_ties_break_by_id(spark):
+    vecs = [[1, 0], [1, 0], [1, 0]]
+    df = _emb_df(spark, vecs)
+    out = cosine_topk(df, df, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert by_q[0] == [1, 2]
+    assert by_q[1] == [0, 2]
+
+
+def test_ann_recall_against_exact(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    # plant near-duplicates of the first 5 vectors
+    vecs = np.vstack([base, base[:5] + 0.05 * rng.standard_normal((5, 16))])
+    df = _emb_df(spark, vecs)
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, queries, k=1).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_rhp(df, queries, k=1, n_planes=6, n_tables=8, dim=16).collect()
+    }
+    # planted twins are near-identical → every table agrees → full recall
+    assert exact == {(q, q + 40) for q in range(5)}
+    assert ann >= exact
+
+
+def test_ngram_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",)], "content string").select(
+        F.split("content", " ").alias("t")
+    )
+    assert df.select(ngram_shingles("t", 3).alias("s")).first()["s"] == []
+
+
+def test_ngram_jaccard_pairs(spark):
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6"),
+        (2, "w1 w2 w3 w4 w5 w6"),      # identical → J=1
+        (3, "w1 w2 w3 w4 zz yy"),      # shares shingles w/ 1: {123,234} of 4∪4
+        (4, "a b c d e f"),            # disjoint
+    ]
+    df = spark.createDataFrame(rows, "file_id long, content string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()}
+    assert got[(1, 2)] == 1.0
+    assert abs(got[(1, 3)] - round(2 / 6, 6)) < 1e-9
+    assert (1, 4) not in got
+    assert (3, 4) not in got
+
+
+def test_ngram_jaccard_threshold(spark):
+    rows = [(1, "w1 w2 w3 w4 zz yy"), (2, "w1 w2 w3 w4 qq pp")]
+    df = spark.createDataFrame(rows, "file_id long, content string")
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.5).count() == 0
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.3).count() == 1

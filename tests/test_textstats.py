@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dedup_spark.operators.textstats import (
+    quality_flag,
+    rolling_fingerprint_py,
+    token_count_rollup,
+    with_fingerprint,
+    with_language_id,
+    with_text_stats,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "repo string, content string")
+
+
+def test_text_stats_basic(spark):
+    df = _df(spark, [("r", "The quick brown fox, it jumps!")])
+    row = with_text_stats(df).first()
+    assert row["n_tokens"] == 6
+    assert row["n_chars_c"] == 30
+    # punct: ',' '!' → 2/30
+    assert abs(row["punct_ratio"] - round(2 / 30, 6)) < 1e-9
+    # upper: 'T' → 1/30
+    assert abs(row["upper_ratio"] - round(1 / 30, 6)) < 1e-9
+
+
+def test_text_stats_empty_and_whitespace(spark):
+    df = _df(spark, [("r", ""), ("r", "   ")])
+    rows = with_text_stats(df).collect()
+    for row in rows:
+        assert row["n_tokens"] == 0
+        assert row["stopword_ratio"] == 0.0
+
+
+def test_stopword_ratio(spark):
+    df = _df(spark, [("r", "the cat and the dog")])
+    row = with_text_stats(df).first()
+    assert abs(row["stopword_ratio"] - round(3 / 5, 6)) < 1e-9
+
+
+def test_quality_flag(spark):
+    df = _df(spark, [("ok", "one two three four five six seven"), ("short", "hi")])
+    out = with_text_stats(df).withColumn("q", quality_flag(min_tokens=5))
+    got = {r["repo"]: r["q"] for r in out.collect()}
+    assert got == {"ok": True, "short": False}
+
+
+def test_language_id(spark):
+    df = _df(
+        spark,
+        [
+            ("en", "the cat is in the house and it is warm"),
+            ("es", "el perro y la casa de que un gato"),
+            ("de", "der hund und die katze das ist nicht gut"),
+            ("zh", "你好 world"),
+            ("unk", "zzz qqq www"),
+        ],
+    )
+    got = {r["repo"]: r["lang_pred"] for r in with_language_id(df).collect()}
+    assert got == {"en": "en", "es": "es", "de": "de", "zh": "zh", "unk": "unknown"}
+
+
+def test_language_id_tie_breaks_by_marker_order(spark):
+    # 'la' is es AND fr marker; equal scores → first in LANG_MARKERS order (es)
+    df = _df(spark, [("tie", "la la")])
+    assert with_language_id(df).first()["lang_pred"] == "es"
+
+
+def test_token_count_rollup(spark):
+    df = _df(spark, [("a", "x y z"), ("a", "x y"), ("b", "one")])
+    got = {r["repo"]: r for r in token_count_rollup(df).collect()}
+    assert got["a"]["n_docs"] == 2
+    assert got["a"]["total_tokens"] == 5
+    assert got["b"]["max_tokens"] == 1
+
+
+def test_fingerprint_deterministic_and_move_robust(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # same 8-token spans XORed → block swap of full windows beyond span
+    assert rolling_fingerprint_py(a) == rolling_fingerprint_py(a)
+    assert rolling_fingerprint_py("") == 0
+    assert rolling_fingerprint_py(a) != rolling_fingerprint_py(a + " extra")
+    df = _df(spark, [("r", a)])
+    assert with_fingerprint(df).first()["fingerprint"] == rolling_fingerprint_py(a)
+
+
+def test_fingerprint_udf_matches_python(spark):
+    texts = ["one two three", "", "the quick brown fox jumps over the lazy dog again"]
+    df = _df(spark, [(str(i), t) for i, t in enumerate(texts)])
+    got = {r["repo"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[str(i)] == rolling_fingerprint_py(t)
