@@ -149,6 +149,53 @@ class MinHasher:
         return float(np.mean(np.asarray(sig_a) == np.asarray(sig_b)))
 
 
+def batch_minhash_simhash(
+    shingle_arrays: list[np.ndarray], hasher: "MinHasher", chunk_shingles: int = 65536
+) -> tuple[list, list]:
+    """Batch kernel: MinHash + SimHash for a whole Arrow batch of
+    documents in a handful of numpy calls (segment reductions over the
+    concatenated shingle sets) instead of ~10 small calls per doc —
+    the per-doc dispatch overhead dominates at ~250 shingles/doc.
+
+    Returns (minhash_sigs, simhashes) aligned with the input; empty
+    shingle sets yield (None, None). Results are bit-identical to the
+    per-doc ``MinHasher.signature`` / ``simhash64`` path (asserted in
+    tests).
+    """
+    n_docs = len(shingle_arrays)
+    sigs: list = [None] * n_docs
+    sims: list = [None] * n_docs
+    lens = np.array([s.shape[0] for s in shingle_arrays], dtype=np.int64)
+    nonempty = np.flatnonzero(lens > 0)
+    if nonempty.shape[0] == 0:
+        return sigs, sims
+    a, b = hasher.a, hasher.b
+    # chunk docs so the (n_perm × shingles) matrix stays cache-friendly
+    i = 0
+    while i < nonempty.shape[0]:
+        j = i
+        total = 0
+        while j < nonempty.shape[0] and (total == 0 or total + lens[nonempty[j]] <= chunk_shingles):
+            total += lens[nonempty[j]]
+            j += 1
+        docs = nonempty[i:j]
+        cat = np.concatenate([shingle_arrays[d] for d in docs])
+        seg_lens = lens[docs]
+        starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+        with np.errstate(over="ignore"):
+            h = (a[:, None] * cat[None, :] + b[:, None]) >> np.uint64(33)
+        mins = np.minimum.reduceat(h, starts, axis=1).astype(np.int32)  # (n_perm, docs)
+        bits = np.unpackbits(cat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        counts = np.add.reduceat(bits, starts, axis=0)  # (docs, 64)
+        maj = (counts * 2 > seg_lens[:, None]).astype(np.uint8)
+        packed = np.packbits(maj, axis=1, bitorder="little").view(np.int64).ravel()
+        for idx, d in enumerate(docs):
+            sigs[d] = mins[:, idx]
+            sims[d] = int(packed[idx])
+        i = j
+    return sigs, sims
+
+
 def simhash64(shingles: np.ndarray) -> int | None:
     """64-bit SimHash via bit-majority over the distinct shingle set.
     Returned as signed int64 (Spark LongType). None for empty sets.

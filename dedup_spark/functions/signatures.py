@@ -48,18 +48,20 @@ def make_signature_udf(config: DedupConfig):
 
     @pandas_udf(SIGNATURE_SCHEMA)
     def signature_udf(content: pd.Series) -> pd.DataFrame:
+        from dedup_spark.functions.shingles import batch_minhash_simhash
+
         hasher = state.get("h")
         if hasher is None:
             hasher = state["h"] = MinHasher(n)
-        minhashes, simhashes, counts = [], [], []
-        for text in content:
-            sh = shingle_set(text or "", k, unit, norm)
-            counts.append(sh.shape[0])
-            sig = hasher.signature(sh)
-            minhashes.append(None if sig is None else sig.tolist())
-            simhashes.append(simhash64(sh))
+        shingle_arrays = [shingle_set(text or "", k, unit, norm) for text in content]
+        counts = [sh.shape[0] for sh in shingle_arrays]
+        sigs, sims = batch_minhash_simhash(shingle_arrays, hasher)
         return pd.DataFrame(
-            {"minhash": minhashes, "simhash": simhashes, "n_shingles": counts}
+            {
+                "minhash": [None if s is None else s.tolist() for s in sigs],
+                "simhash": sims,
+                "n_shingles": counts,
+            }
         )
 
     return signature_udf

@@ -62,6 +62,7 @@ def pairs_from_keys(
     key_cols: list[str],
     cap: int,
     id_col: str = "file_id",
+    dedupe: bool = True,
 ) -> DataFrame:
     """Generic bucket→pairs expansion shared by LSH and SimHash probing.
 
@@ -80,9 +81,12 @@ def pairs_from_keys(
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
-    return pairs
+    # callers that union several candidate sources dedupe ONCE at the
+    # union (dedupe=False) — near-identical docs collide in most bands,
+    # so an inner distinct here would shuffle the same inflated pair
+    # set a second time for nothing.
+    return pairs.distinct() if dedupe else pairs
 
 
 def oversize_buckets(keys: DataFrame, key_cols: list[str], cap: int, id_col: str = "file_id") -> DataFrame:
@@ -94,7 +98,12 @@ def oversize_buckets(keys: DataFrame, key_cols: list[str], cap: int, id_col: str
     )
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, config: DedupConfig, id_col: str = "file_id") -> DataFrame:
-    """MinHash-LSH candidate pairs: distinct (id_a, id_b)."""
+def lsh_candidate_pairs(
+    sig_df: DataFrame, config: DedupConfig, id_col: str = "file_id", dedupe: bool = True
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: (id_a, id_b), distinct unless the
+    caller dedupes at a downstream union."""
     keys = band_keys(sig_df, config, id_col)
-    return pairs_from_keys(keys, ["band_id", "band_hash"], config.band_bucket_cap, id_col)
+    return pairs_from_keys(
+        keys, ["band_id", "band_hash"], config.band_bucket_cap, id_col, dedupe=dedupe
+    )

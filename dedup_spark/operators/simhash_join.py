@@ -3,14 +3,26 @@
 The reference's media matcher compares 64-bit perceptual hashes with a
 Hamming-distance threshold: similarity = (64-d)/64, default 90% ⇔ d ≤ 6
 (/root/reference/src/media_dedup.rs:354-377). Comparing all pairs is
-O(n²); the scale rewrite (north_rule "64-bit SimHash with Hamming-ball
-probing"): split the 64-bit hash into ``simhash_blocks`` equal blocks —
-by pigeonhole, two hashes within distance d share at least one exact
-block whenever blocks > d. With the default 8 blocks × 8 bits, every
-pair within radius ≤ 7 collides on some (block_id, block_value) key, so
-radius 6 probing is exact (recall 1.0 by construction, before bucket
-caps). Verification is a JVM-side ``bit_count(xor) <= radius`` filter in
-whole-stage codegen.
+O(n²); the scale rewrite is **multi-index Hamming probing** (the
+HmSearch / multi-index-hashing construction):
+
+- split the 64-bit hash into ``simhash_blocks`` equal blocks (default
+  4 × 16 bits);
+- by pigeonhole, two hashes within distance d have some block with
+  ≤ floor(d / blocks) errors — for d ≤ 2·blocks − 1, some block with
+  ≤ 1 error (d=6, blocks=4 qualifies);
+- index side emits each block's exact value; probe side emits the
+  exact value plus all ``width`` one-bit flips → every pair within
+  the radius collides on an equi-join key, with a 2^16 value space
+  per block instead of 2^8 (the naive exact-block scheme's bucket
+  sizes grow O(n/2^width) — at 10^5+ rows, 8-bit blocks degenerate
+  into a quadratic pair explosion; 16-bit blocks with 1-flip probing
+  keep buckets O(1)).
+- exact ``bit_count(xor) ≤ radius`` verification in whole-stage
+  codegen prunes the ball down to true matches.
+
+Recall is 1.0 by construction (before frequency caps): probing is a
+covering design, not a sketch.
 """
 
 from __future__ import annotations
@@ -20,43 +32,96 @@ from pyspark.sql import functions as F
 
 from dedup_spark.config import DedupConfig
 from dedup_spark.functions.signatures import hamming_distance64
-from dedup_spark.operators.lsh import pairs_from_keys
+
+
+def _block_val(i: int, width: int):
+    mask = (1 << width) - 1
+    return F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
 
 
 def simhash_block_keys(df: DataFrame, config: DedupConfig, id_col: str = "file_id") -> DataFrame:
-    """Explode each simhash into (block_id, block_val) probe keys."""
+    """Index-side keys: (block_id, block_val) — exact block values."""
     nblocks = config.simhash_blocks
     width = config.simhash_bits // nblocks
-    mask = (1 << width) - 1
     blocks = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("block_id"),
-                F.shiftrightunsigned(F.col("simhash"), i * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("block_val"),
-            )
+            F.struct(F.lit(i).alias("block_id"), _block_val(i, width).alias("block_val"))
             for i in range(nblocks)
         ]
     )
     return (
         df.filter(F.col("simhash").isNotNull())
         .select(id_col, F.explode(blocks).alias("blk"))
-        .select(id_col, F.col("blk.block_id").alias("block_id"), F.col("blk.block_val").alias("block_val"))
+        .select(
+            id_col,
+            F.col("blk.block_id").alias("block_id"),
+            F.col("blk.block_val").alias("block_val"),
+        )
+    )
+
+
+def simhash_probe_keys(df: DataFrame, config: DedupConfig, id_col: str = "file_id") -> DataFrame:
+    """Probe-side keys: each block's exact value plus all one-bit
+    flips (width+1 keys per block)."""
+    nblocks = config.simhash_blocks
+    width = config.simhash_bits // nblocks
+    blocks = []
+    for i in range(nblocks):
+        val = _block_val(i, width)
+        blocks.append(F.struct(F.lit(i).alias("block_id"), val.alias("block_val")))
+        for j in range(width):
+            blocks.append(
+                F.struct(
+                    F.lit(i).alias("block_id"),
+                    val.bitwiseXOR(F.lit(1 << j)).alias("block_val"),
+                )
+            )
+    return (
+        df.filter(F.col("simhash").isNotNull())
+        .select(id_col, F.explode(F.array(*blocks)).alias("blk"))
+        .select(
+            id_col,
+            F.col("blk.block_id").alias("block_id"),
+            F.col("blk.block_val").alias("block_val"),
+        )
     )
 
 
 def simhash_candidate_pairs(
     sig_df: DataFrame, config: DedupConfig, id_col: str = "file_id"
 ) -> DataFrame:
-    """Distinct (id_a, id_b) pairs within Hamming radius of each other.
+    """Distinct (id_a, id_b, hamming) pairs within the Hamming radius.
 
-    Probe-key collision generates candidates; the exact Hamming filter
-    verifies. Requires sig_df[id_col, simhash].
+    probe(a) ⋈ index(b) equi-join on (block_id, block_val); hot index
+    values above ``band_bucket_cap`` are dropped (skew guard — counted
+    by oversize metrics upstream, mirroring the LSH cap); exact
+    Hamming filter verifies. Covers radius ≤ 2·blocks − 1 ≥ configured
+    radius (checked).
     """
-    keys = simhash_block_keys(sig_df, config, id_col)
-    cand = pairs_from_keys(keys, ["block_id", "block_val"], config.band_bucket_cap, id_col)
+    nblocks = config.simhash_blocks
+    if config.simhash_radius > 2 * nblocks - 1:
+        raise ValueError(
+            f"one-flip probing with {nblocks} blocks covers radius "
+            f"<= {2 * nblocks - 1}, below configured {config.simhash_radius}"
+        )
     sig = sig_df.select(F.col(id_col), F.col("simhash"))
+    index = simhash_block_keys(sig, config, id_col)
+    # frequency cap on hot block values (AQE skew-join handles residuals)
+    hot = (
+        index.groupBy("block_id", "block_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > config.band_bucket_cap)
+        .select("block_id", "block_val")
+    )
+    index = index.join(F.broadcast(hot), ["block_id", "block_val"], "left_anti")
+    probe = simhash_probe_keys(sig, config, id_col)
+    cand = (
+        probe.withColumnsRenamed({id_col: "id_a"})
+        .join(index.withColumnsRenamed({id_col: "id_b"}), ["block_id", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     out = (
         cand.join(sig.withColumnsRenamed({id_col: "id_a", "simhash": "simhash_a"}), "id_a")
         .join(sig.withColumnsRenamed({id_col: "id_b", "simhash": "simhash_b"}), "id_b")

@@ -26,13 +26,21 @@ from dedup_spark.functions.signatures import minhash_agreement
 _VERIFY_SCHEMA = StructType(
     [
         StructField("jaccard", DoubleType(), False),
-        StructField("containment", DoubleType(), False),
+        StructField("containment", DoubleType(), True),
     ]
 )
 
 
 def make_content_verify_udf(config: DedupConfig):
+    """Exact shingle Jaccard always; suffix-automaton LCS containment
+    only for pairs Jaccard does NOT already admit (containment pairs —
+    truncated/extended copies — carry low Jaccard but LCS ≈ 1.0; pairs
+    above the similarity threshold pass regardless, so the O(len)
+    Python automaton is skipped for them — it is the most expensive
+    kernel in the pipeline). Skipped rows emit containment = null.
+    """
     k, unit, norm = config.shingle_k, config.shingle_unit, config.normalize
+    threshold = config.similarity_threshold
 
     @pandas_udf(_VERIFY_SCHEMA)
     def verify_udf(content_a: pd.Series, content_b: pd.Series) -> pd.DataFrame:
@@ -43,8 +51,9 @@ def make_content_verify_udf(config: DedupConfig):
         for a, b in zip(content_a, content_b):
             a = a or ""
             b = b or ""
-            jac.append(exact_jaccard(a, b, k, unit, norm))
-            cont.append(containment_score(a, b))
+            j = exact_jaccard(a, b, k, unit, norm)
+            jac.append(j)
+            cont.append(None if j >= threshold else containment_score(a, b))
         return pd.DataFrame({"jaccard": jac, "containment": cont})
 
     return verify_udf
@@ -69,6 +78,7 @@ def verify_pairs(
     config: DedupConfig,
     id_col: str = "file_id",
     with_content: bool | None = None,
+    content_df: DataFrame | None = None,
 ) -> DataFrame:
     """Score candidate pairs and keep those passing the similarity gate.
 
@@ -77,11 +87,18 @@ def verify_pairs(
     verification ran, else the MinHash estimate. A pair passes when
     ``sim >= similarity_threshold`` OR (containment pass)
     ``containment >= containment_threshold``.
+
+    ``content_df`` (id_col, content) lets callers keep ``content`` OUT
+    of the signature frame (and out of every window/checkpoint
+    upstream): the ~KB content column is joined in here, only for pairs
+    that survive the cheap signature prune — at corpus scale that is
+    the difference between shuffling every document's body through the
+    pipeline and shuffling ~the candidate set's. Defaults to ``sig_df``
+    (which then must carry ``content``).
     """
     if with_content is None:
         with_content = config.verify_with_content
-    cols = ["minhash", "simhash"] + (["content"] if with_content else [])
-    joined = attach_pair_signatures(pairs, sig_df, cols, id_col)
+    joined = attach_pair_signatures(pairs, sig_df, ["minhash", "simhash"], id_col)
     scored = joined.withColumn(
         "est_jaccard",
         minhash_agreement(F.col("minhash_a"), F.col("minhash_b"), config.minhash_n),
@@ -100,6 +117,15 @@ def verify_pairs(
     )
     scored = scored.filter(plausible)
     if with_content:
+        src = content_df if content_df is not None else sig_df
+        scored = attach_pair_signatures(
+            scored.drop("minhash_a", "minhash_b"), src, ["content"], id_col
+        )
+        # The content pass is CPU-bound Python at ~KB-sized rows: AQE's
+        # size-based coalescing would funnel it into 1-2 partitions and
+        # serialize the UDF — spread it across the cores explicitly.
+        par = pairs.sparkSession.sparkContext.defaultParallelism
+        scored = scored.repartition(par * 2)
         vudf = make_content_verify_udf(config)
         scored = (
             scored.withColumn("_v", vudf(F.col("content_a"), F.col("content_b")))

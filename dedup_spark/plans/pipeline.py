@@ -68,13 +68,16 @@ class DedupPipeline:
         return sigs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     def candidates(self, reps: DataFrame) -> DataFrame:
-        """LSH ∪ SimHash candidate pairs over representatives."""
-        mh = lsh_candidate_pairs(reps, self.config)
+        """LSH ∪ SimHash candidate pairs over representatives — deduped
+        once, at the union (the LSH side skips its inner distinct)."""
+        mh = lsh_candidate_pairs(reps, self.config, dedupe=False)
         sh = simhash_candidate_pairs(reps, self.config).select("id_a", "id_b")
         return mh.union(sh).distinct()
 
-    def verify(self, pairs: DataFrame, reps: DataFrame) -> DataFrame:
-        return verify_pairs(pairs, reps, self.config)
+    def verify(
+        self, pairs: DataFrame, reps: DataFrame, content_df: DataFrame | None = None
+    ) -> DataFrame:
+        return verify_pairs(pairs, reps, self.config, content_df=content_df)
 
     def cluster(self, sigs: DataFrame, verified_pairs: DataFrame) -> DataFrame:
         """Final cluster assignment: exact ∪ fuzzy.
@@ -110,9 +113,16 @@ class DedupPipeline:
             n_reused = sigs.filter(F.col("cache_hit")).count()
             self.store.save(sigs, n_reused=n_reused)
             sigs = sigs.drop("cache_hit")
-        reps = self.representatives(sigs)
+        # content stays behind in ``files``: every downstream window,
+        # join, and checkpoint moves only ids + signatures; verification
+        # re-attaches the body for the (small) surviving pair set. sigs
+        # feeds representatives AND the final cluster window; reps feeds
+        # both candidate joins — without a cut, Catalyst re-runs the
+        # signature UDF once per branch.
+        sigs = sigs.drop("content").localCheckpoint()
+        reps = self.representatives(sigs).localCheckpoint()
         pairs = self.candidates(reps)
-        verified = self.verify(pairs, reps)
+        verified = self.verify(pairs, reps, content_df=files.select("file_id", "content"))
         clusters = self.cluster(sigs, verified)
         if min_cluster_size > 1:
             clusters = clusters.filter(F.col("cluster_size") >= min_cluster_size)

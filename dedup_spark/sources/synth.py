@@ -1,0 +1,120 @@
+"""Deterministic synthetic source-code corpus in input_hint shape
+``(repo, path, commit, lang, content)`` — generated entirely with JVM
+expressions over ``spark.range`` so the content is a pure function of
+the row id: identical at any parallelism/partitioning (the property
+the N-vs-4N scaling run depends on), and it never materializes on the
+driver.
+
+Composition (fractions of ``n``):
+- 60% originals: ~``tokens_per_doc`` pseudo-code tokens drawn from a
+  vocab by ``xxhash64(orig_id, position)``.
+- 20% exact duplicates of an original (same content, different
+  repo/path).
+- 20% near duplicates: original content with ~tokens_per_doc/near_mut_denom
+  tokens rewritten (position-seeded). With the defaults (256 tokens,
+  denom 128 → ~2 mutations), exact 5-token-shingle Jaccard ≈ 0.92 —
+  above the 0.9 verification threshold, so the planted pairs are
+  *findable by construction* and the bench can assert recall.
+
+``with_debug_cols=True`` appends (_id, _orig, _is_near, _n_mut) so a
+bench can measure planted-pair recall without re-deriving the
+generator's mapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VOCAB = [
+    "def", "return", "if", "else", "for", "while", "import", "class",
+    "self", "none", "true", "false", "lambda", "yield", "try", "except",
+    "raise", "with", "open", "print", "len", "range", "int", "str",
+    "list", "dict", "set", "tuple", "map", "filter", "sum", "min",
+    "max", "sorted", "zip", "enumerate", "append", "extend", "pop",
+    "get", "keys", "values", "items", "join", "split", "strip",
+    "format", "index", "count", "copy", "update", "insert", "remove",
+    "assert", "pass", "break", "continue", "global", "float", "bool",
+    "bytes", "super", "init", "main", "args", "kwargs",
+]
+
+LANGS = ["py", "rs", "go", "js", "java"]
+
+
+def synth_code_corpus(
+    spark: SparkSession,
+    n: int,
+    tokens_per_doc: int = 256,
+    seed: int = 42,
+    near_mut_denom: int = 128,
+    partitions: int | None = None,
+    with_debug_cols: bool = False,
+) -> DataFrame:
+    """Deterministic input_hint corpus of ``n`` files."""
+    n_orig = max(1, int(n * 0.6))
+    exact_hi = int(n * 0.8)
+    vocab = F.array(*[F.lit(t) for t in VOCAB])
+    nv = len(VOCAB)
+
+    df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    # map each row to the original whose content it derives from
+    orig = (
+        F.when(F.col("id") < n_orig, F.col("id"))
+        .otherwise(F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(n_orig)))
+        .alias("orig")
+    )
+    df = df.select("id", orig, (F.col("id") >= exact_hi).alias("is_near"))
+
+    # token at position i: vocab[xxhash64(orig, i, seed) % nv]; near-dup
+    # rows rewrite positions where xxhash64(id, i, seed+1) % denom == 0
+    # with an id-seeded vocab pick (may coincide with the original 1/nv
+    # of the time — mutation count is an upper bound).
+    mut_cond = f"is_near AND pmod(xxhash64(id, i, {seed + 1}), {near_mut_denom}) = 0"
+    base_tok = (
+        f"element_at(v, CAST(pmod(xxhash64(orig, i, {seed}), {nv}) AS INT) + 1)"
+    )
+    mut_tok = (
+        f"element_at(v, CAST(pmod(xxhash64(id, i, {seed + 2}), {nv}) AS INT) + 1)"
+    )
+    content = F.expr(
+        f"concat_ws(' ', transform(sequence(1, {tokens_per_doc}), i -> "
+        f"CASE WHEN {mut_cond} "
+        f"THEN {mut_tok} ELSE {base_tok} END))"
+    )
+    n_mut = F.expr(
+        f"size(filter(sequence(1, {tokens_per_doc}), i -> {mut_cond}))"
+    )
+    debug = (
+        [
+            F.col("id").alias("_id"),
+            F.col("orig").alias("_orig"),
+            F.col("is_near").alias("_is_near"),
+            n_mut.alias("_n_mut"),
+        ]
+        if with_debug_cols
+        else []
+    )
+    return (
+        df.withColumn("v", vocab)
+        .select(
+            *debug,
+            F.concat(F.lit("repo"), F.pmod(F.xxhash64("id", F.lit(seed + 3)), 100).cast("string")).alias("repo"),
+            F.concat(
+                F.lit("src/"),
+                F.pmod(F.xxhash64("id", F.lit(seed + 4)), 50).cast("string"),
+                F.lit("/f"),
+                F.col("id").cast("string"),
+                F.lit("."),
+                F.element_at(
+                    F.array(*[F.lit(x) for x in LANGS]),
+                    (F.pmod(F.xxhash64("id", F.lit(seed + 5)), len(LANGS)) + 1).cast("int"),
+                ),
+            ).alias("path"),
+            F.lit("HEAD").alias("commit"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in LANGS]),
+                (F.pmod(F.xxhash64("id", F.lit(seed + 5)), len(LANGS)) + 1).cast("int"),
+            ).alias("lang"),
+            content.alias("content"),
+        )
+    )

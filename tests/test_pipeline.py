@@ -87,9 +87,14 @@ def test_determinism_across_runs(spark, corpus, clusters):
 
 def test_sha256_invariant(spark, corpus, clusters):
     # per-row invariant (BASELINE.json input_hint): stored hash equals
-    # sha256 of content for every surviving row
-    bad = clusters.filter(F.col("hash") != F.sha2("content", 256)).count()
-    assert bad == 0
+    # sha256 of content for every surviving row. Cluster output is slim
+    # (content stays in the source table) → join the body back by key.
+    src = corpus_df(spark, corpus).select(
+        "repo", "path", "commit", F.sha2("content", 256).alias("src_sha")
+    )
+    joined = clusters.join(src, ["repo", "path", "commit"], "left")
+    assert joined.filter(F.col("src_sha").isNull()).count() == 0
+    assert joined.filter(F.col("hash") != F.col("src_sha")).count() == 0
 
 
 def test_plan_and_report_shapes(spark, clusters):

@@ -103,3 +103,33 @@ def test_signature_int32_range():
     sig = MinHasher(128).signature(shingle_set(CODE, 5))
     assert sig.dtype == np.int32
     assert (sig >= 0).all()
+
+
+def test_batch_kernel_matches_per_doc():
+    import numpy as np
+
+    from dedup_spark.functions.shingles import (
+        MinHasher,
+        batch_minhash_simhash,
+        shingle_set,
+        simhash64,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "",
+        "def main return none for i in range len args print i",
+        "a b",  # fewer tokens than k -> empty shingle set
+        "import os import sys import re import json import time for x in sorted set",
+    ]
+    hasher = MinHasher(128)
+    arrays = [shingle_set(t, 5) for t in texts]
+    sigs, sims = batch_minhash_simhash(arrays, hasher, chunk_shingles=8)  # force chunking
+    for arr, sig, sim in zip(arrays, sigs, sims):
+        ref_sig = hasher.signature(arr)
+        ref_sim = simhash64(arr)
+        if ref_sig is None:
+            assert sig is None and sim is None
+        else:
+            assert np.array_equal(sig, ref_sig)
+            assert sim == ref_sim
