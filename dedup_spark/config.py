@@ -65,6 +65,9 @@ class DedupConfig:
     # --- candidate generation / skew ---
     band_bucket_cap: int = 512         # drop LSH buckets larger than this (skew guard)
     salt_buckets: int = 0              # >0: salt band keys into this many sub-buckets
+    same_lang_only: bool = False       # F7 gate: only same-lang files compared
+    #                                    (reference: similarity across media kinds
+    #                                    is 0, src/media_dedup.rs:392-418)
 
     # --- verification ---
     similarity_threshold: float = 0.9  # reference --media-similarity 90/100
@@ -105,3 +108,48 @@ class DedupConfig:
 #: The frozen config used by the recall fixture ("matched shingle/signature
 #: config" in BASELINE.json). Changing it invalidates expected-pair fixtures.
 RECALL_CONFIG = DedupConfig()
+
+
+# --- TOML config source (reference S8: .deduprc, src/config.rs:26-114) -----
+
+#: reference TOML key → DedupConfig field (+ value transform). The
+#: reference expresses similarity as 0-100 (--media-similarity,
+#: src/media_dedup.rs:92-101); ours is a 0-1 fraction.
+_TOML_KEYS = {
+    "algorithm": ("algorithm", str),
+    "include": ("include", lambda v: tuple(v)),
+    "exclude": ("exclude", lambda v: tuple(v)),
+    "skip_hidden": ("skip_hidden", bool),
+    "media_similarity": ("similarity_threshold", lambda v: float(v) / 100.0),
+    "similarity_threshold": ("similarity_threshold", float),
+    "keep_strategy": ("keep_strategy", str),
+    "cache_location": ("cache_path", str),
+    "parallel": ("shuffle_partitions", int),
+    "shingle_k": ("shingle_k", int),
+    "minhash_n": ("minhash_n", int),
+    "lsh_bands": ("lsh_bands", int),
+    "lsh_rows": ("lsh_rows", int),
+    "simhash_radius": ("simhash_radius", int),
+}
+
+
+def config_from_toml(text: str, base: DedupConfig | None = None, **overrides) -> DedupConfig:
+    """Build a config from `.deduprc`-style TOML, with explicit kwargs
+    winning over file values (the reference merges file defaults UNDER
+    explicit CLI args — Cli::apply_config, src/lib.rs:268-352).
+    Unknown keys are ignored, as serde's defaults do."""
+    import tomllib
+
+    data = tomllib.loads(text)
+    kw: dict = {}
+    for key, value in data.items():
+        if key in _TOML_KEYS:
+            field_name, conv = _TOML_KEYS[key]
+            kw[field_name] = conv(value)
+    kw.update(overrides)
+    return (base or DedupConfig()).with_(**kw) if (base or kw) else DedupConfig()
+
+
+def load_config(path: str, **overrides) -> DedupConfig:
+    with open(path, encoding="utf-8") as f:
+        return config_from_toml(f.read(), **overrides)

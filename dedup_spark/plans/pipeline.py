@@ -69,10 +69,26 @@ class DedupPipeline:
 
     def candidates(self, reps: DataFrame) -> DataFrame:
         """LSH ∪ SimHash candidate pairs over representatives — deduped
-        once, at the union (the LSH side skips its inner distinct)."""
+        once, at the union (the LSH side skips its inner distinct).
+        With ``same_lang_only`` the F7 gate drops cross-lang pairs
+        (reference: cross-kind similarity is 0,
+        /root/reference/src/media_dedup.rs:392-418)."""
         mh = lsh_candidate_pairs(reps, self.config, dedupe=False)
         sh = simhash_candidate_pairs(reps, self.config).select("id_a", "id_b")
-        return mh.union(sh).distinct()
+        pairs = mh.union(sh).distinct()
+        if self.config.same_lang_only and "lang" in reps.columns:
+            lang = reps.select("file_id", "lang")
+            pairs = (
+                pairs.join(
+                    lang.withColumnsRenamed({"file_id": "id_a", "lang": "lang_a"}), "id_a"
+                )
+                .join(
+                    lang.withColumnsRenamed({"file_id": "id_b", "lang": "lang_b"}), "id_b"
+                )
+                .filter(F.col("lang_a") == F.col("lang_b"))
+                .select("id_a", "id_b")
+            )
+        return pairs
 
     def verify(
         self, pairs: DataFrame, reps: DataFrame, content_df: DataFrame | None = None

@@ -1,0 +1,123 @@
+"""Incremental / streaming ingest dedup.
+
+The reference is a batch scanner, but its hash-cache + rescan loop
+(FileCache reuse on repeated runs, /root/reference/src/file_cache.rs;
+TUI Ctrl+R rescan, /root/reference/src/tui_app/mod.rs:339-449) is
+exactly an *incremental dedup* protocol: new/changed files are hashed,
+unchanged files are served from the store, duplicates are reported
+against everything seen so far. This module expresses that protocol on
+Structured Streaming:
+
+- ``stream_code_files``: ``readStream`` over an input_hint-shaped
+  parquet/file source (new files appear as micro-batches).
+- ``run_incremental_dedup``: ``foreachBatch`` loop — each batch is
+  hashed + signed with the SAME batch kernels (no second code path),
+  joined against the persistent ``SignatureStore`` for exact-dup
+  lookup, appended to the store (MERGE semantics), and duplicate hits
+  are appended to a report sink. State lives in the store table, not
+  executor memory → restarts resume from the last committed batch
+  (checkpointLocation) with no state loss, and state size is bounded
+  by the table, not the stream.
+- ``streaming_exact_dups``: pure-streaming variant for bounded
+  windows — ``dropDuplicatesWithinWatermark`` on the content hash
+  (event-time bounded state), for when at-scale global state is
+  handled by the store variant instead.
+
+Scale posture: each micro-batch is a normal Spark batch job — all the
+engine's partitioning/skew handling applies; store lookups are
+hash-equi joins; nothing accumulates on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedup_spark.checkpoint import SignatureStore
+from dedup_spark.config import DedupConfig
+from dedup_spark.functions.signatures import with_signatures
+from dedup_spark.operators.exact import with_content_hash
+from dedup_spark.sources.loader import CODE_FILES_COLUMNS
+
+INPUT_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def stream_code_files(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """readStream over an input_hint-shaped parquet directory."""
+    return (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def streaming_exact_dups(
+    files: DataFrame, config: DedupConfig, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Bounded-state streaming exact dedup: first occurrence of each
+    content hash within the watermark passes, replays are dropped.
+    Emits the surviving (deduplicated) stream."""
+    hashed = with_content_hash(
+        files.withColumn("ingest_ts", F.current_timestamp()), config
+    )
+    return hashed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["hash"]
+    )
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    config: DedupConfig | None = None,
+    max_files_per_trigger: int = 16,
+):
+    """Start the incremental dedup stream; returns the StreamingQuery.
+
+    Per micro-batch:
+      1. hash + sign the batch (same kernels as the batch engine);
+      2. exact-dup probe: hash-equi join against the store → rows whose
+         content was already seen anywhere in history become report
+         rows (first_path = where it was seen first);
+      3. store upsert (atomic publish, lineage metrics row per batch).
+    """
+    cfg = config or DedupConfig()
+    store = SignatureStore(spark, store_path, cfg)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        b = batch.select(*CODE_FILES_COLUMNS)
+        sigs = with_signatures(with_content_hash(b, cfg), cfg)
+        sigs = sigs.localCheckpoint()  # one computation: probe + save
+        existing = store.load()
+        if existing is not None:
+            hits = (
+                sigs.join(
+                    existing.select(
+                        F.col("hash"),
+                        F.col("path").alias("first_path"),
+                        F.col("repo").alias("first_repo"),
+                    ).dropDuplicates(["hash"]),
+                    "hash",
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .select(
+                    "batch_id", "hash", "repo", "path", "commit",
+                    "first_repo", "first_path",
+                )
+            )
+            hits.write.mode("append").parquet(report_path)
+        store.save(sigs)
+
+    return (
+        stream_code_files(spark, source_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

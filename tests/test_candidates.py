@@ -91,3 +91,31 @@ def test_simhash_pigeonhole_guarantee(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in simhash_candidate_pairs(df, CFG).select("id_a", "id_b").collect()}
     for i in range(1, 30):
         assert (0, i) in pairs, f"pair (0,{i}) lost despite distance<=6"
+
+
+def test_same_lang_gate(spark):
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.plans.pipeline import DedupPipeline
+
+    rows = [
+        (1, "py", "def main return none for i in range len args print i x y z"),
+        (2, "py", "def main return none for i in range len args print i x y q"),
+        (3, "go", "def main return none for i in range len args print i x y z"),
+    ]
+    df = spark.createDataFrame(rows, "file_id long, lang string, content string")
+    base = DedupConfig(verify_with_content=False)
+    pipe_open = DedupPipeline(spark, base)
+    sigs = pipe_open.signatures(df.withColumn("content", df.content))
+    open_pairs = {
+        (r["id_a"], r["id_b"]) for r in pipe_open.candidates(sigs).collect()
+    }
+    assert (1, 3) in open_pairs  # identical content, different lang
+
+    pipe_gated = DedupPipeline(spark, base.with_(same_lang_only=True))
+    gated_pairs = {
+        (r["id_a"], r["id_b"]) for r in pipe_gated.candidates(sigs).collect()
+    }
+    assert all(
+        not (a == 1 and b == 3) and not (a == 3 and b == 2) for a, b in gated_pairs
+    )
+    assert (1, 2) in gated_pairs  # same-lang near-identical pair survives

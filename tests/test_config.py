@@ -1,0 +1,43 @@
+from __future__ import annotations
+
+import pytest
+
+from dedup_spark.config import DedupConfig, config_from_toml
+
+TOML = """
+algorithm = "md5"
+media_similarity = 85
+include = ["src/**", "lib/**"]
+exclude = ["*.min.js"]
+keep_strategy = "longest_path"
+parallel = 16
+unknown_key = "ignored"
+"""
+
+
+def test_toml_parse_and_mapping():
+    cfg = config_from_toml(TOML)
+    assert cfg.algorithm == "md5"
+    assert cfg.similarity_threshold == 0.85
+    assert cfg.include == ("src/**", "lib/**")
+    assert cfg.exclude == ("*.min.js",)
+    assert cfg.keep_strategy == "longest_path"
+    assert cfg.shuffle_partitions == 16
+
+
+def test_explicit_overrides_win_over_file():
+    # reference precedence: config fills defaults UNDER explicit args
+    cfg = config_from_toml(TOML, algorithm="sha256", similarity_threshold=0.9)
+    assert cfg.algorithm == "sha256"
+    assert cfg.similarity_threshold == 0.9
+    assert cfg.keep_strategy == "longest_path"  # file value still applies
+
+
+def test_empty_toml_gives_defaults():
+    cfg = config_from_toml("")
+    assert cfg == DedupConfig()
+
+
+def test_invalid_values_still_validated():
+    with pytest.raises(ValueError):
+        config_from_toml('algorithm = "blake3"')  # not a supported algorithm

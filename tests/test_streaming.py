@@ -1,0 +1,91 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DedupConfig
+from dedup_spark.streaming.ingest import (
+    run_incremental_dedup,
+    stream_code_files,
+    streaming_exact_dups,
+)
+
+ROWS1 = [
+    ("r1", "a.py", "c1", "py", "alpha beta gamma"),
+    ("r1", "b.py", "c1", "py", "delta epsilon zeta"),
+]
+ROWS2 = [
+    ("r2", "copy_of_a.py", "c2", "py", "alpha beta gamma"),   # dup of a.py
+    ("r2", "new.py", "c2", "py", "eta theta iota"),
+]
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _write_batch(spark, d, rows, name):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(d)
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, ROWS1, "b1")
+    q = run_incremental_dedup(spark, src, store, report, ckpt, DedupConfig())
+    q.awaitTermination(120)
+    assert not os.path.exists(report)  # no dups within batch 1
+
+    _write_batch(spark, src, ROWS2, "b2")
+    q = run_incremental_dedup(spark, src, store, report, ckpt, DedupConfig())
+    q.awaitTermination(120)
+    rep = spark.read.parquet(report)
+    hits = rep.collect()
+    assert len(hits) == 1
+    assert hits[0]["path"] == "copy_of_a.py"
+    assert hits[0]["first_path"] == "a.py"
+
+    # store now holds all 4 distinct rows (keyed by repo/path/commit)
+    stored = spark.read.parquet(store + "/data")
+    assert stored.count() == 4
+    # lineage metrics: one row per batch save
+    metrics = spark.read.parquet(store + "/_metrics")
+    assert metrics.count() >= 2
+
+
+def test_incremental_restart_is_idempotent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, ROWS1, "b1")
+    run_incremental_dedup(spark, src, store, report, ckpt).awaitTermination(120)
+    # rerun with NO new files: checkpoint prevents reprocessing
+    run_incremental_dedup(spark, src, store, report, ckpt).awaitTermination(120)
+    assert not os.path.exists(report)
+    stored = spark.read.parquet(store + "/data")
+    assert stored.count() == 2
+
+
+def test_streaming_exact_dups_drops_replays(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out_rows = []
+    _write_batch(spark, src, ROWS1 + [("r9", "dup.py", "c9", "py", "alpha beta gamma")], "b")
+    stream = stream_code_files(spark, src)
+    dedup = streaming_exact_dups(stream, DedupConfig())
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT path FROM dedup_stream_test").collect()
+    paths = {r["path"] for r in got}
+    # 3 rows, 2 distinct contents -> exactly one of {a.py, dup.py} survives
+    assert len(paths) == 2
+    assert "b.py" in paths
+    assert len(paths & {"a.py", "dup.py"}) == 1
