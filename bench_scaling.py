@@ -5,7 +5,7 @@ pipeline on the identical deterministic synthetic corpus at
 and scaling efficiency E = (fps_32 / fps_8) / 4.
 
 Protocol notes:
-- executors are REAL separate JVMs (``local-cluster[N,4,6g]``): N=2
+- executors are REAL separate JVMs (``local-cluster[N,4,10g]``): N=2
   vs 4N=8 executors of fixed 4-core shape — the north rule's N→4N
   executor comparison with per-executor GC/heap isolation, unlike
   ``local[k]`` threads which share one heap and hit a single-JVM
@@ -54,9 +54,9 @@ cpus = execs * 4
 os.environ.setdefault("SPARK_HOME", os.path.dirname(os.path.abspath(__import__("pyspark").__file__)))
 spark = get_spark(
     f"scaling-{execs}x4",
-    master=f"local-cluster[{execs},4,6144]",
+    master=f"local-cluster[{execs},4,10240]",
     shuffle_partitions=64,
-    extra_conf={"spark.executor.memory": "5g"},
+    extra_conf={"spark.executor.memory": "9g"},
 )
 spark.sparkContext.setLogLevel("ERROR")
 cfg = DedupConfig()
@@ -75,6 +75,9 @@ files = prepare_code_files(synth_code_corpus(spark, n, partitions=64), cfg).loca
 files.count()  # input materialization == the table scan, symmetric across levels
 
 def trial():
+    # minimal action count: checkpoints only where a frame feeds 2+
+    # consumers (sigs, reps) — every extra action pays serial Catalyst
+    # planning + scheduling latency that Amdahl charges against E.
     stages = {}
     t_all = time.perf_counter()
     t0 = time.perf_counter()
@@ -82,15 +85,13 @@ def trial():
     stages["signatures"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     reps = pipe.representatives(sigs).localCheckpoint()
-    cands = pipe.candidates(reps).localCheckpoint()
-    stages["candidates"] = time.perf_counter() - t0
+    stages["representatives"] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    verified = pipe.verify(cands, reps, content_df=files.select("file_id", "content")).localCheckpoint()
-    stages["verify"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
+    cands = pipe.candidates(reps)
+    verified = pipe.verify(cands, reps, content_df=files.select("file_id", "content"))
     clusters = pipe.cluster(sigs, verified).localCheckpoint()
     n_clusters = clusters.agg(F.countDistinct("cluster_id")).first()[0]
-    stages["cluster"] = time.perf_counter() - t0
+    stages["cand_verify_cluster"] = time.perf_counter() - t0
     return time.perf_counter() - t_all, stages, n_clusters, clusters
 
 trials = []
@@ -148,7 +149,7 @@ def run_level(execs: int, n: int) -> dict:
             r["subprocess_s"] = round(time.time() - t0, 1)
             return r
     sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
-    raise RuntimeError(f"worker local[{cpus}] produced no RESULT")
+    raise RuntimeError(f"worker with {execs} executors produced no RESULT")
 
 
 def main() -> None:

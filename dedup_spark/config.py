@@ -57,10 +57,9 @@ class DedupConfig:
     #                                      still reach verification; r; b*r == minhash_n
     simhash_bits: int = 64
     simhash_radius: int = 6            # == reference 90% of 64 bits (media_dedup.rs:370-373)
-    simhash_blocks: int = 4            # 4x16-bit blocks; one-flip multi-index probing
-    #                                    covers radius <= 2*blocks-1 = 7; 16-bit value
-    #                                    space keeps probe buckets O(1) at 10^5+ rows
-    #                                    (8-bit blocks degenerate quadratically)
+    simhash_blocks: int = 4            # signature block layout knob (candidate probing
+    #                                    derives its own radius+2 block-pair split from
+    #                                    simhash_radius — see operators/simhash_join.py)
 
     # --- candidate generation / skew ---
     band_bucket_cap: int = 512         # drop LSH buckets larger than this (skew guard)

@@ -3,26 +3,18 @@
 The reference's media matcher compares 64-bit perceptual hashes with a
 Hamming-distance threshold: similarity = (64-d)/64, default 90% ⇔ d ≤ 6
 (/root/reference/src/media_dedup.rs:354-377). Comparing all pairs is
-O(n²); the scale rewrite is **multi-index Hamming probing** (the
-HmSearch / multi-index-hashing construction):
+O(n²); the scale rewrite is **block-pair Hamming probing**: split the
+hash into radius+2 blocks; at most ``radius`` blocks carry an error,
+so every in-radius pair agrees exactly on ≥1 of the C(b,2)
+concatenated block-pair values — an equi-self-join on those keys,
+then exact ``bit_count(xor) ≤ radius`` verification in whole-stage
+codegen. Recall is 1.0 by construction (before frequency caps):
+probing is a covering design, not a sketch.
 
-- split the 64-bit hash into ``simhash_blocks`` equal blocks (default
-  4 × 16 bits);
-- by pigeonhole, two hashes within distance d have some block with
-  ≤ floor(d / blocks) errors — for d ≤ 2·blocks − 1, some block with
-  ≤ 1 error (d=6, blocks=4 qualifies);
-- index side emits each block's exact value; probe side emits the
-  exact value plus all ``width`` one-bit flips → every pair within
-  the radius collides on an equi-join key, with a 2^16 value space
-  per block instead of 2^8 (the naive exact-block scheme's bucket
-  sizes grow O(n/2^width) — at 10^5+ rows, 8-bit blocks degenerate
-  into a quadratic pair explosion; 16-bit blocks with 1-flip probing
-  keep buckets O(1)).
-- exact ``bit_count(xor) ≤ radius`` verification in whole-stage
-  codegen prunes the ball down to true matches.
-
-Recall is 1.0 by construction (before frequency caps): probing is a
-covering design, not a sketch.
+Schemes rejected on the way here, for the record: naive exact single
+blocks (8-bit value space → bucket sizes O(n/256) → quadratic pair
+explosion at 10^5+ rows) and one-bit-flip multi-index probing (4×16-bit
+blocks, exact recall, but 68 probe keys/row vs 28 here).
 """
 
 from __future__ import annotations
@@ -34,51 +26,36 @@ from dedup_spark.config import DedupConfig
 from dedup_spark.functions.signatures import hamming_distance64
 
 
-def _block_val(i: int, width: int):
-    mask = (1 << width) - 1
-    return F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+def simhash_blockpair_keys(df: DataFrame, radius: int, id_col: str = "file_id") -> DataFrame:
+    """Block-PAIR probe keys: split the 64-bit hash into radius+2 blocks
+    (8 blocks for radius 6); by pigeonhole at most ``radius`` blocks
+    carry an error, so ≥2 blocks are error-free and every true pair
+    agrees exactly on at least one of the C(b,2) concatenated
+    block-pair values. One equi-key per pair of blocks — for radius 6:
+    28 keys/row of ≥16-bit value space, vs 68 keys/row for the
+    one-bit-flip multi-index scheme, with no flip enumeration at all.
+    """
+    nblocks = radius + 2
+    width = 64 // nblocks  # last block takes the remaining high bits
+    widths = [width] * (nblocks - 1) + [64 - width * (nblocks - 1)]
+    offsets = [width * i for i in range(nblocks)]
 
+    def block(i: int):
+        mask = (1 << widths[i]) - 1
+        return F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(F.lit(mask))
 
-def simhash_block_keys(df: DataFrame, config: DedupConfig, id_col: str = "file_id") -> DataFrame:
-    """Index-side keys: (block_id, block_val) — exact block values."""
-    nblocks = config.simhash_blocks
-    width = config.simhash_bits // nblocks
-    blocks = F.array(
-        *[
-            F.struct(F.lit(i).alias("block_id"), _block_val(i, width).alias("block_val"))
-            for i in range(nblocks)
-        ]
-    )
-    return (
-        df.filter(F.col("simhash").isNotNull())
-        .select(id_col, F.explode(blocks).alias("blk"))
-        .select(
-            id_col,
-            F.col("blk.block_id").alias("block_id"),
-            F.col("blk.block_val").alias("block_val"),
-        )
-    )
-
-
-def simhash_probe_keys(df: DataFrame, config: DedupConfig, id_col: str = "file_id") -> DataFrame:
-    """Probe-side keys: each block's exact value plus all one-bit
-    flips (width+1 keys per block)."""
-    nblocks = config.simhash_blocks
-    width = config.simhash_bits // nblocks
-    blocks = []
+    keys = []
+    pair_id = 0
     for i in range(nblocks):
-        val = _block_val(i, width)
-        blocks.append(F.struct(F.lit(i).alias("block_id"), val.alias("block_val")))
-        for j in range(width):
-            blocks.append(
-                F.struct(
-                    F.lit(i).alias("block_id"),
-                    val.bitwiseXOR(F.lit(1 << j)).alias("block_val"),
-                )
+        for j in range(i + 1, nblocks):
+            combined = F.shiftleft(block(i), widths[j]).bitwiseOR(block(j))
+            keys.append(
+                F.struct(F.lit(pair_id).alias("block_id"), combined.alias("block_val"))
             )
+            pair_id += 1
     return (
         df.filter(F.col("simhash").isNotNull())
-        .select(id_col, F.explode(F.array(*blocks)).alias("blk"))
+        .select(id_col, F.explode(F.array(*keys)).alias("blk"))
         .select(
             id_col,
             F.col("blk.block_id").alias("block_id"),
@@ -92,32 +69,25 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """Distinct (id_a, id_b, hamming) pairs within the Hamming radius.
 
-    probe(a) ⋈ index(b) equi-join on (block_id, block_val); hot index
-    values above ``band_bucket_cap`` are dropped (skew guard — counted
-    by oversize metrics upstream, mirroring the LSH cap); exact
-    Hamming filter verifies. Covers radius ≤ 2·blocks − 1 ≥ configured
-    radius (checked).
+    Self-join on block-pair keys (exact recall by pigeonhole — see
+    ``simhash_blockpair_keys``); hot key values above
+    ``band_bucket_cap`` are dropped (skew guard — counted by oversize
+    metrics upstream, mirroring the LSH cap); exact ``bit_count(xor)``
+    verification in whole-stage codegen prunes to true matches.
     """
-    nblocks = config.simhash_blocks
-    if config.simhash_radius > 2 * nblocks - 1:
-        raise ValueError(
-            f"one-flip probing with {nblocks} blocks covers radius "
-            f"<= {2 * nblocks - 1}, below configured {config.simhash_radius}"
-        )
     sig = sig_df.select(F.col(id_col), F.col("simhash"))
-    index = simhash_block_keys(sig, config, id_col)
-    # frequency cap on hot block values (AQE skew-join handles residuals)
+    keys = simhash_blockpair_keys(sig, config.simhash_radius, id_col)
+    # frequency cap on hot key values (AQE skew-join handles residuals)
     hot = (
-        index.groupBy("block_id", "block_val")
+        keys.groupBy("block_id", "block_val")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > config.band_bucket_cap)
         .select("block_id", "block_val")
     )
-    index = index.join(F.broadcast(hot), ["block_id", "block_val"], "left_anti")
-    probe = simhash_probe_keys(sig, config, id_col)
+    keys = keys.join(F.broadcast(hot), ["block_id", "block_val"], "left_anti")
     cand = (
-        probe.withColumnsRenamed({id_col: "id_a"})
-        .join(index.withColumnsRenamed({id_col: "id_b"}), ["block_id", "block_val"])
+        keys.withColumnsRenamed({id_col: "id_a"})
+        .join(keys.withColumnsRenamed({id_col: "id_b"}), ["block_id", "block_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -27,6 +27,11 @@ DEFAULT_CONFS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     # Let small dimension sides broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Don't stall task waves waiting for block-local executors: checkpoint
+    # blocks pin to one executor and the default 3s locality wait
+    # serializes whole stages on multi-executor masters; shuffle reads on
+    # fast local disks/loopback don't earn a 3s gamble.
+    "spark.locality.wait": "0s",
     "spark.sql.shuffle.partitions": "32",
     # Quieter + deterministic session timezone for timestamp fixtures.
     "spark.sql.session.timeZone": "UTC",
