@@ -95,6 +95,35 @@ class DedupPipeline:
     ) -> DataFrame:
         return verify_pairs(pairs, reps, self.config, content_df=content_df)
 
+    def skew_metrics(self, reps: DataFrame) -> DataFrame:
+        """Buckets the frequency caps dropped — the 'counted, never
+        silent' side of the skew guards: one row per over-cap LSH band
+        bucket or SimHash block-pair value, with its member count.
+        Feed to the metrics sink alongside the checkpoint lineage rows.
+        """
+        from dedup_spark.operators.lsh import band_keys, oversize_buckets
+        from dedup_spark.operators.simhash_join import simhash_blockpair_keys
+
+        cap = self.config.band_bucket_cap
+        lsh_over = oversize_buckets(
+            band_keys(reps, self.config), ["band_id", "band_hash"], cap
+        ).select(
+            F.lit("lsh_band").alias("source"),
+            F.col("band_id").cast("long").alias("key_id"),
+            F.col("band_hash").cast("long").alias("key_val"),
+            F.col("n"),
+        )
+        sh_keys = simhash_blockpair_keys(
+            reps.select("file_id", "simhash"), self.config.simhash_radius
+        )
+        sh_over = oversize_buckets(sh_keys, ["block_id", "block_val"], cap).select(
+            F.lit("simhash_blockpair").alias("source"),
+            F.col("block_id").cast("long").alias("key_id"),
+            F.col("block_val").cast("long").alias("key_val"),
+            F.col("n"),
+        )
+        return lsh_over.unionByName(sh_over)
+
     def cluster(self, sigs: DataFrame, verified_pairs: DataFrame) -> DataFrame:
         """Final cluster assignment: exact ∪ fuzzy.
 

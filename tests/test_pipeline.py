@@ -106,3 +106,23 @@ def test_plan_and_report_shapes(spark, clusters):
         F.sum(F.when(F.col("action") == "keep", 1).otherwise(0)).alias("kept")
     )
     assert per_cluster.filter("kept != 1").count() == 0
+
+
+def test_skew_metrics_surface_dropped_buckets(spark):
+    # force tiny caps: every bucket with >=2 members becomes "dropped"
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.plans.pipeline import DedupPipeline
+
+    rows = [(i, "r", f"p{i}", "c", "py", "def main return none for i in range") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "file_id long, repo string, path string, commit string, lang string, content string"
+    )
+    cfg = DedupConfig(band_bucket_cap=1, verify_with_content=False)
+    pipe = DedupPipeline(spark, cfg)
+    sigs = pipe.signatures(df)
+    over = pipe.skew_metrics(sigs)
+    got = over.groupBy("source").count().collect()
+    sources = {r["source"] for r in got}
+    # 5 identical contents share every band and every block-pair value
+    assert sources == {"lsh_band", "simhash_blockpair"}
+    assert over.filter("n != 5").count() == 0
