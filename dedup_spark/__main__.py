@@ -1,0 +1,163 @@
+"""CLI entry point — the reference's ``dedups`` command surface
+(/root/reference/src/lib.rs:50-226) re-expressed over tables.
+
+``python -m dedup_spark TABLE [TABLE...]`` where TABLE is a parquet
+path or catalog table in input_hint shape. Flag mapping (reference →
+here): paths → tables; --delete/--move-to → action plan rows (dry-run
+by default, the reference's --dry-run semantics preserved and made the
+DEFAULT — a table pipeline never mutates without --execute);
+--media-mode → --fuzzy (the near-dup stack); --media-similarity 0-100
+→ threshold fraction; --target + --deduplicate → multi-source compare
+mode (§3.2); --filter-from / --include / --exclude → rclone-style
+rules; --cache-location → signature store path; --output/--format →
+report sink. Interactive TUI (-i) is intentionally out of scope
+(SURVEY §3.3) — its engine semantics (rescan, plan, execute) ARE this
+CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dedup_spark",
+        description="PySpark near-duplicate detection over (repo, path, commit, lang, content) tables",
+    )
+    p.add_argument("tables", nargs="+", help="input tables (parquet paths or catalog names)")
+    p.add_argument("--config", help=".deduprc-style TOML config file")
+    p.add_argument("--algorithm", choices=["sha256", "sha1", "md5", "crc32", "xxhash64"])
+    p.add_argument("--include", action="append", default=None, help="glob include (repeatable)")
+    p.add_argument("--exclude", action="append", default=None, help="glob exclude (repeatable)")
+    p.add_argument("--filter-from", help="rclone-style filter rules file")
+    p.add_argument("--fuzzy", action="store_true", help="near-dup mode (reference --media-mode)")
+    p.add_argument("--similarity", type=int, default=None, metavar="0-100",
+                   help="similarity threshold percent (reference --media-similarity)")
+    p.add_argument("--selection-strategy", dest="strategy", default=None,
+                   choices=["newest_modified", "oldest_modified", "shortest_path", "longest_path"])
+    p.add_argument("--delete", action="store_true", help="plan delete for non-kept files")
+    p.add_argument("--move-to", metavar="PREFIX", help="plan move of non-kept files under PREFIX")
+    p.add_argument("--execute", action="store_true",
+                   help="apply the plan (default is dry run, plan only)")
+    p.add_argument("--target", help="target table for compare mode")
+    p.add_argument("--deduplicate", action="store_true",
+                   help="with --target: also report cross-source duplicate sets")
+    p.add_argument("--output", "-o", help="report output path")
+    p.add_argument("--format", "-f", choices=["json", "parquet"], default="json")
+    p.add_argument("--cache-location", help="signature store path (resumable reruns)")
+    p.add_argument("--parallel", type=int, default=None, help="shuffle partitions")
+    p.add_argument("--master", default=None, help="spark master (default local[*])")
+    p.add_argument("--min-cluster-size", type=int, default=2)
+    return p
+
+
+def make_config(args):
+    from dedup_spark.config import DedupConfig, config_from_toml, load_config
+    from dedup_spark.sources.filters import parse_filter_file
+
+    overrides: dict = {}
+    if args.algorithm:
+        overrides["algorithm"] = args.algorithm
+    if args.similarity is not None:
+        overrides["similarity_threshold"] = args.similarity / 100.0
+    if args.strategy:
+        overrides["keep_strategy"] = args.strategy
+    if args.cache_location:
+        overrides["cache_path"] = args.cache_location
+    if args.parallel:
+        overrides["shuffle_partitions"] = args.parallel
+    include = tuple(args.include or ())
+    exclude = tuple(args.exclude or ())
+    if args.filter_from:
+        with open(args.filter_from, encoding="utf-8") as f:
+            inc, exc = parse_filter_file(f.read())
+        include, exclude = include + inc, exclude + exc
+    if include:
+        overrides["include"] = include
+    if exclude:
+        overrides["exclude"] = exclude
+    if args.config:
+        return load_config(args.config, **overrides)
+    return config_from_toml("", **overrides) if overrides else DedupConfig()
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = make_config(args)
+
+    from dedup_spark.operators.compare import cross_source_duplicates, missing_in_target
+    from dedup_spark.operators.exact import exact_clusters
+    from dedup_spark.operators.report import write_report
+    from dedup_spark.plans.pipeline import DedupPipeline
+    from dedup_spark.session import get_spark
+
+    spark = get_spark("dedup-cli", master=args.master,
+                      shuffle_partitions=cfg.shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    pipe = DedupPipeline(spark, cfg)
+
+    if args.target:
+        # §3.2 multi-source compare: sources vs target, per-file anti join
+        src = pipe.load(args.tables[0])
+        for t in args.tables[1:]:
+            src = src.unionByName(pipe.load(t))
+        from dedup_spark.operators.exact import with_content_hash
+
+        src_h = with_content_hash(src.withColumn("source", F.lit("src")), cfg)
+        tgt_h = with_content_hash(
+            pipe.load(args.target).withColumn("source", F.lit("tgt")), cfg
+        )
+        missing = missing_in_target(src_h, tgt_h)
+        print(json.dumps({"missing_in_target": missing.count()}))
+        if args.deduplicate:
+            both = src_h.unionByName(tgt_h)
+            cross = cross_source_duplicates(both)
+            print(json.dumps({"cross_source_duplicate_files": cross.count()}))
+        if args.output:
+            write_report(missing.select("repo", "path", "commit", "hash"),
+                         args.output, args.format)
+        return 0
+
+    files = pipe.load(args.tables[0])
+    for t in args.tables[1:]:
+        files = files.unionByName(pipe.load(t))
+
+    if args.fuzzy:
+        clusters = pipe.run(files, min_cluster_size=args.min_cluster_size)
+    else:
+        clusters = exact_clusters(files, cfg, args.min_cluster_size)
+
+    report = pipe.report(clusters)
+    n_sets = report.count()
+    summary = {"duplicate_sets": n_sets,
+               "files_in_sets": clusters.filter(F.col("cluster_size") >= 2).count()}
+
+    if args.delete or args.move_to:
+        from dedup_spark.operators.actions import build_plan, execute_plan, plan_summary
+        from dedup_spark.operators.select import select_kept
+
+        sel = select_kept(clusters.filter(F.col("cluster_size") >= 2), cfg.keep_strategy)
+        plan = (build_plan(sel, "move", target_prefix=args.move_to)
+                if args.move_to else build_plan(sel, "delete"))
+        for r in plan_summary(plan).collect():
+            summary[f"plan_{r['action']}"] = r["n"]
+        if args.execute:
+            survivors = execute_plan(files, plan, dry_run=False)
+            summary["surviving_files"] = survivors.count()
+        else:
+            summary["dry_run"] = True
+
+    if args.output:
+        write_report(report.drop("files"), args.output, args.format)
+        summary["report"] = args.output
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -289,6 +289,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_files(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingle count per doc (the JVM shingle
+    operator feeding exact-Jaccard dedup)."""
+    from dedup_spark.operators.similarity import ngram_shingles
+
+    toks = _files(spark, sf_dir).select(
+        "file_id", F.split(F.trim(F.col("content")), r"\s+").alias("t")
+    )
+    return toks.select(
+        "file_id", F.size(ngram_shingles("t", 3)).cast("long").alias("n_shingles3")
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for the first 20 query vectors."""
     from dedup_spark.operators.similarity import cosine_topk
@@ -390,6 +403,21 @@ FROM shared
 JOIN counts ca ON ca.file_id = id_a
 JOIN counts cb ON cb.file_id = id_b
 WHERE round(shared / (ca.n_sh + cb.n_sh - shared), 6) >= 0.5
+""",
+    "shingle_counts": f"""
+WITH {SQL_FILES},
+t AS (
+  SELECT file_id,
+         CASE WHEN length(trim(content)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(content), '\\s+') END AS toks
+  FROM files
+)
+SELECT file_id,
+       CASE WHEN len(toks) >= 3
+            THEN CAST(len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                         FOR i IN range(1, len(toks) - 1)])) AS BIGINT)
+            ELSE 0 END AS n_shingles3
+FROM t
 """,
     "embedding_topk": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -567,6 +595,7 @@ QUERIES = {
     "token_rollup": q_token_rollup,
     "lang_id": q_lang_id,
     "ngram_jaccard": q_ngram_jaccard,
+    "shingle_counts": q_shingle_counts,
     "embedding_topk": q_embedding_topk,
     "exact_hash_clusters": q_exact_hash_clusters,
     "exact_dup_sets": q_exact_dup_sets,

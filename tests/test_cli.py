@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from dedup_spark.__main__ import build_parser, main, make_config
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli") / "files.parquet")
+    rows = [
+        ("r1", "a/one.py", "c", "py", "alpha beta gamma delta"),
+        ("r1", "b/two.py", "c", "py", "alpha beta gamma delta"),   # exact dup
+        ("r1", "c/three.py", "c", "py", "epsilon zeta eta theta"),
+    ]
+    spark.createDataFrame(rows, SCHEMA).write.parquet(d)
+    return d
+
+
+def test_cli_exact_scan(spark, table, capsys):
+    assert main([table]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["duplicate_sets"] == 1
+    assert out["files_in_sets"] == 2
+
+
+def test_cli_delete_plan_dry_run(spark, table, capsys):
+    assert main([table, "--delete", "--selection-strategy", "shortest_path"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["plan_keep"] == 1
+    assert out["plan_delete"] == 1
+    assert out["dry_run"] is True
+
+
+def test_cli_execute_delete(spark, table, capsys):
+    assert main([table, "--delete", "--execute"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["surviving_files"] == 2  # one of the dup pair removed
+
+
+def test_cli_report_output(spark, table, tmp_path, capsys):
+    rpt = str(tmp_path / "report")
+    assert main([table, "-o", rpt, "-f", "json"]) == 0
+    rows = [json.loads(line) for line in
+            open(next(p for p in __import__("pathlib").Path(rpt).glob("part-*")))]
+    assert len(rows) == 1
+    assert rows[0]["n_files"] == 2
+
+
+def test_cli_compare_mode(spark, table, tmp_path, capsys):
+    tgt = str(tmp_path / "tgt.parquet")
+    spark.createDataFrame(
+        [("t", "x.py", "c", "py", "alpha beta gamma delta")], SCHEMA
+    ).write.parquet(tgt)
+    assert main([table, "--target", tgt, "--deduplicate"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    merged = {k: v for d in lines for k, v in d.items()}
+    assert merged["missing_in_target"] == 1          # only three.py's hash missing
+    assert merged["cross_source_duplicate_files"] == 3  # dup set spans src+tgt
+
+
+def test_make_config_precedence(tmp_path):
+    f = tmp_path / "dedup.toml"
+    f.write_text('algorithm = "md5"\nmedia_similarity = 80\n')
+    args = build_parser().parse_args(
+        ["t", "--config", str(f), "--algorithm", "sha256", "--include", "src/**"]
+    )
+    cfg = make_config(args)
+    assert cfg.algorithm == "sha256"          # CLI wins
+    assert cfg.similarity_threshold == 0.8    # file fills the rest
+    assert cfg.include == ("src/**",)
+
+
+def test_filter_from(tmp_path):
+    ff = tmp_path / "rules.txt"
+    ff.write_text("# comment\n+ src/**\n- *.min.js\n")
+    args = build_parser().parse_args(["t", "--filter-from", str(ff)])
+    cfg = make_config(args)
+    assert cfg.include == ("src/**",)
+    assert cfg.exclude == ("*.min.js",)
