@@ -53,6 +53,20 @@ def n_tokens(col: str = "content") -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+#: BPE-ish pre-tokenizer: letter runs | digit runs | punct runs — the
+#: language-agnostic subset of the GPT-2 split pattern whose semantics
+#: are identical under Java regex and RE2 (cross-engine oracle safety).
+BPE_SPLIT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+def n_tokens_bpe(col: str = "content") -> Column:
+    """Token count under the BPE-ish split (an approximation of what a
+    subword tokenizer would see as word pieces before merges).
+    Function API, not expr(): a SQL string literal would eat the
+    backslash in \\s."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_SPLIT), F.lit(0))).cast("long")
+
+
 def _char_class_count(col: str, pattern: str) -> Column:
     """Occurrences of a 1-char class — length delta after global removal
     (identical semantics in DuckDB's regexp_replace(...,'g'))."""
@@ -75,6 +89,7 @@ def with_text_stats(df: DataFrame, col: str = "content") -> DataFrame:
     safe_nc = F.when(nc > 0, nc).otherwise(F.lit(1))
     return (
         df.withColumn("n_tokens", nt)
+        .withColumn("n_tokens_bpe", n_tokens_bpe(col))
         .withColumn("n_chars_c", nc)
         .withColumn("punct_ratio", F.round(n_punct / safe_nc, 6))
         .withColumn("upper_ratio", F.round(n_upper / safe_nc, 6))

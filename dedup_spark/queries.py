@@ -261,7 +261,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = with_text_stats(_files(spark, sf_dir)).withColumn("is_quality", quality_flag())
     return out.select(
-        "file_id", "n_tokens", "punct_ratio", "upper_ratio",
+        "file_id", "n_tokens", "n_tokens_bpe", "punct_ratio", "upper_ratio",
         "stopword_ratio", "avg_token_len", "is_quality",
     )
 
@@ -335,6 +335,8 @@ ORACLE: dict[str, str] = {
     "text_quality": f"""
 WITH {SQL_FILES}, {SQL_TOKS}
 SELECT file_id, nt AS n_tokens,
+       CAST(len(regexp_extract_all(content, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+', 0)) AS BIGINT)
+         AS n_tokens_bpe,
        round(n_punct / greatest(nc, 1), 6) AS punct_ratio,
        round(n_upper / greatest(nc, 1), 6) AS upper_ratio,
        round(n_stop / greatest(nt, 1), 6) AS stopword_ratio,

@@ -1,0 +1,62 @@
+"""spark-submit job entry (north_rule deployment mode:
+``spark-submit --py-files dedup_spark.zip scripts/job_dedup.py ...``).
+
+Runs the full dedup pipeline on an input_hint table (or the driver's
+``documents`` fixture via --documents-sf-dir) and prints a one-line
+JSON summary. The package arrives on executors via --py-files; no
+repo-path assumptions beyond the shipped zip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="input_hint-shaped table/parquet path")
+    ap.add_argument("--documents-sf-dir", help="driver fixture dir (documents.parquet)")
+    ap.add_argument("--cache", help="signature store path")
+    ap.add_argument("--min-cluster-size", type=int, default=1)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("dedup-submit").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.plans.pipeline import DedupPipeline
+    from dedup_spark.sources.loader import documents_as_code_files
+
+    cfg = DedupConfig(cache_path=args.cache)
+    pipe = DedupPipeline(spark, cfg)
+    if args.documents_sf_dir:
+        files = documents_as_code_files(spark, args.documents_sf_dir)
+    elif args.input:
+        files = pipe.load(args.input)
+    else:
+        raise SystemExit("one of --input / --documents-sf-dir required")
+
+    clusters = pipe.run(files, min_cluster_size=args.min_cluster_size)
+    row = clusters.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.max("cluster_size").alias("max_cluster"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "n_files": row["n_files"],
+                "n_clusters": row["n_clusters"],
+                "max_cluster": row["max_cluster"],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Package dedup_spark and run the pipeline via spark-submit --py-files
+# (the north_rule deployment mode). Usage:
+#   scripts/submit.sh [master] [extra job args...]
+# e.g. scripts/submit.sh local[8] --documents-sf-dir /root/testdata/sf0.001
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+MASTER="${1:-local[8]}"; shift || true
+ZIP="$(mktemp -d)/dedup_spark.zip"
+(cd "$REPO" && python -c "
+import zipfile, os
+with zipfile.ZipFile('$ZIP', 'w') as z:
+    for root, _, files in os.walk('dedup_spark'):
+        for f in files:
+            if f.endswith('.py'):
+                z.write(os.path.join(root, f))
+print('packaged: $ZIP')
+")
+SPARK_HOME="${SPARK_HOME:-$(python -c 'import pyspark, os; print(os.path.dirname(pyspark.__file__))')}"
+exec "$SPARK_HOME/bin/spark-submit" \
+  --master "$MASTER" \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.adaptive.skewJoin.enabled=true \
+  --conf spark.sql.execution.arrow.pyspark.enabled=true \
+  --conf spark.sql.shuffle.partitions=32 \
+  --py-files "$ZIP" \
+  "$REPO/scripts/job_dedup.py" "$@"

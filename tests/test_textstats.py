@@ -93,3 +93,11 @@ def test_fingerprint_udf_matches_python(spark):
     got = {r["repo"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
     for i, t in enumerate(texts):
         assert got[str(i)] == rolling_fingerprint_py(t)
+
+
+def test_bpe_token_count(spark):
+    from dedup_spark.operators.textstats import n_tokens_bpe
+
+    df = _df(spark, [("r", "don't stop42 me-now")])
+    # don | ' | t | stop | 42 | me | - | now  => 8
+    assert df.select(n_tokens_bpe().alias("n")).first()["n"] == 8
