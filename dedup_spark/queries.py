@@ -302,6 +302,23 @@ def q_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream dedup: first event per (user, type, hour) survives —
+    the batch shape of the streaming watermark dedup
+    (streaming/ingest.py::streaming_exact_dups)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for the first 20 query vectors."""
     from dedup_spark.operators.similarity import cosine_topk
@@ -405,6 +422,17 @@ FROM shared
 JOIN counts ca ON ca.file_id = id_a
 JOIN counts cb ON cb.file_id = id_b
 WHERE round(shared / (ca.n_sh + cb.n_sh - shared), 6) >= 0.5
+""",
+    "events_dedup": """
+SELECT event_id, user_id, event_type
+FROM (
+  SELECT event_id, user_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
 """,
     "shingle_counts": f"""
 WITH {SQL_FILES},
@@ -598,6 +626,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "ngram_jaccard": q_ngram_jaccard,
     "shingle_counts": q_shingle_counts,
+    "events_dedup": q_events_dedup,
     "embedding_topk": q_embedding_topk,
     "exact_hash_clusters": q_exact_hash_clusters,
     "exact_dup_sets": q_exact_dup_sets,
