@@ -119,6 +119,86 @@ def token_shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(_mix(sh))
 
 
+def batch_token_shingle_sets(
+    texts: list[str], k: int, normalize: bool = True, chunk_bytes: int = 1 << 18
+) -> list[np.ndarray]:
+    """Distinct k-token shingle hashes for a batch of documents:
+    docs are concatenated (single-space separators) in cache-sized
+    chunks, ONE prefix-sum span-hash pass covers every token of a
+    chunk, and windows that would span a document boundary are masked
+    out. Span hashes are position-relative ((S[j]-S[i])·inv[i]), so
+    every value is bit-identical to the per-doc
+    ``token_shingle_hashes`` path (asserted in tests) — this exists
+    purely to amortize numpy call dispatch (~10 small calls/doc →
+    ~10 calls per 256KB chunk; one unchunked pass over a multi-MB
+    buffer measured SLOWER than per-doc from temporary-array memory
+    traffic).
+    """
+    n_docs = len(texts)
+    out: list[np.ndarray] = [np.empty(0, dtype=np.uint64)] * n_docs
+    if n_docs == 0:
+        return out
+    norm = [normalize_text(t) if normalize else t for t in texts]
+    enc_all = [t.encode("utf-8") for t in norm]
+    i = 0
+    while i < n_docs:
+        j, total = i, 0
+        while j < n_docs and (total == 0 or total + len(enc_all[j]) <= chunk_bytes):
+            total += len(enc_all[j])
+            j += 1
+        for d, arr in enumerate(_token_shingle_chunk(enc_all[i:j], k)):
+            if arr.shape[0]:
+                out[i + d] = arr
+        i = j
+    return out
+
+
+def _token_shingle_chunk(enc: list[bytes], k: int) -> list[np.ndarray]:
+    n_docs = len(enc)
+    out: list[np.ndarray] = [np.empty(0, dtype=np.uint64)] * n_docs
+    buf = np.frombuffer(b" ".join(enc), dtype=np.uint8)
+    if buf.shape[0] == 0:
+        return out
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n_docs)
+    # char offset where each doc starts in the joined buffer
+    doc_char_start = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
+    is_tok = buf != np.uint8(32)
+    starts = np.flatnonzero(is_tok & ~np.concatenate(([False], is_tok[:-1])))
+    ends = np.flatnonzero(is_tok & ~np.concatenate((is_tok[1:], [False]))) + 1
+    t = starts.shape[0]
+    if t == 0:
+        return out
+    S, inv = _span_hash_prefix(buf)
+    with np.errstate(over="ignore"):
+        tok_h = _mix((S[ends] - S[starts]) * inv[starts])
+    tok_doc = np.searchsorted(doc_char_start, starts, side="right") - 1
+    if t < k:
+        return out
+    win = np.lib.stride_tricks.sliding_window_view(tok_h, k)
+    same_doc = tok_doc[: t - k + 1] == tok_doc[k - 1 :]
+    pows = np.empty(k, dtype=np.uint64)
+    pows[0] = np.uint64(1)
+    if k > 1:
+        np.multiply.accumulate(np.full(k - 1, _BASE, dtype=np.uint64), out=pows[1:])
+    with np.errstate(over="ignore"):
+        sh = _mix((win[same_doc] * pows[None, :]).sum(axis=1, dtype=np.uint64))
+    sh_doc = tok_doc[: t - k + 1][same_doc]
+    if sh.shape[0] == 0:
+        return out
+    # per-doc distinct: global (doc, hash) sort, then dedupe + split
+    order = np.lexsort((sh, sh_doc))
+    sh, sh_doc = sh[order], sh_doc[order]
+    keep = np.concatenate(
+        ([True], (sh[1:] != sh[:-1]) | (sh_doc[1:] != sh_doc[:-1]))
+    )
+    sh, sh_doc = sh[keep], sh_doc[keep]
+    split_at = np.searchsorted(sh_doc, np.arange(1, n_docs))
+    for d, arr in enumerate(np.split(sh, split_at)):
+        if arr.shape[0]:
+            out[d] = arr
+    return out
+
+
 def shingle_set(text: str, k: int, unit: str = "token", normalize: bool = True) -> np.ndarray:
     if normalize:
         text = normalize_text(text)

@@ -48,12 +48,19 @@ def make_signature_udf(config: DedupConfig):
 
     @pandas_udf(SIGNATURE_SCHEMA)
     def signature_udf(content: pd.Series) -> pd.DataFrame:
-        from dedup_spark.functions.shingles import batch_minhash_simhash
+        from dedup_spark.functions.shingles import (
+            batch_minhash_simhash,
+            batch_token_shingle_sets,
+        )
 
         hasher = state.get("h")
         if hasher is None:
             hasher = state["h"] = MinHasher(n)
-        shingle_arrays = [shingle_set(text or "", k, unit, norm) for text in content]
+        texts = [text or "" for text in content]
+        if unit == "token":
+            shingle_arrays = batch_token_shingle_sets(texts, k, norm)
+        else:
+            shingle_arrays = [shingle_set(text, k, unit, norm) for text in texts]
         counts = [sh.shape[0] for sh in shingle_arrays]
         sigs, sims = batch_minhash_simhash(shingle_arrays, hasher)
         return pd.DataFrame(

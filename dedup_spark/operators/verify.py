@@ -44,14 +44,31 @@ def make_content_verify_udf(config: DedupConfig):
 
     @pandas_udf(_VERIFY_SCHEMA)
     def verify_udf(content_a: pd.Series, content_b: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
         from dedup_spark.functions.lcs import containment_score
-        from dedup_spark.functions.shingles import exact_jaccard
+        from dedup_spark.functions.shingles import shingle_set
+
+        # one doc participates in many pairs: memoize its shingle set
+        # for the batch (keyed by the string object's content)
+        cache: dict[str, np.ndarray] = {}
+
+        def sh(text: str) -> np.ndarray:
+            s = cache.get(text)
+            if s is None:
+                s = cache[text] = shingle_set(text, k, unit, norm)
+            return s
 
         jac, cont = [], []
         for a, b in zip(content_a, content_b):
             a = a or ""
             b = b or ""
-            j = exact_jaccard(a, b, k, unit, norm)
+            sa, sb = sh(a), sh(b)
+            if sa.shape[0] == 0 or sb.shape[0] == 0:
+                j = 0.0
+            else:
+                inter = np.intersect1d(sa, sb).shape[0]
+                j = inter / (sa.shape[0] + sb.shape[0] - inter)
             jac.append(j)
             cont.append(None if j >= threshold else containment_score(a, b))
         return pd.DataFrame({"jaccard": jac, "containment": cont})

@@ -133,3 +133,35 @@ def test_batch_kernel_matches_per_doc():
         else:
             assert np.array_equal(sig, ref_sig)
             assert sim == ref_sim
+
+
+def test_batch_shingle_sets_match_per_doc():
+    import numpy as np
+
+    from dedup_spark.functions.shingles import (
+        batch_token_shingle_sets,
+        token_shingle_hashes,
+        normalize_text,
+    )
+
+    texts = [
+        "The Quick   Brown fox jumps over the lazy dog again and again",
+        "",
+        "   ",
+        "a b",  # fewer tokens than k
+        "def main return none for i in range len args print i",
+        "one two three four five",  # exactly k tokens
+        "x " * 300,  # many duplicate shingles
+    ]
+    batch = batch_token_shingle_sets(texts, 5, normalize=True)
+    for t, got in zip(texts, batch):
+        ref = token_shingle_hashes(normalize_text(t), 5)
+        assert np.array_equal(got, ref), t[:30]
+
+
+def test_batch_shingle_sets_no_cross_doc_windows():
+    from dedup_spark.functions.shingles import batch_token_shingle_sets
+
+    # two 3-token docs, k=5: every window would span the boundary
+    batch = batch_token_shingle_sets(["a b c", "d e f"], 5, normalize=False)
+    assert all(arr.shape[0] == 0 for arr in batch)
