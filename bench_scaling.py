@@ -165,10 +165,13 @@ def main() -> None:
         "local8": lo,
         "local32": hi,
     }
-    # Keep a run history and headline the best run: host CPU-steal
-    # bursts (trial walls observed up to 2.4x apart for identical work)
-    # only ever depress a run, so max-over-runs estimates the
-    # steal-free machine. Every run is retained for inspection.
+    # Keep a run history. Headline policy: host CPU-steal bursts (trial
+    # walls observed up to 2.4x apart for identical work) only ever
+    # DEPRESS a level's throughput — but E is a RATIO, so a depressed N
+    # level inflates E; picking max E over history would systematically
+    # select degraded-baseline runs. Instead take the min wall (= max
+    # fps) PER LEVEL across all runs at the same n_files, then compute
+    # E once from that steal-free pair. Every run is retained.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scaling.json")
     history = []
     if os.path.exists(out_path):
@@ -181,15 +184,22 @@ def main() -> None:
         except (json.JSONDecodeError, OSError):
             pass
     history.append({k: result[k] for k in ("value", "n_files", "local8", "local32")})
-    best = max(history, key=lambda r: r.get("value", 0))
+    same_n = [r for r in history if r.get("n_files") == n]
+    best_lo = max((r["local8"] for r in same_n), key=lambda s: s["files_per_sec"])
+    best_hi = max((r["local32"] for r in same_n), key=lambda s: s["files_per_sec"])
+    paired_eff = round((best_hi["files_per_sec"] / best_lo["files_per_sec"]) / 4.0, 3)
     final = {
         "metric": result["metric"],
-        "value": best["value"],
+        "value": paired_eff,
         "target": 0.8,
-        "n_files": best["n_files"],
-        "local8": best["local8"],
-        "local32": best["local32"],
-        "headline_policy": "best of recorded runs (host steal-noise only depresses runs)",
+        "n_files": n,
+        "local8": best_lo,
+        "local32": best_hi,
+        "headline_policy": (
+            "min wall per level across runs at this n_files, then one ratio "
+            "(steal-free estimate of BOTH levels; max-E-over-history would "
+            "select degraded-baseline runs)"
+        ),
         "runs": history,
     }
     with open(out_path, "w") as f:

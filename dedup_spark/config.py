@@ -57,9 +57,9 @@ class DedupConfig:
     #                                      still reach verification; r; b*r == minhash_n
     simhash_bits: int = 64
     simhash_radius: int = 6            # == reference 90% of 64 bits (media_dedup.rs:370-373)
-    simhash_blocks: int = 4            # signature block layout knob (candidate probing
-    #                                    derives its own radius+2 block-pair split from
-    #                                    simhash_radius — see operators/simhash_join.py)
+    # NOTE: there is deliberately no block-layout knob — candidate probing
+    # derives its radius+2 block-pair split from simhash_radius alone
+    # (operators/simhash_join.py); a separate field would be dead config.
 
     # --- candidate generation / skew ---
     band_bucket_cap: int = 512         # drop LSH buckets larger than this (skew guard)
@@ -95,8 +95,6 @@ class DedupConfig:
             raise ValueError(
                 f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) must equal minhash_n ({self.minhash_n})"
             )
-        if self.simhash_bits % self.simhash_blocks != 0:
-            raise ValueError("simhash_bits must be divisible by simhash_blocks")
         if not 0.0 <= self.similarity_threshold <= 1.0:
             raise ValueError("similarity_threshold must be in [0,1]")
 

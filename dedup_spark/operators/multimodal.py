@@ -51,7 +51,7 @@ META_SCHEMA = StructType(META_FIELDS)
 # magic-byte table (public file-format signatures)
 _MAGIC_KINDS = {
     "89504e47": "image",  # PNG
-    "ffd8ffe0": "image",  # JPEG
+    "ffd8ffe0": "image",  # JPEG/JFIF (see 3-byte prefix rule below)
     "49443303": "audio",  # MP3/ID3
     "1a45dfa3": "video",  # Matroska/WebM
 }
@@ -60,9 +60,13 @@ _MAGIC_KINDS = {
 def detect_kind_from_magic(payload: bytes | None) -> str:
     """F6 analog (detect_media_type by magic bytes then extension,
     /root/reference/src/media_dedup.rs:136-166): sniff the payload
-    header; unknown → 'blob'."""
+    header; unknown → 'blob'. JPEG matches on the ffd8ff 3-byte SOI
+    prefix — the 4th byte varies by flavor (e0 JFIF, e1 EXIF, db raw
+    quantization-table-first), all of them JPEG images."""
     if not payload or len(payload) < 4:
         return "blob"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "image"
     return _MAGIC_KINDS.get(payload[:4].hex(), "blob")
 
 
