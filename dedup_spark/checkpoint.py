@@ -1,5 +1,5 @@
 """Signature checkpoint store — the reference's hash cache (J2/S5/S6,
-/root/reference/src/file_cache.rs) as a table.
+/root/reference/src/file_cache.rs) as a partitioned table.
 
 Reference semantics reproduced:
 - keyed lookup: path → cached hash, valid iff size+mtime+algorithm match
@@ -7,12 +7,27 @@ Reference semantics reproduced:
   (repo, path, commit); validity = stored sha256 matches the row's
   current sha256 (content-addressed — strictly stronger than mtime).
 - atomic publish: temp file + rename (src/file_cache.rs:183-223) → here
-  a staged parquet directory swapped into place (on a catalog-backed
-  deployment this is one Iceberg MERGE INTO snapshot commit; the parquet
-  path keeps the sandbox dependency-free — same protocol, same
-  atomicity point).
+  each save stages a parquet directory and renames it into place as ONE
+  new generation (on a catalog-backed deployment this is one Iceberg
+  MERGE INTO snapshot commit; the parquet path keeps the sandbox
+  dependency-free — same protocol, same atomicity point).
 - per-partition lineage + metrics rows (north_rule): every save records
-  (run_id, n_rows, n_reused, n_computed, ts) to <path>/_metrics.
+  (run_id, n_rows, n_reused, ts) to <path>/_metrics.
+
+Layout — generational append + hash-bucket partitioning::
+
+    <path>/data/gen=<g>/bucket=<b>/part-*.parquet
+
+Each ``save`` writes ONLY its own rows as the next generation ``g``
+(bucketed by ``pmod(xxhash64(key), n_buckets)``), so save cost is
+O(batch), not O(store): a steady-state incremental/streaming ingest
+pays a flat per-batch price. Upsert semantics (new rows win on key
+collision) are resolved at read time — latest generation per key —
+and periodically folded back into one generation by ``compact()``
+(auto-triggered every ``compact_every`` saves; amortized O(store /
+compact_every) per save). The bucket column co-partitions compaction
+merges and maps 1:1 onto an Iceberg bucket-transform partition spec at
+deployment scale.
 
 Usage (compute-where-null, the reference's cache probe loop
 src/file_utils.rs:552-604 as one join)::
@@ -20,7 +35,7 @@ src/file_utils.rs:552-604 as one join)::
     store = SignatureStore(spark, path, config)
     sigs  = store.with_cached_signatures(files_with_sha)   # left join
     fresh = compute_signatures(sigs.filter(no cache hit))
-    store.save(fresh.union(hits))
+    store.save(fresh)                                      # appends one gen
 """
 
 from __future__ import annotations
@@ -30,29 +45,97 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dedup_spark.config import DedupConfig
 
 CACHE_KEY = ["repo", "path", "commit"]
-CACHE_COLS = CACHE_KEY + ["hash", "minhash", "simhash", "n_shingles"]
+VALUE_COLS = ["hash", "minhash", "simhash", "n_shingles"]
+CACHE_COLS = CACHE_KEY + VALUE_COLS
+
+
+def ensure_checkpoint_dir(spark: SparkSession, config: DedupConfig) -> None:
+    """Point the context at ``config.checkpoint_dir`` (tmp fallback)
+    once; reliable ``df.checkpoint()`` requires it."""
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None or config.checkpoint_dir:
+        import tempfile
+
+        sc.setCheckpointDir(
+            config.checkpoint_dir or tempfile.mkdtemp(prefix="dedup_ckpt_")
+        )
+
+
+def lineage_cut(df: DataFrame, config: DedupConfig, eager: bool = True) -> DataFrame:
+    """Cut lineage per ``config.checkpoint_mode`` (see config.py for the
+    durability trade). Reference analog: the crash-safe cache publish,
+    /root/reference/src/file_cache.rs:183-223 — a failed run resumes
+    from the last committed cut instead of re-hashing the world.
+
+    ``eager=False`` defers materialization to the FIRST downstream
+    action — callers that immediately run a small aggregate (e.g. the
+    CC convergence probe) fold the checkpoint job into it, halving
+    per-iteration driver round-trips. Reliable mode persists first so
+    the checkpoint-file write doesn't recompute the frame, and is
+    always eager (the unpersist point must be known).
+    """
+    if config.checkpoint_mode == "reliable":
+        ensure_checkpoint_dir(df.sparkSession, config)
+        df = df.persist()
+        out = df.checkpoint(eager=True)
+        df.unpersist()
+        return out
+    return df.localCheckpoint(eager=eager)
 
 
 class SignatureStore:
-    def __init__(self, spark: SparkSession, path: str, config: DedupConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        config: DedupConfig,
+        n_buckets: int = 16,
+        compact_every: int = 16,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.config = config
+        self.n_buckets = n_buckets
+        self.compact_every = compact_every
 
     @property
     def _data_dir(self) -> str:
         return f"{self.path}/data"
 
+    def _bucket(self) -> Column:
+        return F.pmod(F.xxhash64(*CACHE_KEY), F.lit(self.n_buckets))
+
+    def generations(self) -> list[int]:
+        if not os.path.isdir(self._data_dir):
+            return []
+        return sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(self._data_dir)
+            if e.startswith("gen=")
+        )
+
     def load(self) -> DataFrame | None:
-        if not os.path.exists(self._data_dir):
+        """Latest-generation-per-key view of the store (the MERGE INTO
+        read side). Single-generation stores (freshly compacted) skip
+        the resolution shuffle — keys are unique by construction."""
+        gens = self.generations()
+        if not gens:
             return None
-        return self.spark.read.parquet(self._data_dir)
+        df = self.spark.read.parquet(self._data_dir)
+        if len(gens) == 1:
+            return df.select(*CACHE_COLS)
+        latest = F.max_by(F.struct(*[F.col(c) for c in VALUE_COLS]), F.col("gen"))
+        return (
+            df.groupBy(*CACHE_KEY)
+            .agg(latest.alias("_v"))
+            .select(*CACHE_KEY, *[F.col(f"_v.{c}").alias(c) for c in VALUE_COLS])
+        )
 
     def with_cached_signatures(self, files: DataFrame, hash_col: str = "hash") -> DataFrame:
         """Left-join cached signatures; ``cache_hit`` is true only when
@@ -85,25 +168,49 @@ class SignatureStore:
         )
 
     def save(self, sigs: DataFrame, n_reused: int | None = None) -> None:
-        """Upsert: new rows win on key collision (MERGE INTO analog),
-        published by atomic directory swap.
+        """Append ``sigs`` as one new generation — O(batch), published by
+        an atomic directory rename (one snapshot commit). Callers pass
+        ONLY new/changed rows (cache misses); key collisions with older
+        generations are resolved latest-wins at read time. Empty saves
+        publish nothing but still record a metrics row. Triggers
+        compaction every ``compact_every`` generations.
         """
-        new = sigs.select(*CACHE_COLS)
-        existing = self.load()
-        if existing is not None:
-            merged = new.unionByName(existing.join(new.select(*CACHE_KEY), CACHE_KEY, "left_anti"))
-        else:
-            merged = new
+        new = sigs.select(*CACHE_COLS).dropDuplicates(CACHE_KEY)
         staged = f"{self.path}/_staged_{uuid.uuid4().hex}"
-        merged.write.mode("overwrite").parquet(staged)
-        n_rows = self.spark.read.parquet(staged).count()
-        old = f"{self.path}/_old_{uuid.uuid4().hex}"
-        if os.path.exists(self._data_dir):
-            os.rename(self._data_dir, old)
-        os.rename(staged, self._data_dir)  # atomic publish point
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        new.withColumn("bucket", self._bucket()).write.partitionBy("bucket").parquet(staged)
+        has_files = any(
+            f.endswith(".parquet") for _r, _d, fs in os.walk(staged) for f in fs
+        )
+        n_rows = self.spark.read.parquet(staged).count() if has_files else 0
+        if n_rows == 0:
+            shutil.rmtree(staged, ignore_errors=True)
+        else:
+            gens = self.generations()
+            next_gen = (gens[-1] + 1) if gens else 0
+            os.makedirs(self._data_dir, exist_ok=True)
+            os.rename(staged, f"{self._data_dir}/gen={next_gen}")  # atomic publish point
         self._record_metrics(n_rows, n_reused)
+        if len(self.generations()) >= self.compact_every:
+            self.compact()
+
+    def compact(self) -> None:
+        """Fold all generations into one (latest-per-key), atomically
+        swapping the data directory — the maintenance-compaction analog
+        of Iceberg's rewrite_data_files. Keeps the max generation number
+        so subsequent saves keep appending monotonically."""
+        gens = self.generations()
+        if len(gens) <= 1:
+            return
+        resolved = self.load().withColumn("bucket", self._bucket())
+        staged = f"{self.path}/_staged_{uuid.uuid4().hex}"
+        resolved.write.partitionBy("bucket").parquet(staged)  # reads old dir here
+        newdata = f"{self.path}/_newdata_{uuid.uuid4().hex}"
+        os.makedirs(newdata)
+        os.rename(staged, f"{newdata}/gen={gens[-1]}")
+        old = f"{self.path}/_old_{uuid.uuid4().hex}"
+        os.rename(self._data_dir, old)
+        os.rename(newdata, self._data_dir)  # atomic publish point
+        shutil.rmtree(old, ignore_errors=True)
 
     def _record_metrics(self, n_rows: int, n_reused: int | None) -> None:
         row = [(uuid.uuid4().hex, int(n_rows), n_reused, float(time.time()))]

@@ -82,6 +82,17 @@ class DedupConfig:
 
     # --- checkpoint / resume (J2/S5/S6) ---
     cache_path: str | None = None      # parquet dir (Iceberg table when available)
+    # Lineage-cut durability for multi-stage frames and CC iterations:
+    # "local"    — localCheckpoint: executor-memory/disk blocks, NO
+    #              replication. Fastest; right for single-host runs and
+    #              tests, but one executor loss kills the job.
+    # "reliable" — checkpoint() to checkpoint_dir (HDFS/S3 on a real
+    #              cluster): survives executor loss; the job resumes
+    #              from the last cut instead of recomputing from scratch
+    #              (north_rule "resumable from checkpoint"). Costs one
+    #              extra materialization per cut.
+    checkpoint_mode: str = "local"
+    checkpoint_dir: str | None = None  # required-ish for "reliable" (tmp fallback)
 
     # --- execution ---
     shuffle_partitions: int | None = None
@@ -97,6 +108,10 @@ class DedupConfig:
             )
         if not 0.0 <= self.similarity_threshold <= 1.0:
             raise ValueError("similarity_threshold must be in [0,1]")
+        if self.checkpoint_mode not in ("local", "reliable"):
+            raise ValueError(
+                f"unknown checkpoint_mode {self.checkpoint_mode!r}; 'local' or 'reliable'"
+            )
 
     def with_(self, **kw) -> "DedupConfig":
         return replace(self, **kw)

@@ -11,15 +11,26 @@ MapReduce and Beyond") as an iterative DataFrame job:
   link u and all smaller neighbors to m.
 
 Both are groupBy+join rounds; the edge set converges to stars rooted at
-each component's minimum id in O(log n) rounds. Each iteration is
-localCheckpoint'ed to cut lineage (SURVEY §4 item 4); convergence is
-detected by an order-insensitive edge-set checksum.
+each component's minimum id in O(log n) rounds.
+
+Driver-loop economy (the Amdahl serial term the scaling bench charges
+per round): each iteration issues exactly ONE Spark action — the
+lineage cut is lazy (``eager=False``) and is materialized by the
+convergence-checksum job itself, so checkpointing and convergence
+detection share a single driver round-trip. The checksum is an
+order-insensitive (count, xor-of-edge-hashes) pair — star transforms
+permute rows freely across partitions without breaking it. Durability
+of the per-iteration cut follows ``config.checkpoint_mode``
+(localCheckpoint for single-host speed, reliable checkpoint files for
+executor-loss resumability — north_rule "resumable from checkpoint").
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from dedup_spark.config import DedupConfig
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:
@@ -65,20 +76,25 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    config: DedupConfig | None = None,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``; the
     cluster id is the component's minimum node id (deterministic labels,
     SURVEY §7.3).
     """
-    edges = (
+    from dedup_spark.checkpoint import lineage_cut
+
+    cfg = config or DedupConfig()
+    edges = lineage_cut(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        cfg,
+        eager=False,
     )
-    prev = _checksum(edges)
+    prev = _checksum(edges)  # materializes the cut in the same job
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = lineage_cut(_small_star(_large_star(edges)), cfg, eager=False)
         cur = _checksum(edges)
         if cur == prev:
             break

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dedup_spark.checkpoint import SignatureStore
+from dedup_spark.checkpoint import SignatureStore, lineage_cut
 from dedup_spark.config import DedupConfig
 from dedup_spark.functions.signatures import with_signatures
 from dedup_spark.operators.cc import connected_components
@@ -42,6 +42,11 @@ class DedupPipeline:
             if self.config.cache_path
             else None
         )
+
+    def _cut(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """Lineage cut honoring config.checkpoint_mode (local vs
+        reliable — see checkpoint.lineage_cut)."""
+        return lineage_cut(df, self.config, eager=eager)
 
     # ---- stages -----------------------------------------------------
     def load(self, source: str) -> DataFrame:
@@ -136,7 +141,9 @@ class DedupPipeline:
         w = Window.partitionBy("hash")
         with_rep = sigs.withColumn("exact_rep", F.min("file_id").over(w))
         comp = connected_components(
-            verified_pairs, max_iterations=self.config.cc_max_iterations
+            verified_pairs,
+            max_iterations=self.config.cc_max_iterations,
+            config=self.config,
         ).withColumnsRenamed({"node": "exact_rep", "cluster_id": "fuzzy_label"})
         out = with_rep.join(comp, "exact_rep", "left").withColumn(
             "cluster_id", F.coalesce("fuzzy_label", "exact_rep")
@@ -154,9 +161,11 @@ class DedupPipeline:
             files = prepare_code_files(source, self.config)
         sigs = self.signatures(files)
         if self.store is not None:
-            sigs = sigs.localCheckpoint()  # compute once: reused by save + downstream
+            sigs = self._cut(sigs)  # compute once: reused by save + downstream
             n_reused = sigs.filter(F.col("cache_hit")).count()
-            self.store.save(sigs, n_reused=n_reused)
+            # append ONLY the fresh rows — the store is generational
+            # (O(batch) saves); cache hits are already in older gens
+            self.store.save(sigs.filter(~F.col("cache_hit")), n_reused=n_reused)
             sigs = sigs.drop("cache_hit")
         # content stays behind in ``files``: every downstream window,
         # join, and checkpoint moves only ids + signatures; verification
@@ -164,8 +173,8 @@ class DedupPipeline:
         # feeds representatives AND the final cluster window; reps feeds
         # both candidate joins — without a cut, Catalyst re-runs the
         # signature UDF once per branch.
-        sigs = sigs.drop("content").localCheckpoint()
-        reps = self.representatives(sigs).localCheckpoint()
+        sigs = self._cut(sigs.drop("content"))
+        reps = self._cut(self.representatives(sigs))
         pairs = self.candidates(reps)
         verified = self.verify(pairs, reps, content_df=files.select("file_id", "content"))
         clusters = self.cluster(sigs, verified)

@@ -12,12 +12,21 @@ Structured Streaming:
   parquet/file source (new files appear as micro-batches).
 - ``run_incremental_dedup``: ``foreachBatch`` loop — each batch is
   hashed + signed with the SAME batch kernels (no second code path),
-  joined against the persistent ``SignatureStore`` for exact-dup
-  lookup, appended to the store (MERGE semantics), and duplicate hits
-  are appended to a report sink. State lives in the store table, not
-  executor memory → restarts resume from the last committed batch
-  (checkpointLocation) with no state loss, and state size is bounded
-  by the table, not the stream.
+  probed for duplicates BOTH against the persistent ``SignatureStore``
+  (history) and within the batch itself (two identical files arriving
+  in one micro-batch — the reference's rescan loop would report them,
+  so we must too), then appended to the store as ONE new generation
+  (O(batch) saves — flat per-batch cost at steady state). State lives
+  in the store table, not executor memory → restarts resume from the
+  last committed batch (checkpointLocation) with no state loss, and
+  state size is bounded by the table, not the stream.
+
+  foreachBatch is at-least-once: a batch retried after its sink writes
+  but before the streaming checkpoint commits re-runs with the same
+  ``batch_id``. Both sinks are therefore idempotent per batch — the
+  store save keys collisions latest-wins at read time, and report rows
+  land in a ``batch_id=<id>`` partition directory written with
+  overwrite (a retry replaces, never double-appends).
 - ``streaming_exact_dups``: pure-streaming variant for bounded
   windows — ``dropDuplicatesWithinWatermark`` on the content hash
   (event-time bounded state), for when at-scale global state is
@@ -82,11 +91,20 @@ def run_incremental_dedup(
 
     Per micro-batch:
       1. hash + sign the batch (same kernels as the batch engine);
-      2. exact-dup probe: hash-equi join against the store → rows whose
-         content was already seen anywhere in history become report
-         rows (first_path = where it was seen first);
-      3. store upsert (atomic publish, lineage metrics row per batch).
+      2. duplicate probe — a batch row is a duplicate if its hash was
+         EITHER already in the store (first_path = where history saw it
+         first) OR carried by an earlier row of the same batch
+         (first_path = that row; 'earlier' = (repo, path, commit)
+         order, deterministic). History wins when both apply.
+      3. report rows → ``<report_path>/batch_id=<id>/`` with overwrite
+         (idempotent under foreachBatch retries);
+      4. store append: one new generation (atomic publish, O(batch),
+         lineage metrics row per batch).
     """
+    import shutil
+
+    from pyspark.sql.window import Window
+
     cfg = config or DedupConfig()
     store = SignatureStore(spark, store_path, cfg)
 
@@ -94,24 +112,40 @@ def run_incremental_dedup(
         b = batch.select(*CODE_FILES_COLUMNS)
         sigs = with_signatures(with_content_hash(b, cfg), cfg)
         sigs = sigs.localCheckpoint()  # one computation: probe + save
+        # intra-batch probe: first row of each hash (deterministic
+        # order) is the original; later rows are duplicates of it
+        w = Window.partitionBy("hash").orderBy("repo", "path", "commit")
+        ranked = (
+            sigs.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_b_repo", F.first("repo").over(w))
+            .withColumn("_b_path", F.first("path").over(w))
+        )
         existing = store.load()
         if existing is not None:
-            hits = (
-                sigs.join(
-                    existing.select(
-                        F.col("hash"),
-                        F.col("path").alias("first_path"),
-                        F.col("repo").alias("first_repo"),
-                    ).dropDuplicates(["hash"]),
-                    "hash",
-                )
-                .withColumn("batch_id", F.lit(batch_id))
-                .select(
-                    "batch_id", "hash", "repo", "path", "commit",
-                    "first_repo", "first_path",
-                )
+            hist = existing.select(
+                F.col("hash"),
+                F.col("path").alias("_h_path"),
+                F.col("repo").alias("_h_repo"),
+            ).dropDuplicates(["hash"])
+            ranked = ranked.join(hist, "hash", "left")
+        else:
+            ranked = ranked.withColumn("_h_path", F.lit(None).cast("string")).withColumn(
+                "_h_repo", F.lit(None).cast("string")
             )
-            hits.write.mode("append").parquet(report_path)
+        hits = (
+            ranked.filter(F.col("_h_path").isNotNull() | (F.col("_rn") > 1))
+            .select(
+                "hash", "repo", "path", "commit",
+                F.coalesce("_h_repo", "_b_repo").alias("first_repo"),
+                F.coalesce("_h_path", "_b_path").alias("first_path"),
+            )
+            .localCheckpoint()
+        )
+        batch_dir = f"{report_path}/batch_id={batch_id}"
+        if hits.count() > 0:
+            hits.write.mode("overwrite").parquet(batch_dir)  # retry-safe
+        else:
+            shutil.rmtree(batch_dir, ignore_errors=True)  # undo a half-failed retry
         store.save(sigs)
 
     return (

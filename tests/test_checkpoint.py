@@ -85,6 +85,74 @@ def test_invalidation_on_content_change(spark, cache_dir):
     assert row["hash"] == hashlib.sha256(changed[0][4].encode()).hexdigest()
 
 
+def test_second_save_appends_only_new_generation(spark, cache_dir):
+    """O(batch) saves: a second save must not rewrite existing data
+    files — it appends one new generation directory; upserts resolve
+    latest-wins at read time; compaction folds back to one gen."""
+    import os
+
+    from dedup_spark.checkpoint import SignatureStore
+
+    cfg = RECALL_CONFIG.with_(cache_path=cache_dir)
+    store = SignatureStore(spark, cache_dir, cfg)
+    schema = (
+        "repo string, path string, commit string, hash string, "
+        "minhash array<int>, simhash long, n_shingles int"
+    )
+    a = spark.createDataFrame(
+        [("r", "a.py", "c", "H_A1", [1, 2], 10, 2), ("r", "b.py", "c", "H_B", [3], 11, 1)],
+        schema,
+    )
+    store.save(a)
+    assert store.generations() == [0]
+    gen0 = f"{cache_dir}/data/gen=0"
+    files_before = {
+        (p, os.path.getmtime(os.path.join(root, p)))
+        for root, _d, fs in os.walk(gen0)
+        for p in fs
+    }
+
+    # second save: one changed key (a.py new hash) + one new key
+    b = spark.createDataFrame(
+        [("r", "a.py", "c", "H_A2", [9, 9], 12, 2), ("r", "c.py", "c", "H_C", [5], 13, 1)],
+        schema,
+    )
+    store.save(b)
+    assert store.generations() == [0, 1]
+    files_after = {
+        (p, os.path.getmtime(os.path.join(root, p)))
+        for root, _d, fs in os.walk(gen0)
+        for p in fs
+    }
+    assert files_before == files_after  # gen=0 untouched
+
+    resolved = {r["path"]: r["hash"] for r in store.load().collect()}
+    assert resolved == {"a.py": "H_A2", "b.py": "H_B", "c.py": "H_C"}
+
+    store.compact()
+    assert store.generations() == [1]
+    resolved2 = {r["path"]: r["hash"] for r in store.load().collect()}
+    assert resolved2 == resolved
+
+
+def test_auto_compaction_threshold(spark, cache_dir):
+    from dedup_spark.checkpoint import SignatureStore
+
+    cfg = RECALL_CONFIG.with_(cache_path=cache_dir)
+    store = SignatureStore(spark, cache_dir, cfg, compact_every=3)
+    schema = (
+        "repo string, path string, commit string, hash string, "
+        "minhash array<int>, simhash long, n_shingles int"
+    )
+    for i in range(4):
+        store.save(
+            spark.createDataFrame([("r", f"f{i}.py", "c", f"H{i}", [i], i, 1)], schema)
+        )
+    # 3rd save hit the threshold and compacted; 4th appended on top
+    assert len(store.generations()) <= 2
+    assert store.load().count() == 4
+
+
 def test_atomic_swap_leaves_single_data_dir(spark, cache_dir, tmp_path):
     rows = [("r", "p.py", "c", "python", "content words here " * 8)]
     schema = "repo string, path string, commit string, lang string, content string"

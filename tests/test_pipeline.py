@@ -126,3 +126,26 @@ def test_skew_metrics_surface_dropped_buckets(spark):
     # 5 identical contents share every band and every block-pair value
     assert sources == {"lsh_band", "simhash_blockpair"}
     assert over.filter("n != 5").count() == 0
+
+
+def test_reliable_checkpoint_mode_matches_local(spark, corpus, clusters, tmp_path):
+    """checkpoint_mode='reliable' (real checkpoint files, executor-loss
+    resumable) must produce identical cluster assignments to the default
+    localCheckpoint mode, and must actually write checkpoint data."""
+    import os
+
+    cfg = RECALL_CONFIG.with_(
+        checkpoint_mode="reliable", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    rel = DedupPipeline(spark, cfg).run(corpus_df(spark, corpus))
+    a = sorted(
+        (r["repo"], r["path"], r["commit"], r["cluster_id"])
+        for r in rel.select("repo", "path", "commit", "cluster_id").collect()
+    )
+    b = sorted(
+        (r["repo"], r["path"], r["commit"], r["cluster_id"])
+        for r in clusters.select("repo", "path", "commit", "cluster_id").collect()
+    )
+    assert a == b
+    ckpt = str(tmp_path / "ckpt")
+    assert os.path.isdir(ckpt) and any(os.scandir(ckpt))  # files were written

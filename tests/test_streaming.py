@@ -68,6 +68,55 @@ def test_incremental_restart_is_idempotent(spark, tmp_path):
     assert stored.count() == 2
 
 
+def test_intra_batch_duplicates_reported(spark, tmp_path):
+    """Two identical new files arriving in ONE micro-batch must be
+    reported (the reference's rescan loop would see them; probing only
+    the pre-existing store silently admits both)."""
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(
+        spark,
+        src,
+        [
+            ("r1", "a.py", "c1", "py", "same body here"),
+            ("r1", "z_copy.py", "c1", "py", "same body here"),
+            ("r1", "other.py", "c1", "py", "different body"),
+        ],
+        "b1",
+    )
+    run_incremental_dedup(spark, src, store, report, ckpt).awaitTermination(120)
+    rep = spark.read.parquet(report).collect()
+    assert len(rep) == 1
+    assert rep[0]["path"] == "z_copy.py"
+    assert rep[0]["first_path"] == "a.py"  # first row of the batch wins
+    assert rep[0]["batch_id"] == 0
+
+
+def test_flat_per_batch_save_cost(spark, tmp_path):
+    """Generational store: each micro-batch save appends ONE generation
+    of exactly the batch's rows — per-batch cost must not grow with
+    store history (was: full-table rewrite per batch)."""
+    from dedup_spark.checkpoint import SignatureStore
+
+    src = str(tmp_path / "src")
+    store_path = str(tmp_path / "store")
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(5):
+        _write_batch(
+            spark, src, [("r", f"f{i}.py", "c", "py", f"unique body {i}")], f"b{i}"
+        )
+        run_incremental_dedup(spark, src, store_path, report, ckpt).awaitTermination(120)
+    store = SignatureStore(spark, store_path, DedupConfig())
+    # one generation per batch, each holding only that batch's rows
+    assert len(store.generations()) == 5
+    m = store.metrics().orderBy("ts").collect()
+    assert [r["n_rows"] for r in m] == [1, 1, 1, 1, 1]  # flat, not cumulative
+    assert store.load().count() == 5
+
+
 def test_streaming_exact_dups_drops_replays(spark, tmp_path):
     src = str(tmp_path / "src")
     out_rows = []
