@@ -62,13 +62,15 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: random-hyperplane LSH buckets + exact re-rank
-    (seeded planes; probabilistic recall → rows-only check)."""
+    """ANN scale path: random-hyperplane LSH buckets + 1-flip
+    multiprobe + exact re-rank (seeded planes; probabilistic recall →
+    rows-only check; recall@5 >= 0.9 gated in
+    tests/test_similarity.py::test_ann_recall_at_contract_params)."""
     from dedup_spark.operators.similarity import ann_topk_rhp
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann_topk_rhp(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, n_planes=8, n_tables=8, dim=64
+        emb, emb.filter(F.col("vec_id") < 20), k=5, dim=64
     ).orderBy("query_id", "neighbor_id")
 
 
@@ -81,12 +83,17 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(files).select("file_id", "fingerprint").orderBy("file_id")
 
 
-def _q_asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads → mapInPandas metadata
-    extraction (magic sniff + deterministic fake decode)."""
-    from dedup_spark.operators.multimodal import documents_as_assets, extract_asset_meta
+def _q_binary_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary near-dup end-to-end: payload bytes → hex char-shingle
+    signatures → full MinHash/SimHash/verify/CC pipeline (rows-only:
+    signature/iterative stages have no SQL equivalent)."""
+    from dedup_spark.operators.multimodal import (
+        binary_near_dup_clusters,
+        documents_as_assets,
+    )
 
-    return extract_asset_meta(documents_as_assets(spark, sf_dir)).orderBy("asset_id")
+    assets = documents_as_assets(spark, sf_dir)
+    return binary_near_dup_clusters(assets).orderBy("asset_id")
 
 
 _ROWS_ONLY = {
@@ -94,7 +101,7 @@ _ROWS_ONLY = {
     "near_dup_clusters": _q_near_dup_clusters,
     "embedding_ann": _q_embedding_ann,
     "doc_fingerprint": _q_doc_fingerprint,
-    "asset_meta": _q_asset_meta,
+    "binary_near_dup": _q_binary_near_dup,
 }
 
 

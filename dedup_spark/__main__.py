@@ -48,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--deduplicate", action="store_true",
                    help="with --target: also report cross-source duplicate sets")
     p.add_argument("--output", "-o", help="report output path")
-    p.add_argument("--format", "-f", choices=["json", "parquet"], default="json")
+    p.add_argument("--format", "-f", choices=["json", "parquet", "toml"], default="json")
     p.add_argument("--cache-location", help="signature store path (resumable reruns)")
     p.add_argument("--parallel", type=int, default=None, help="shuffle partitions")
     p.add_argument("--master", default=None, help="spark master (default local[*])")

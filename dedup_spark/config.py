@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
 
-HASH_ALGORITHMS = ("sha256", "md5", "sha1", "crc32", "xxhash64")
+HASH_ALGORITHMS = ("sha256", "md5", "sha1", "crc32", "xxhash64", "fnv1a", "blake3")
 
 KEEP_STRATEGIES = (
     "shortest_path",   # src/file_utils.rs:1008-1015 (min path length)

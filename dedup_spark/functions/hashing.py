@@ -4,8 +4,10 @@ The reference reads whole files and emits lowercase hex digests for one of
 8 algorithms (default xxhash, src/lib.rs:105-106). Spark-native mapping:
 sha256/sha1/md5/crc32/xxhash64 are JVM built-ins (whole-stage codegen —
 no Python in the hot path). sha256 is the canonical per-row invariant
-(BASELINE.json input_hint). blake3/gxhash/fnv1a have no JVM builtin and
-are deliberately out of scope (documented delta, SURVEY §7.4).
+(BASELINE.json input_hint). fnv1a is a batch-vectorized pandas UDF (no
+JVM builtin; hex output matches the reference's fnv crate {:016x});
+blake3 is gated behind an import-try (lib not in this container);
+gxhash has no public Python implementation — documented delta.
 
 Note: Spark's ``xxhash64`` is 64-bit XXH64 with seed 42 returned as a
 signed long, not the reference's hex encoding — same family, different
@@ -14,8 +16,98 @@ encoding; callers treating it as an opaque grouping key are unaffected.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def fnv1a64_py(data: bytes) -> int:
+    """Scalar FNV-1a 64 reference (test oracle; matches the fnv crate,
+    golden f3f9b7f5e7e47110 for the quick-brown-fox vector,
+    /root/reference/src/file_utils.rs golden tests)."""
+    h = _FNV_OFFSET
+    for b in data:
+        h = ((h ^ b) * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def fnv1a64_batch(docs: list[bytes], chunk_cells: int = 32 << 20) -> np.ndarray:
+    """uint64 FNV-1a per doc, vectorized ACROSS the batch: docs are
+    length-sorted into padded byte matrices and the sequential byte
+    recurrence runs column-major — one numpy op per byte POSITION over
+    all docs, not one Python op per byte. (FNV's xor-multiply chain has
+    no prefix-sum decomposition, so across-doc is the vectorization
+    axis; within-doc stays sequential by construction.)"""
+    n = len(docs)
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return out
+    order = np.argsort(np.fromiter((len(d) for d in docs), dtype=np.int64, count=n), kind="stable")
+    prime = np.uint64(_FNV_PRIME)
+    i = 0
+    with np.errstate(over="ignore"):
+        while i < n:
+            j, maxlen = i, 0
+            while j < n:
+                m = max(maxlen, len(docs[order[j]]))
+                if (j - i + 1) * m > chunk_cells and j > i:
+                    break
+                maxlen, j = m, j + 1
+            idx = order[i:j]
+            chunk = [docs[t] for t in idx]
+            lens = np.fromiter((len(c) for c in chunk), dtype=np.int64, count=len(chunk))
+            mat = np.zeros((len(chunk), maxlen), dtype=np.uint8)
+            for r, c in enumerate(chunk):
+                mat[r, : len(c)] = np.frombuffer(c, dtype=np.uint8)
+            h = np.full(len(chunk), _FNV_OFFSET, dtype=np.uint64)
+            for col in range(maxlen):
+                k = int(np.searchsorted(lens, col, side="right"))  # finished rows
+                h[k:] ^= mat[k:, col].astype(np.uint64)
+                h[k:] *= prime
+            out[idx] = h
+            i = j
+    return out
+
+
+def make_fnv1a_udf():
+    @pandas_udf(StringType())
+    def fnv1a_udf(texts: pd.Series) -> pd.Series:
+        docs = [
+            t if isinstance(t, (bytes, bytearray)) else str(t or "").encode("utf-8")
+            for t in texts
+        ]
+        return pd.Series([format(int(h), "016x") for h in fnv1a64_batch(docs)])
+
+    return fnv1a_udf
+
+
+def make_blake3_udf():
+    """blake3 hex digest UDF — gated: the library is not in this
+    container; raises ImportError at plan-build time when absent
+    (reference parity: gxhash is similarly platform-gated,
+    src/file_utils.rs:258-266)."""
+    import blake3  # noqa: F401 — fail fast, before executors do
+
+    @pandas_udf(StringType())
+    def blake3_udf(texts: pd.Series) -> pd.Series:
+        import blake3 as b3
+
+        return pd.Series(
+            [
+                b3.blake3(
+                    t if isinstance(t, (bytes, bytearray)) else str(t or "").encode("utf-8")
+                ).hexdigest()
+                for t in texts
+            ]
+        )
+
+    return blake3_udf
 
 
 def content_hash(col: Column | str, algorithm: str = "sha256") -> Column:
@@ -35,6 +127,10 @@ def content_hash(col: Column | str, algorithm: str = "sha256") -> Column:
         return F.crc32(c)
     if algorithm == "xxhash64":
         return F.xxhash64(c)
+    if algorithm == "fnv1a":
+        return make_fnv1a_udf()(c)
+    if algorithm == "blake3":
+        return make_blake3_udf()(c)
     raise ValueError(f"unsupported hash algorithm: {algorithm!r}")
 
 

@@ -278,6 +278,48 @@ def batch_minhash_simhash(
     return sigs, sims
 
 
+#: bytes treated as token separators by the fingerprint kernel
+#: (ASCII whitespace: \t \n \v \f \r and space)
+_WS_BYTES = np.array([9, 10, 11, 12, 13, 32], dtype=np.uint8)
+
+
+def doc_fingerprint(text: str, window: int = 8) -> int:
+    """64-bit document fingerprint: polynomial hash of every
+    ``window``-token span (stride 1), XOR-combined — order-insensitive
+    across spans, order-sensitive within (robust to block moves,
+    cheap, deterministic). Fewer than ``window`` tokens → one span of
+    all tokens; empty → 0. Returned signed (Spark LongType).
+
+    Fully vectorized on the prefix-sum span-hash machinery (one
+    ``_span_hash_prefix`` pass hashes every token, a sliding-window
+    second-level polynomial hashes every span) — replaces a per-byte
+    pure-Python FNV loop that was ~100× slower per doc. Tokens are
+    maximal runs of non-ASCII-whitespace bytes (_WS_BYTES).
+    """
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = b.shape[0]
+    if n == 0:
+        return 0
+    is_tok = ~np.isin(b, _WS_BYTES)
+    starts = np.flatnonzero(is_tok & ~np.concatenate(([False], is_tok[:-1])))
+    ends = np.flatnonzero(is_tok & ~np.concatenate((is_tok[1:], [False]))) + 1
+    t = starts.shape[0]
+    if t == 0:
+        return 0
+    S, inv = _span_hash_prefix(b)
+    with np.errstate(over="ignore"):
+        tok_h = _mix((S[ends] - S[starts]) * inv[starts])
+        k = min(window, t)
+        win = np.lib.stride_tricks.sliding_window_view(tok_h, k)
+        pows = np.empty(k, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        if k > 1:
+            np.multiply.accumulate(np.full(k - 1, _BASE, dtype=np.uint64), out=pows[1:])
+        spans = _mix((win * pows[None, :]).sum(axis=1, dtype=np.uint64))
+    acc = int(np.bitwise_xor.reduce(spans))
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
 def simhash64(shingles: np.ndarray) -> int | None:
     """64-bit SimHash via bit-majority over the distinct shingle set.
     Returned as signed int64 (Spark LongType). None for empty sets.

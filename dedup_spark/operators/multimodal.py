@@ -128,6 +128,43 @@ def byte_shingles(assets: DataFrame, k: int = 8, stride: int = 4) -> DataFrame:
     return hexed.select("asset_id", shingles.alias("shingles")).drop("_hex")
 
 
+def binary_near_dup_clusters(assets: DataFrame, config=None) -> DataFrame:
+    """Content-free near-dup clustering over binary payloads — the
+    working dedup the byte-shingle plumbing feeds (reference media
+    near-dup, /root/reference/src/media_dedup.rs:556-587, re-expressed
+    on the engine's full MinHash/SimHash/verify/CC pipeline).
+
+    The payload is lifted to its hex string and run through the SAME
+    signature kernels with char-16 shingles (= 8-byte shingles,
+    byte_shingles' k default): no second code path, every scale guard
+    (bucket caps, rep collapse, tiered verify) applies to binaries
+    unchanged. Returns (asset_id, cluster_id, cluster_size).
+    """
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.plans.pipeline import DedupPipeline
+
+    cfg = (config or DedupConfig()).with_(
+        shingle_unit="char",
+        shingle_k=16,          # 16 hex chars = 8 payload bytes
+        normalize=False,       # bytes are bytes — no case folding
+        size_prefilter=False,
+    )
+    files = assets.select(
+        F.col("asset_id").alias("file_id"),
+        F.lit("assets").alias("repo"),
+        F.col("asset_id").cast("string").alias("path"),
+        F.lit("-").alias("commit"),
+        F.col("kind").alias("lang"),
+        F.lower(F.hex("payload")).alias("content"),
+        F.octet_length("payload").cast("long").alias("size"),
+    )
+    pipe = DedupPipeline(assets.sparkSession, cfg)
+    clusters = pipe.run(files)
+    return clusters.select(
+        F.col("file_id").alias("asset_id"), "cluster_id", "cluster_size"
+    )
+
+
 def documents_as_assets(spark, sf_dir: str) -> DataFrame:
     """Fixture adapter: documents → asset rows with payload =
     utf-8 bytes prefixed by a deterministic per-row magic header

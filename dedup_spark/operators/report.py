@@ -55,7 +55,18 @@ def folder_rollup(clusters: DataFrame) -> DataFrame:
 
 
 def write_report(report: DataFrame, path: str, fmt: str = "json") -> None:
-    """Write the duplicate report (JSON lines or parquet)."""
+    """Write the duplicate report (JSON lines, parquet, or TOML).
+
+    TOML matches the reference's second report format
+    (output_duplicates writes JSON *and* TOML,
+    /root/reference/src/file_utils.rs:908-969; round-trip tested at
+    tests/integration_tests.rs:566-654): one ``[[sets]]``
+    array-of-tables entry per duplicate set. The report is one row per
+    set (already aggregated) — rows are STREAMED to the single file
+    via toLocalIterator, never collected wholesale."""
+    if fmt == "toml":
+        _write_toml_report(report, path)
+        return
     writer = report.coalesce(1).write.mode("overwrite")
     if fmt == "json":
         writer.json(path)
@@ -63,3 +74,39 @@ def write_report(report: DataFrame, path: str, fmt: str = "json") -> None:
         writer.parquet(path)
     else:
         raise ValueError(f"unsupported report format {fmt!r}")
+
+
+def _toml_value(v) -> str | None:
+    import json
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, str):
+        # json string escaping is a subset of TOML basic-string escaping
+        return json.dumps(v)
+    if isinstance(v, (list, tuple)):
+        parts = [_toml_value(x) for x in v]
+        return "[" + ", ".join(p for p in parts if p is not None) + "]"
+    return json.dumps(str(v))
+
+
+def _write_toml_report(report: DataFrame, path: str) -> None:
+    import os
+
+    cols = report.columns
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("# duplicate report (dedup_spark)\n")
+        for row in report.toLocalIterator():
+            f.write("\n[[sets]]\n")
+            for c in cols:
+                tv = _toml_value(row[c])
+                if tv is not None:
+                    f.write(f"{c} = {tv}\n")
+    os.replace(tmp, path)  # atomic publish, same protocol as the store

@@ -80,10 +80,19 @@ def rhp_bucket_keys(
     dim: int = 64,
     seed: int = 7,
     vec_col: str = "embedding",
+    probe_flips: int = 0,
 ) -> DataFrame:
     """(table_id, bucket) keys per row: bucket = sign-bit string of the
     projections onto that table's seeded Gaussian planes. Deterministic
-    (seeded numpy, planes shipped as literals)."""
+    (seeded numpy, planes shipped as literals).
+
+    ``probe_flips=1`` additionally emits, per table, every bucket at
+    Hamming distance 1 in sign space (each plane bit flipped once) —
+    multiprobe LSH, used on the QUERY side only: n_planes extra probe
+    keys per table buy the recall of ~n_planes extra tables while the
+    corpus index stays single-key (no index blow-up at 100 TB — probe
+    cost is per-query, index cost is per-corpus-row).
+    """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
     keys = []
@@ -93,6 +102,16 @@ def rhp_bucket_keys(
             for p in range(n_planes)
         ]
         keys.append(F.struct(F.lit(t).alias("table_id"), F.concat(*bits).alias("bucket")))
+        if probe_flips >= 1:
+            flip = {"1": F.lit("0"), "0": F.lit("1")}
+            for p in range(n_planes):
+                flipped = [
+                    F.when(bits[i] == "1", flip["1"]).otherwise(flip["0"]) if i == p else bits[i]
+                    for i in range(n_planes)
+                ]
+                keys.append(
+                    F.struct(F.lit(t).alias("table_id"), F.concat(*flipped).alias("bucket"))
+                )
     return df.select("*", F.explode(F.array(*keys)).alias("_k")).select(
         "*", F.col("_k.table_id").alias("table_id"), F.col("_k.bucket").alias("bucket")
     ).drop("_k")
@@ -102,17 +121,31 @@ def ann_topk_rhp(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
-    n_tables: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 16,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_flips: int = 1,
 ) -> DataFrame:
     """Approximate top-k: bucket-join candidates (any shared table
-    bucket), exact cosine re-rank. Same output shape as cosine_topk."""
+    bucket; queries multiprobe ``probe_flips``-flip neighbors too),
+    exact cosine re-rank. Same output shape as cosine_topk.
+
+    Parameter sizing: expected bucket size is n/2^n_planes, so planes
+    scale with log2(corpus) (e.g. 16-20 planes at 10^6-10^9 rows for
+    ~hundreds per bucket); recall is then bought with tables ×
+    multiprobe flips, which cost query-side only. Defaults are sized
+    for the small test fixtures (measured recall@5 >= 0.9 vs exact in
+    tests) — NOT for 10^9 rows; the quality gate travels with the
+    config, re-measure when retuning.
+    """
     ckeys = rhp_bucket_keys(with_norm(emb, vec_col), n_planes, n_tables, dim, seed, vec_col)
-    qkeys = rhp_bucket_keys(with_norm(queries, vec_col), n_planes, n_tables, dim, seed, vec_col)
+    qkeys = rhp_bucket_keys(
+        with_norm(queries, vec_col), n_planes, n_tables, dim, seed, vec_col,
+        probe_flips=probe_flips,
+    )
     c = ckeys.select(
         "table_id", "bucket",
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), F.col("_norm").alias("_cn"),
@@ -151,26 +184,68 @@ def ngram_shingles(tok_col: str = "t", n: int = 3) -> Column:
     )
 
 
+def _ngram_exploded(
+    df: DataFrame, n: int, id_col: str, col: str
+) -> DataFrame:
+    toks = df.select(F.col(id_col), F.split(F.trim(F.col(col)), r"\s+").alias("t"))
+    return toks.select(id_col, F.explode(ngram_shingles("t", n)).alias("s")).filter(
+        F.length("s") > 0
+    )
+
+
+def ngram_hot_shingles(
+    df: DataFrame,
+    n: int = 3,
+    max_doc_freq: int = 512,
+    id_col: str = "file_id",
+    col: str = "content",
+) -> DataFrame:
+    """The shingles a ``max_doc_freq`` cap would drop — (s, df) rows,
+    surfaced for metrics (counted, never silent; the ngram analog of
+    lsh.oversize_buckets)."""
+    sh = _ngram_exploded(df, n, id_col, col)
+    return (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "file_id",
     col: str = "content",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-grams via shingle self-join:
     explode → equi-join on shingle → |A∩B| per pair → J =
     |A∩B|/(|A|+|B|-|A∩B|) ≥ threshold. Entirely JVM-side; the join key
-    is the shingle string (skew-prone shingles are the same ones LSH
-    salts for — AQE skew-join handles residual heat here).
+    is the shingle string.
+
+    Skew guard: one boilerplate shingle present in d documents emits
+    C(d,2) join rows before the groupBy — quadratic in the hottest
+    key. ``max_doc_freq`` drops shingles whose document frequency
+    exceeds the cap from the JOIN SIDE only (per-doc totals stay
+    exact, so Jaccard is underestimated — pairs sharing nothing but
+    boilerplate fall away, the LSH-cap trade). Dropped shingles are
+    queryable via ``ngram_hot_shingles`` (counted, never silent).
+    Default None = exact (the DuckDB-oracle contract config).
     """
-    toks = df.select(F.col(id_col), F.split(F.trim(F.col(col)), r"\s+").alias("t"))
-    sh = toks.select(id_col, F.explode(ngram_shingles("t", n)).alias("s")).filter(
-        F.length("s") > 0
-    )
+    sh = _ngram_exploded(df, n, id_col, col)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "s")
-    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    joinable = sh
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("s")
+        )
+        joinable = sh.join(F.broadcast(hot), "s", "left_anti")
+    a = joinable.select(F.col(id_col).alias("id_a"), "s")
+    b = joinable.select(F.col(id_col).alias("id_b"), "s")
     shared = (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -150,35 +150,17 @@ def token_count_rollup(df: DataFrame, group_col: str = "repo") -> DataFrame:
 
 
 # ---- rolling-hash fingerprint (pandas UDF — rows-only oracle) ------------
-
-FNV_OFFSET = 0xCBF29CE484222325
-FNV_PRIME = 0x100000001B3
-_MASK = (1 << 64) - 1
-
-
-def rolling_fingerprint_py(text: str, window: int = 8) -> int:
-    """64-bit document fingerprint: FNV-1a over each ``window``-token
-    span, XOR-combined (order-insensitive across spans, order-sensitive
-    within — robust to block moves, cheap, deterministic)."""
-    toks = text.split()
-    if not toks:
-        return 0
-    spans = [toks[i : i + window] for i in range(0, max(1, len(toks) - window + 1))]
-    acc = 0
-    for span in spans:
-        h = FNV_OFFSET
-        for t in span:
-            for b in t.encode("utf-8"):
-                h = ((h ^ b) * FNV_PRIME) & _MASK
-            h = ((h ^ 0x1F) * FNV_PRIME) & _MASK  # token boundary byte
-        acc ^= h
-    return acc - (1 << 64) if acc >= (1 << 63) else acc  # signed long
+# Kernel: functions/shingles.doc_fingerprint — vectorized on the same
+# prefix-sum span-hash machinery as the MinHash shingles (one numpy
+# pass per doc; replaced a per-byte pure-Python FNV loop, ~100×).
 
 
 def make_fingerprint_udf(window: int = 8):
     @pandas_udf(LongType())
     def fp_udf(texts: pd.Series) -> pd.Series:
-        return texts.fillna("").map(lambda t: rolling_fingerprint_py(t, window))
+        from dedup_spark.functions.shingles import doc_fingerprint
+
+        return texts.fillna("").map(lambda t: doc_fingerprint(t, window))
 
     return fp_udf
 

@@ -319,6 +319,17 @@ def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → mapInPandas metadata
+    extraction (magic sniff + deterministic fake decode). Every output
+    field is deterministic integer/string math over the payload bytes,
+    so it oracles exactly (the DuckDB mirror reconstructs the payload
+    and recomputes the high-nibble concentration from its hex form)."""
+    from dedup_spark.operators.multimodal import documents_as_assets, extract_asset_meta
+
+    return extract_asset_meta(documents_as_assets(spark, sf_dir))
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for the first 20 query vectors."""
     from dedup_spark.operators.similarity import cosine_topk
@@ -448,6 +459,35 @@ SELECT file_id,
                                          FOR i IN range(1, len(toks) - 1)])) AS BIGINT)
             ELSE 0 END AS n_shingles3
 FROM t
+""",
+    "asset_meta": """
+WITH a AS (
+  SELECT CAST(doc_id AS BIGINT) AS asset_id,
+         ['89504e47','ffd8ffe0','49443303','1a45dfa3'][CAST(doc_id % 4 AS INT) + 1] AS mg,
+         text
+  FROM documents
+),
+h AS (
+  SELECT asset_id, mg,
+         CAST(octet_length(from_hex(mg) || encode(text)) AS BIGINT) AS n_bytes,
+         lower(substring(hex(from_hex(mg) || encode(text)), 1, 8192)) AS hx
+  FROM a
+),
+c AS (
+  SELECT asset_id, mg, n_bytes, hx,
+         [substring(hx, 2*i - 1, 1) FOR i IN range(1, CAST(length(hx)/2 AS INT) + 1)] AS hn
+  FROM h
+)
+SELECT asset_id,
+       CASE mg WHEN '49443303' THEN 'audio' WHEN '1a45dfa3' THEN 'video'
+               ELSE 'image' END AS kind,
+       n_bytes,
+       substring(hx, 1, 8) AS magic,
+       CAST((list_max([len(list_filter(hn, x -> x = d))
+                       FOR d IN ['0','1','2','3','4','5','6','7',
+                                 '8','9','a','b','c','d','e','f']]) * 1000)
+            // len(hn) AS BIGINT) AS byte_entropy_q
+FROM c
 """,
     "embedding_topk": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -628,6 +668,7 @@ QUERIES = {
     "shingle_counts": q_shingle_counts,
     "events_dedup": q_events_dedup,
     "embedding_topk": q_embedding_topk,
+    "asset_meta": q_asset_meta,
     "exact_hash_clusters": q_exact_hash_clusters,
     "exact_dup_sets": q_exact_dup_sets,
     "tokenset_clusters": q_tokenset_clusters,

@@ -40,4 +40,4 @@ def test_empty_toml_gives_defaults():
 
 def test_invalid_values_still_validated():
     with pytest.raises(ValueError):
-        config_from_toml('algorithm = "blake3"')  # not a supported algorithm
+        config_from_toml('algorithm = "gxhash"')  # no public Python impl

@@ -78,3 +78,31 @@ def test_nonempty_filter_drops_empty(spark, corpus):
 def test_hidden_paths_dropped(spark, corpus):
     prepared = prepare_code_files(corpus_df(spark, corpus), DedupConfig())
     assert prepared.filter(F.col("path").rlike(r"(^|/)\.")).count() == 0
+
+
+def test_toml_report_round_trips(spark, tmp_path):
+    """write_report(fmt='toml') mirrors the reference's TOML report
+    (/root/reference/src/file_utils.rs:908-969): parse-back must
+    reproduce every set, including paths needing string escaping."""
+    import tomllib
+
+    from dedup_spark.operators.report import duplicate_report, write_report
+
+    rows = [
+        (1, 'a/we"ird\\p.py', "H1", 10, 1, 2),
+        (2, "a/y.py", "H1", 10, 1, 2),
+        (3, "b/x.py", "H2", 20, 3, 2),
+        (4, "b/yy.py", "H2", 22, 3, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "file_id long, path string, hash string, size long, cluster_id long, cluster_size long"
+    )
+    rep = duplicate_report(df)
+    out = str(tmp_path / "report.toml")
+    write_report(rep, out, fmt="toml")
+    parsed = tomllib.load(open(out, "rb"))
+    sets = {s["cluster_id"]: s for s in parsed["sets"]}
+    assert len(sets) == 2
+    assert sets[1]["files"] == ['a/we"ird\\p.py', "a/y.py"]
+    assert sets[3]["n_files"] == 2
+    assert sets[3]["min_size"] == 20 and sets[3]["max_size"] == 22

@@ -65,3 +65,45 @@ def test_fingerprint64_stable_and_distinct(spark):
     vals = [r["f"] for r in df.select(sha256_fingerprint64("content").alias("f")).collect()]
     assert vals[0] == vals[2] != vals[1]
     assert all(isinstance(v, int) for v in vals)
+
+
+def test_fnv1a_reference_golden_and_batch_identity(spark):
+    """Golden from the reference's fnv crate output shape
+    (/root/reference/src/file_utils.rs:267-270, {:016x}); the batch
+    kernel must be bit-identical to the scalar reference across
+    lengths, including empty docs."""
+    import random
+
+    from dedup_spark.functions.hashing import content_hash, fnv1a64_batch, fnv1a64_py
+
+    fox = b"The quick brown fox jumps over the lazy dog"
+    assert format(fnv1a64_py(fox), "016x") == "f3f9b7f5e7e47110"
+    assert format(fnv1a64_py(b""), "016x") == "cbf29ce484222325"  # offset basis
+
+    random.seed(5)
+    docs = [
+        bytes(random.randrange(256) for _ in range(random.choice([0, 1, 3, 50, 700])))
+        for _ in range(60)
+    ]
+    batch = fnv1a64_batch(docs)
+    for d, h in zip(docs, batch):
+        assert int(h) == fnv1a64_py(d)
+
+    df = spark.createDataFrame([("x", fox.decode()), ("y", "")], "k string, content string")
+    got = {r["k"]: r["h"] for r in df.select("k", content_hash("content", "fnv1a").alias("h")).collect()}
+    assert got == {"x": "f3f9b7f5e7e47110", "y": "cbf29ce484222325"}
+
+
+def test_blake3_gated_when_lib_absent():
+    import pytest
+
+    from dedup_spark.functions.hashing import content_hash
+
+    try:
+        import blake3  # noqa: F401
+
+        pytest.skip("blake3 present in this environment")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError):
+        content_hash("content", "blake3")

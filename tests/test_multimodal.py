@@ -67,3 +67,25 @@ def test_documents_as_assets(spark):
     kinds = {r["kind"] for r in meta.collect()}
     assert kinds <= {"image", "audio", "video", "blob"}
     assert len(kinds) >= 3  # header cycling exercises several kinds
+
+
+def test_binary_near_dup_clusters_merge_mutated_payload(spark):
+    """End-to-end binary near-dup: a payload differing by a few bytes
+    must cluster with its original; an unrelated payload must not."""
+    from dedup_spark.operators.multimodal import binary_near_dup_clusters
+
+    base = bytes(range(256)) * 16  # 4KB structured payload
+    mutated = bytearray(base)
+    mutated[100] ^= 0xFF  # single-byte flip
+    other = bytes((i * 37 + 11) % 251 for i in range(4096))
+    rows = [
+        (1, "blob", bytes(base), None),
+        (2, "blob", bytes(mutated), None),
+        (3, "blob", other, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    got = {r["asset_id"]: r["cluster_id"] for r in binary_near_dup_clusters(df).collect()}
+    assert got[1] == got[2]
+    assert got[3] != got[1]

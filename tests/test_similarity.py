@@ -86,3 +86,58 @@ def test_ngram_jaccard_threshold(spark):
     df = spark.createDataFrame(rows, "file_id long, content string")
     assert ngram_jaccard_pairs(df, n=3, threshold=0.5).count() == 0
     assert ngram_jaccard_pairs(df, n=3, threshold=0.3).count() == 1
+
+
+def test_ngram_hot_shingle_cap_bounds_pairs(spark):
+    """A boilerplate shingle planted in every doc makes the uncapped
+    self-join emit C(n,2) pairs; with max_doc_freq the hot shingle is
+    dropped from the join (counted via ngram_hot_shingles) and only
+    genuinely-similar pairs survive."""
+    from dedup_spark.operators.similarity import ngram_hot_shingles, ngram_jaccard_pairs
+
+    boiler = "COPYRIGHT NOTICE HEADER"
+    rows = [(i, f"{boiler} unique{i} body{i} text{i} words{i}") for i in range(30)]
+    # plus one genuine near-dup pair sharing most shingles
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta"),
+        (101, "alpha beta gamma delta epsilon zeta theta"),
+    ]
+    df = spark.createDataFrame(rows, "file_id long, content string")
+
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.0)
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_doc_freq=10)
+    # uncapped: all 30 boilerplate docs pair up (C(30,2)=435) + the real pair
+    assert uncapped.count() >= 435
+    # capped: boilerplate-only pairs vanish; the real pair survives
+    capped_rows = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in capped_rows
+    assert len(capped_rows) < 50
+
+    # the drop is counted, not silent
+    hot = ngram_hot_shingles(df, n=3, max_doc_freq=10).collect()
+    assert any(r["df"] == 30 for r in hot)
+
+
+def test_ann_recall_at_contract_params(spark):
+    """Quality gate for the ANN scale path: recall@5 of the RHP-LSH
+    bucketed search vs exact cosine top-5, at the contract-query
+    parameters (ann_topk_rhp defaults: 4 planes x 16 tables, 1-flip
+    multiprobe, dim 64), on the real embeddings fixture. The
+    approximation must stay >= 0.9 (measured 1.0)."""
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_rhp(emb, q, k=5, dim=64).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.9, f"ANN recall@5 {recall:.3f} < 0.9"

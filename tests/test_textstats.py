@@ -2,9 +2,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from dedup_spark.functions.shingles import doc_fingerprint
 from dedup_spark.operators.textstats import (
     quality_flag,
-    rolling_fingerprint_py,
     token_count_rollup,
     with_fingerprint,
     with_language_id,
@@ -77,14 +77,75 @@ def test_token_count_rollup(spark):
     assert got["b"]["max_tokens"] == 1
 
 
+def _fp_ref(text: str, window: int = 8) -> int:
+    """Independent pure-int-math reference for the vectorized
+    doc_fingerprint kernel (same spec, zero numpy) — the golden oracle
+    for bit-identity."""
+    BASE = 0x9E3779B97F4A7C15 | 1
+    M = (1 << 64) - 1
+
+    def mix(h: int) -> int:
+        h ^= h >> 30
+        h = (h * 0xBF58476D1CE4E5B9) & M
+        h ^= h >> 27
+        h = (h * 0x94D049BB133111EB) & M
+        return h ^ (h >> 31)
+
+    ws = {9, 10, 11, 12, 13, 32}
+    toks: list[list[int]] = []
+    cur: list[int] = []
+    for b in text.encode("utf-8"):
+        if b in ws:
+            if cur:
+                toks.append(cur)
+                cur = []
+        else:
+            cur.append(b)
+    if cur:
+        toks.append(cur)
+    if not toks:
+        return 0
+    tok_h = []
+    for tk in toks:
+        h, p = 0, 1
+        for b in tk:
+            h = (h + (b + 1) * p) & M
+            p = (p * BASE) & M
+        tok_h.append(mix(h))
+    k = min(window, len(toks))
+    acc = 0
+    for i in range(len(toks) - k + 1):
+        h, p = 0, 1
+        for j in range(k):
+            h = (h + tok_h[i + j] * p) & M
+            p = (p * BASE) & M
+        acc ^= mix(h)
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+def test_fingerprint_bit_identical_to_reference_kernel():
+    cases = [
+        "",
+        "   ",
+        "one",
+        "one two three",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "tabs\tand\nnewlines  mixed \r\n whitespace here ok then",
+        "ünïcödé tökens après löng texte " * 20,
+        "x " * 500,
+    ]
+    for t in cases:
+        for w in (3, 8):
+            assert doc_fingerprint(t, w) == _fp_ref(t, w), (t[:30], w)
+
+
 def test_fingerprint_deterministic_and_move_robust(spark):
     a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    # same 8-token spans XORed → block swap of full windows beyond span
-    assert rolling_fingerprint_py(a) == rolling_fingerprint_py(a)
-    assert rolling_fingerprint_py("") == 0
-    assert rolling_fingerprint_py(a) != rolling_fingerprint_py(a + " extra")
+    assert doc_fingerprint(a) == doc_fingerprint(a)
+    assert doc_fingerprint("") == 0
+    assert doc_fingerprint(a) != doc_fingerprint(a + " extra")
     df = _df(spark, [("r", a)])
-    assert with_fingerprint(df).first()["fingerprint"] == rolling_fingerprint_py(a)
+    assert with_fingerprint(df).first()["fingerprint"] == doc_fingerprint(a)
 
 
 def test_fingerprint_udf_matches_python(spark):
@@ -92,7 +153,7 @@ def test_fingerprint_udf_matches_python(spark):
     df = _df(spark, [(str(i), t) for i, t in enumerate(texts)])
     got = {r["repo"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
     for i, t in enumerate(texts):
-        assert got[str(i)] == rolling_fingerprint_py(t)
+        assert got[str(i)] == _fp_ref(t)
 
 
 def test_bpe_token_count(spark):
