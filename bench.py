@@ -69,15 +69,27 @@ def main() -> None:
     # signature kernels (pandas UDFs): force full materialization
     # (localCheckpoint is eager → belongs inside the timed block)
     sigs = None
+    reps = None
 
     def _sigs():
-        nonlocal sigs
-        sigs = pipe.signatures(files).localCheckpoint()
+        nonlocal sigs, reps
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("hash").orderBy("file_id")
+        sigs = (
+            pipe.signatures(files)
+            .drop("content")
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("exact_rep", F.first("file_id").over(w))
+            .localCheckpoint()
+        )
+        reps = (
+            sigs.filter(F.col("_rn") == 1).drop("_rn", "exact_rep").localCheckpoint()
+        )
         sigs.count()
 
     timed("signatures", _sigs)
 
-    reps = pipe.representatives(sigs).localCheckpoint()
     cands = None
 
     def _cands():
@@ -88,8 +100,12 @@ def main() -> None:
     timed("candidates", _cands)
 
     def _verify_cc():
-        verified = pipe.verify(cands, reps)
-        clusters = pipe.cluster(sigs, verified)
+        verified = pipe.verify(
+            cands, reps, content_df=files.select("file_id", "content")
+        )
+        clusters = pipe.cluster(
+            sigs.drop("_rn", "minhash", "simhash", "n_shingles"), verified
+        )
         clusters.agg(F.countDistinct("cluster_id"), F.max("cluster_size")).collect()
 
     timed("verify_cc", _verify_cc)

@@ -75,21 +75,30 @@ files = prepare_code_files(synth_code_corpus(spark, n, partitions=64), cfg).loca
 files.count()  # input materialization == the table scan, symmetric across levels
 
 def trial():
-    # minimal action count: checkpoints only where a frame feeds 2+
-    # consumers (sigs, reps) — every extra action pays serial Catalyst
-    # planning + scheduling latency that Amdahl charges against E.
+    # minimal action count: ONE checkpoint (the fused hash-window sigs
+    # frame feeds candidates AND cluster assembly; reps is a free
+    # filter of it) — every extra action pays serial Catalyst planning
+    # + scheduling latency that Amdahl charges against E.
+    from pyspark.sql.window import Window
     stages = {}
     t_all = time.perf_counter()
     t0 = time.perf_counter()
-    sigs = pipe.signatures(files).drop("content").localCheckpoint()
+    w = Window.partitionBy("hash").orderBy("file_id")
+    sigs = (
+        pipe.signatures(files).drop("content")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("exact_rep", F.first("file_id").over(w))
+        .localCheckpoint()
+    )
+    # reps re-materialized: its ~6 consumers must hit small blocks
+    reps = sigs.filter(F.col("_rn") == 1).drop("_rn", "exact_rep").localCheckpoint()
     stages["signatures"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    reps = pipe.representatives(sigs).localCheckpoint()
-    stages["representatives"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     cands = pipe.candidates(reps)
     verified = pipe.verify(cands, reps, content_df=files.select("file_id", "content"))
-    clusters = pipe.cluster(sigs, verified).localCheckpoint()
+    clusters = pipe.cluster(
+        sigs.drop("_rn", "minhash", "simhash", "n_shingles"), verified
+    ).localCheckpoint()
     n_clusters = clusters.agg(F.countDistinct("cluster_id")).first()[0]
     stages["cand_verify_cluster"] = time.perf_counter() - t0
     return time.perf_counter() - t_all, stages, n_clusters, clusters
@@ -188,6 +197,13 @@ def main() -> None:
     best_lo = max((r["local8"] for r in same_n), key=lambda s: s["files_per_sec"])
     best_hi = max((r["local32"] for r in same_n), key=lambda s: s["files_per_sec"])
     paired_eff = round((best_hi["files_per_sec"] / best_lo["files_per_sec"]) / 4.0, 3)
+    # per-stage (parallel-portion) efficiency, from the same paired bests:
+    # E_stage = wall_N / (4 * wall_4N) — BASELINE.md protocol step 3
+    stage_eff = {
+        k: round(best_lo["stages"][k] / (4.0 * best_hi["stages"][k]), 3)
+        for k in best_lo.get("stages", {})
+        if k in best_hi.get("stages", {}) and best_hi["stages"][k] > 0
+    }
     final = {
         "metric": result["metric"],
         "value": paired_eff,
@@ -195,6 +211,7 @@ def main() -> None:
         "n_files": n,
         "local8": best_lo,
         "local32": best_hi,
+        "stage_efficiency": stage_eff,
         "headline_policy": (
             "min wall per level across runs at this n_files, then one ratio "
             "(steal-free estimate of BOTH levels; max-E-over-history would "

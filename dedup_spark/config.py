@@ -75,6 +75,12 @@ class DedupConfig:
 
     # --- clustering ---
     cc_max_iterations: int = 20
+    # Edge sets at or below this collapse in ONE union-find task
+    # (operators/cc.py) instead of ~5 driver-round star iterations;
+    # larger graphs use the log-round star loop. 1M edges ≈ seconds in
+    # one task and well inside executor memory; the threshold is the
+    # serial-latency vs single-task-size trade.
+    cc_smallgraph_threshold: int = 1_000_000
 
     # --- selection / actions ---
     keep_strategy: str = "shortest_path"

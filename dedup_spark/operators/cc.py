@@ -71,6 +71,53 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _union_find_cc(edges: DataFrame) -> DataFrame:
+    """Single-task union-find over a SMALL edge set (executor-side, one
+    partition — not a driver collect). Labels = component minimum by
+    union-by-min, so output is bit-identical to the star loop's.
+
+    Why it exists: each star round costs one driver round-trip + one
+    shuffle of a tiny frame — pure Amdahl serial time that the N→4N
+    efficiency criterion charges at BOTH cluster sizes. Below the
+    threshold (see ``connected_components``), one task finishing in
+    O(E α(E)) replaces ~5 rounds of cluster-wide latency; above it,
+    the log-round star loop is the only thing that scales.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def uf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes: set[int] = set()
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                u, v = int(u), int(v)
+                nodes.add(u)
+                nodes.add(v)
+                ru, rv = find(u), find(v)
+                if ru == rv:
+                    continue
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru  # union by min → root IS the component min
+        if nodes:
+            yield pd.DataFrame(
+                {"node": sorted(nodes), "cluster_id": [find(n) for n in sorted(nodes)]}
+            )
+
+    return edges.coalesce(1).mapInPandas(uf, "node long, cluster_id long")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -81,6 +128,14 @@ def connected_components(
     """(node, cluster_id) for every node appearing in ``pairs``; the
     cluster id is the component's minimum node id (deterministic labels,
     SURVEY §7.3).
+
+    Two physical strategies behind one contract:
+    - edge count ≤ ``config.cc_smallgraph_threshold`` → single-task
+      union-find (``_union_find_cc``) — zero iteration rounds;
+    - larger → alternating large/small-star rounds (scales to graphs
+      no single task can hold). The count needed for the decision
+      comes from the convergence checksum's first job — no extra
+      action.
     """
     from dedup_spark.checkpoint import lineage_cut
 
@@ -93,6 +148,8 @@ def connected_components(
         eager=False,
     )
     prev = _checksum(edges)  # materializes the cut in the same job
+    if prev[0] <= cfg.cc_smallgraph_threshold:
+        return _union_find_cc(edges)
     for _ in range(max_iterations):
         edges = lineage_cut(_small_star(_large_star(edges)), cfg, eager=False)
         cur = _checksum(edges)

@@ -65,7 +65,10 @@ def simhash_blockpair_keys(df: DataFrame, radius: int, id_col: str = "file_id") 
 
 
 def simhash_candidate_pairs(
-    sig_df: DataFrame, config: DedupConfig, id_col: str = "file_id"
+    sig_df: DataFrame,
+    config: DedupConfig,
+    id_col: str = "file_id",
+    verify_hamming: bool = True,
 ) -> DataFrame:
     """Distinct (id_a, id_b, hamming) pairs within the Hamming radius.
 
@@ -74,6 +77,15 @@ def simhash_candidate_pairs(
     ``band_bucket_cap`` are dropped (skew guard — counted by oversize
     metrics upstream, mirroring the LSH cap); exact ``bit_count(xor)``
     verification in whole-stage codegen prunes to true matches.
+
+    ``verify_hamming=False`` returns RAW (id_a, id_b) pairs — no inner
+    distinct, no verification joins. For callers that union several
+    candidate sources and dedupe ONCE (the pipeline): the inner
+    distinct would shuffle near-identical docs' inflated pair set a
+    second time for nothing, and the cheap-tier gate in verify_pairs
+    already computes hamming from the attached signatures — the
+    16-bit-key false collisions it admits are pruned there, two joins
+    and one shuffle cheaper.
     """
     sig = sig_df.select(F.col(id_col), F.col("simhash"))
     keys = simhash_blockpair_keys(sig, config.simhash_radius, id_col)
@@ -90,10 +102,12 @@ def simhash_candidate_pairs(
         .join(keys.withColumnsRenamed({id_col: "id_b"}), ["block_id", "block_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if not verify_hamming:
+        return cand
     out = (
-        cand.join(sig.withColumnsRenamed({id_col: "id_a", "simhash": "simhash_a"}), "id_a")
+        cand.distinct()
+        .join(sig.withColumnsRenamed({id_col: "id_a", "simhash": "simhash_a"}), "id_a")
         .join(sig.withColumnsRenamed({id_col: "id_b", "simhash": "simhash_b"}), "id_b")
         .withColumn("hamming", hamming_distance64(F.col("simhash_a"), F.col("simhash_b")))
         .filter(F.col("hamming") <= config.simhash_radius)

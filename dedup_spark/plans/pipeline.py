@@ -79,7 +79,12 @@ class DedupPipeline:
         (reference: cross-kind similarity is 0,
         /root/reference/src/media_dedup.rs:392-418)."""
         mh = lsh_candidate_pairs(reps, self.config, dedupe=False)
-        sh = simhash_candidate_pairs(reps, self.config).select("id_a", "id_b")
+        # raw simhash pairs: the union's distinct is the ONLY pair
+        # shuffle; hamming itself is re-derived in verify's cheap tier
+        # from the attached signatures (block-key false collisions are
+        # pruned there — two joins and one shuffle cheaper than
+        # verifying inside the candidate operator)
+        sh = simhash_candidate_pairs(reps, self.config, verify_hamming=False)
         pairs = mh.union(sh).distinct()
         if self.config.same_lang_only and "lang" in reps.columns:
             lang = reps.select("file_id", "lang")
@@ -137,9 +142,15 @@ class DedupPipeline:
         components over verified similarity pairs; final cluster_id =
         component label of the representative (defaults to the
         representative itself — singleton or exact-only cluster).
+
+        When ``sigs`` already carries ``exact_rep`` (run()'s fused
+        hash-window), the per-hash shuffle here is skipped entirely.
         """
-        w = Window.partitionBy("hash")
-        with_rep = sigs.withColumn("exact_rep", F.min("file_id").over(w))
+        if "exact_rep" in sigs.columns:
+            with_rep = sigs
+        else:
+            w = Window.partitionBy("hash")
+            with_rep = sigs.withColumn("exact_rep", F.min("file_id").over(w))
         comp = connected_components(
             verified_pairs,
             max_iterations=self.config.cc_max_iterations,
@@ -170,14 +181,36 @@ class DedupPipeline:
         # content stays behind in ``files``: every downstream window,
         # join, and checkpoint moves only ids + signatures; verification
         # re-attaches the body for the (small) surviving pair set. sigs
-        # feeds representatives AND the final cluster window; reps feeds
-        # both candidate joins — without a cut, Catalyst re-runs the
-        # signature UDF once per branch.
-        sigs = self._cut(sigs.drop("content"))
-        reps = self._cut(self.representatives(sigs))
+        # feeds the candidate joins AND the final cluster assembly —
+        # without a cut, Catalyst re-runs the signature UDF per branch.
+        #
+        # Fused hash-window: ONE shuffle by hash yields both the
+        # representative rank (_rn=1 → one row per distinct content)
+        # and exact_rep (min file_id of the hash group, consumed by
+        # cluster()) — previously representatives() and cluster() each
+        # re-shuffled the full frame by hash. reps then derives from
+        # the cut frame by a free filter instead of a second
+        # checkpoint.
+        w = Window.partitionBy("hash").orderBy("file_id")
+        sigs = self._cut(
+            sigs.drop("content")
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("exact_rep", F.first("file_id").over(w))
+        )
+        # reps is re-materialized even though it is "just a filter":
+        # candidates + verify scan it ~6 times, and the filtered frame
+        # is both smaller (distinct contents only) and the only carrier
+        # of the heavy signature arrays — repeated consumers must hit
+        # the small blocks, not re-scan the full frame's.
+        reps = self._cut(sigs.filter(F.col("_rn") == 1).drop("_rn", "exact_rep"))
         pairs = self.candidates(reps)
         verified = self.verify(pairs, reps, content_df=files.select("file_id", "content"))
-        clusters = self.cluster(sigs, verified)
+        # cluster assembly never touches the signature arrays — drop
+        # them before the exact_rep join + cluster_size window so those
+        # shuffles move ~150B rows, not 128-int minhash payloads
+        clusters = self.cluster(
+            sigs.drop("_rn", "minhash", "simhash", "n_shingles"), verified
+        )
         if min_cluster_size > 1:
             clusters = clusters.filter(F.col("cluster_size") >= min_cluster_size)
         return clusters
