@@ -79,12 +79,13 @@ class DedupPipeline:
         (reference: cross-kind similarity is 0,
         /root/reference/src/media_dedup.rs:392-418)."""
         mh = lsh_candidate_pairs(reps, self.config, dedupe=False)
-        # raw simhash pairs: the union's distinct is the ONLY pair
-        # shuffle; hamming itself is re-derived in verify's cheap tier
-        # from the attached signatures (block-key false collisions are
-        # pruned there — two joins and one shuffle cheaper than
-        # verifying inside the candidate operator)
-        sh = simhash_candidate_pairs(reps, self.config, verify_hamming=False)
+        # simhash pairs arrive hamming-verified INSIDE the join stage
+        # (false block-pair collisions die in codegen, never shuffled —
+        # see simhash_candidate_pairs); the union's distinct is the
+        # only pair shuffle for both sources
+        sh = simhash_candidate_pairs(reps, self.config, dedupe=False).select(
+            "id_a", "id_b"
+        )
         pairs = mh.union(sh).distinct()
         if self.config.same_lang_only and "lang" in reps.columns:
             lang = reps.select("file_id", "lang")
