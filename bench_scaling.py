@@ -188,24 +188,22 @@ def run_level(cores: int, n: int) -> dict:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    # levels "report" → no new Spark runs: recompute the headline (and
+    # fresh host calibration) from the recorded history at this n_files
+    report_only = len(sys.argv) > 2 and sys.argv[2] == "report"
     levels = (
-        [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [2, 8, 32]
+        [int(x) for x in sys.argv[2].split(",")]
+        if len(sys.argv) > 2 and not report_only
+        else [2, 8, 32]
     )
-    level_results = {c: run_level(c, n) for c in levels}
-    n_clusters = {r["n_clusters"] for r in level_results.values()}
-    if len(n_clusters) != 1:
-        raise RuntimeError(
-            f"partition-variance: n_clusters differs across levels: "
-            f"{ {c: r['n_clusters'] for c, r in level_results.items()} }"
-        )
-
-    # host calibration per N->4N pair present in the curve (Spark-free,
-    # run after the Spark subprocesses — never concurrently)
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from scripts.host_calibration import calibrate
-
-    pair_list = [(a, a * 4) for a in levels if a * 4 in levels]
-    calib = {f"{a}->{b}": calibrate(a, b, reps=3) for a, b in pair_list}
+    level_results = {} if report_only else {c: run_level(c, n) for c in levels}
+    if level_results:
+        n_clusters = {r["n_clusters"] for r in level_results.values()}
+        if len(n_clusters) != 1:
+            raise RuntimeError(
+                f"partition-variance: n_clusters differs across levels: "
+                f"{ {c: r['n_clusters'] for c, r in level_results.items()} }"
+            )
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scaling.json")
     history = []
@@ -216,9 +214,10 @@ def main() -> None:
             history = prev.get("runs", [])
         except (json.JSONDecodeError, OSError):
             pass
-    history.append(
-        {"n_files": n, "levels": {str(c): level_results[c] for c in levels}}
-    )
+    if level_results:
+        history.append(
+            {"n_files": n, "levels": {str(c): level_results[c] for c in levels}}
+        )
 
     # headline: min wall PER LEVEL across history at this n_files
     best: dict[str, dict] = {}
@@ -228,6 +227,18 @@ def main() -> None:
         for c, res in run.get("levels", {}).items():
             if c not in best or res["files_per_sec"] > best[c]["files_per_sec"]:
                 best[c] = res
+
+    # pairs come from every level recorded at this n_files (not just this
+    # invocation's levels — a 2,8-only top-up run must not drop 8->32)
+    all_levels = sorted(int(c) for c in best)
+    pair_list = [(a, a * 4) for a in all_levels if a * 4 in all_levels]
+
+    # host calibration per N->4N pair (Spark-free, after the Spark
+    # subprocesses — never concurrently)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.host_calibration import calibrate
+
+    calib = {f"{a}->{b}": calibrate(a, b, reps=5) for a, b in pair_list}
 
     pairs = {}
     for a, b in pair_list:
@@ -257,7 +268,7 @@ def main() -> None:
         "headline_pair": headline_pair,
         "target": 0.8,
         "n_files": n,
-        "levels": {str(c): best.get(str(c)) for c in levels},
+        "levels": {str(c): best[str(c)] for c in all_levels},
         "pairs": pairs,
         "host_calibration": calib,
         "protocol": (
