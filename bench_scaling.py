@@ -173,6 +173,13 @@ spark.stop()
 def run_level(cores: int, n: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
     t0 = time.time()
+    # Deliberately NOT taskset-pinned to cores 0..k-1: measured on this
+    # VM, pinned levels run 20-35% slower at the SAME average core usage
+    # (/proc/stat user% shows each level already averages ~k cores-worth
+    # unpinned: 1.95 at local[2], 6.2 at local[8]) because vCPU quality
+    # varies 1.6x across the machine and momentary bursts (GC, Arrow,
+    # Python workers) queue behind the pin instead of spreading to an
+    # idle core — which is scheduler behavior, not extra silicon.
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cores), str(n)],
         capture_output=True, text=True, timeout=4000, cwd="/root/repo", env=env,

@@ -33,6 +33,7 @@ pipeline E should be compared against on this host.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from multiprocessing import Barrier, Process, Queue
@@ -41,8 +42,10 @@ DOCS_PER_PROC = 1500
 ALU_ITERS = 20000
 
 
-def _alu_worker(q, bar) -> None:
+def _alu_worker(q, bar, cpu) -> None:
     import numpy as np
+
+    _pin(cpu)
 
     a = np.arange(4096, dtype=np.uint64)
     for _ in range(200):  # warm
@@ -55,8 +58,10 @@ def _alu_worker(q, bar) -> None:
     q.put(time.perf_counter() - t0)
 
 
-def _kernel_worker(q, bar, seed0: int) -> None:
+def _kernel_worker(q, bar, seed0: int, cpu: int) -> None:
     import random
+
+    _pin(cpu)
 
     from dedup_spark.functions.shingles import (
         MinHasher,
@@ -76,16 +81,26 @@ def _kernel_worker(q, bar, seed0: int) -> None:
     q.put(time.perf_counter() - t0)
 
 
+def _pin(cpu: int) -> None:
+    """No-op placeholder kept for experiment parity: per-cpu pinning was
+    measured and rejected — this VM's vCPUs vary ~1.6x in delivered
+    throughput (hypervisor mapping), so a pinned probe measures WHICH
+    cores it landed on, not the host's parallel ceiling. The Spark
+    levels are likewise unpinned (see bench_scaling.run_level)."""
+
+
 def _run_level(probe: str, nprocs: int) -> float:
     """One rep: aggregate units/sec at ``nprocs`` synchronized workers."""
     q: Queue = Queue()
     bar = Barrier(nprocs)
     if probe == "alu":
-        procs = [Process(target=_alu_worker, args=(q, bar)) for _ in range(nprocs)]
+        procs = [
+            Process(target=_alu_worker, args=(q, bar, j)) for j in range(nprocs)
+        ]
         units = nprocs * ALU_ITERS
     else:
         procs = [
-            Process(target=_kernel_worker, args=(q, bar, j * DOCS_PER_PROC))
+            Process(target=_kernel_worker, args=(q, bar, j * DOCS_PER_PROC, j))
             for j in range(nprocs)
         ]
         units = nprocs * DOCS_PER_PROC
