@@ -1,0 +1,103 @@
+"""Physical-plan audit of the pipeline's hot path — the `.explain`
+evidence loop behind SURVEY §7's scale posture.
+
+For each hot stage, print a compact operator summary of the EXECUTED
+(post-AQE) plan plus the properties that matter at 100 TB:
+
+- parquet scans: `PushedFilters` / `ReadSchema` (predicate pushdown +
+  column pruning actually reached the scan);
+- joins: Broadcast vs SortMerge vs ShuffledHash (small sides must
+  broadcast; the block-pair path must NOT contain a self-join at all —
+  it is a single groupBy + explode by design);
+- exchange count (every one is a shuffle — the budget per stage is
+  documented inline);
+- WholeStageCodegen spans (JVM-side expression work; Python appears
+  only at the two pandas-UDF sites: signatures and content verify).
+
+Usage: python scripts/plan_audit.py [sf_dir]   (default sf0.01)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def summarize(name: str, df, budget: str) -> None:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ops = Counter(
+        m.group(1)
+        for m in re.finditer(r"^\s*[+:*-]*\s*\(?\d*\)?\s*([A-Za-z]+)", plan, re.M)
+    )
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
+    print(f"\n== {name} — shuffle budget: {budget}")
+    print(
+        "   exchanges={} reused={} bhj={} smj={} shj={} codegen_spans={} "
+        "python_udf_sites={}".format(
+            ops.get("Exchange", 0),
+            ops.get("ReusedExchange", 0),
+            ops.get("BroadcastHashJoin", 0),
+            ops.get("SortMergeJoin", 0),
+            ops.get("ShuffledHashJoin", 0),
+            ops.get("WholeStageCodegen", 0) or plan.count("*("),
+            plan.count("ArrowEvalPython") + plan.count("FlatMapGroupsInPandas"),
+        )
+    )
+    for p in pushed[:3]:
+        print(f"   PushedFilters: [{p}]")
+    for s in schemas[:2]:
+        print(f"   ReadSchema: {s.strip()}")
+
+
+def main() -> None:
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.plans.pipeline import DedupPipeline
+    from dedup_spark.session import get_spark
+    from dedup_spark.sources.loader import documents_as_code_files, prepare_code_files
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = DedupConfig()
+    pipe = DedupPipeline(spark, cfg)
+
+    raw = documents_as_code_files(spark, sf_dir)
+    summarize(
+        "scan+filter (pushdown check)",
+        raw.filter(F.length("content") > 0).select("repo", "path", "size"),
+        "0 (scan only)",
+    )
+    files = prepare_code_files(raw, cfg)
+
+    sigs = pipe.signatures(files).drop("content").localCheckpoint()
+    summarize(
+        "candidates (LSH ∪ SimHash bucket forms)",
+        pipe.candidates(sigs),
+        "3: band groupBy, block-pair groupBy, union distinct — NO self-join",
+    )
+    verified = pipe.verify(
+        pipe.candidates(sigs), sigs, content_df=files.select("file_id", "content")
+    )
+    summarize(
+        "verify (cheap tiers → content UDF)",
+        verified,
+        "pair joins vs rep signatures (broadcast when small) + 1 repartition "
+        "before the Python verify site",
+    )
+    summarize(
+        "cluster (exact_rep + CC labels)",
+        pipe.cluster(sigs, verified),
+        "hash window (skipped when exact_rep precomputed) + CC + size window",
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
