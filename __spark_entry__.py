@@ -32,7 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4+M5: LSH ∪ SimHash candidates, verified (threshold gate).
-    Iterative-free but UDF/signature-based → rows-only check."""
+    Value-verified since round 3: the emitted jaccard/containment are
+    exact scores DuckDB recomputes independently (brute-force shingle
+    Jaccard + substring containment — see queries.ORACLE
+    'near_dup_pairs' for the floor/caveat notes)."""
     from dedup_spark.config import DedupConfig
     from dedup_spark.plans.pipeline import DedupPipeline
     from dedup_spark.sources.loader import documents_as_code_files

@@ -194,23 +194,28 @@ class SignatureStore:
             self.compact()
 
     def compact(self) -> None:
-        """Fold all generations into one (latest-per-key), atomically
-        swapping the data directory — the maintenance-compaction analog
-        of Iceberg's rewrite_data_files. Keeps the max generation number
-        so subsequent saves keep appending monotonically."""
+        """Fold all generations into one (latest-per-key) — the
+        maintenance-compaction analog of Iceberg's rewrite_data_files.
+
+        Publish protocol: the compacted rows land as ONE new generation
+        ``gen = max+1`` via a single rename into the existing data dir
+        (the same atomic publish point ``save`` uses), and only then
+        are the older generation dirs deleted. There is no window with
+        no data directory: a crash after the publish rename leaves
+        max+1 shadowing every older key (latest-wins read resolution),
+        and a crash mid-cleanup leaves redundant-but-correct older
+        gens that the next compaction removes. (The previous design
+        swapped the data dir with two renames — a crash between them
+        orphaned the whole store.)"""
         gens = self.generations()
         if len(gens) <= 1:
             return
         resolved = self.load().withColumn("bucket", self._bucket())
         staged = f"{self.path}/_staged_{uuid.uuid4().hex}"
-        resolved.write.partitionBy("bucket").parquet(staged)  # reads old dir here
-        newdata = f"{self.path}/_newdata_{uuid.uuid4().hex}"
-        os.makedirs(newdata)
-        os.rename(staged, f"{newdata}/gen={gens[-1]}")
-        old = f"{self.path}/_old_{uuid.uuid4().hex}"
-        os.rename(self._data_dir, old)
-        os.rename(newdata, self._data_dir)  # atomic publish point
-        shutil.rmtree(old, ignore_errors=True)
+        resolved.write.partitionBy("bucket").parquet(staged)  # reads old gens here
+        os.rename(staged, f"{self._data_dir}/gen={gens[-1] + 1}")  # atomic publish point
+        for g in gens:
+            shutil.rmtree(f"{self._data_dir}/gen={g}", ignore_errors=True)
 
     def _record_metrics(self, n_rows: int, n_reused: int | None) -> None:
         row = [(uuid.uuid4().hex, int(n_rows), n_reused, float(time.time()))]

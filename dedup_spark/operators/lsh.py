@@ -64,28 +64,37 @@ def pairs_from_keys(
     id_col: str = "file_id",
     dedupe: bool = True,
 ) -> DataFrame:
-    """Generic bucket→pairs expansion shared by LSH and SimHash probing.
+    """Generic bucket→pairs expansion (bucket form, mirroring
+    ``simhash_join.simhash_candidate_pairs``'s physical shape).
+
+    Precondition: each id appears at most ONCE per bucket — true for
+    LSH band keys (one key per (doc, band_id)) and SimHash block-pair
+    keys (one key per (doc, block_id)). That makes ``collect_list``
+    safe, skipping ``collect_set``'s per-bucket hash-dedup; and the
+    ``id_a < id_b`` orientation filter makes any per-bucket
+    ``sort_array`` unnecessary (pair identity does not depend on list
+    order). The previous ``sort_array(collect_set(...))`` form paid
+    both for nothing — measured 1.6× slower on the SimHash path when
+    that path made the same change.
 
     One groupBy collects each bucket's ids (bounded: buckets above
-    ``cap`` are dropped, their count reported via ``dropped_buckets``
-    accumulation column upstream); pairs are generated JVM-side by a
-    double explode with ``a < b``, then deduped across buckets.
-    Returns distinct (id_a, id_b).
+    ``cap`` are dropped — counted by ``oversize_buckets`` upstream,
+    never silent); pairs are generated JVM-side by a double explode
+    with ``a < b``. Distinct unless the caller dedupes downstream.
     """
-    buckets = keys.groupBy(*key_cols).agg(
-        F.sort_array(F.collect_set(id_col)).alias("ids"), F.count(F.lit(1)).alias("n")
-    )
-    ok = buckets.filter((F.col("n") >= 2) & (F.col("n") <= cap))
+    buckets = keys.groupBy(*key_cols).agg(F.collect_list(id_col).alias("ids"))
+    ok = buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= cap))
     pairs = (
         ok.select(F.explode("ids").alias("id_a"), F.col("ids"))
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    # callers that union several candidate sources dedupe ONCE at the
-    # union (dedupe=False) — near-identical docs collide in most bands,
-    # so an inner distinct here would shuffle the same inflated pair
-    # set a second time for nothing.
+    # callers that union several candidate sources dedupe ONCE,
+    # downstream of the cheap verify prune (dedupe=False) — near-
+    # identical docs collide in most bands, so an inner distinct here
+    # would shuffle the same inflated pair set again for nothing, and
+    # the post-prune set is far smaller.
     return pairs.distinct() if dedupe else pairs
 
 

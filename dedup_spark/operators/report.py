@@ -54,7 +54,9 @@ def folder_rollup(clusters: DataFrame) -> DataFrame:
     )
 
 
-def write_report(report: DataFrame, path: str, fmt: str = "json") -> None:
+def write_report(
+    report: DataFrame, path: str, fmt: str = "json", toml_max_sets: int = 1_000_000
+) -> None:
     """Write the duplicate report (JSON lines, parquet, or TOML).
 
     TOML matches the reference's second report format
@@ -63,8 +65,21 @@ def write_report(report: DataFrame, path: str, fmt: str = "json") -> None:
     tests/integration_tests.rs:566-654): one ``[[sets]]``
     array-of-tables entry per duplicate set. The report is one row per
     set (already aggregated) — rows are STREAMED to the single file
-    via toLocalIterator, never collected wholesale."""
+    via toLocalIterator, never collected wholesale. TOML is inherently
+    a single driver-written file, so it is guarded: reports above
+    ``toml_max_sets`` sets refuse up front (a billion-set report
+    belongs in the distributed JSON/parquet sinks, not a driver
+    stream) — the probe is a ``limit(n+1).count()``, so the guard
+    itself never scans past the cap."""
     if fmt == "toml":
+        n = report.limit(toml_max_sets + 1).count()
+        if n > toml_max_sets:
+            raise ValueError(
+                f"TOML report refused: > {toml_max_sets} duplicate sets; "
+                "the TOML sink is a single driver-streamed file — use "
+                "fmt='json' or 'parquet' (distributed) for reports this "
+                "size, or raise toml_max_sets explicitly"
+            )
         _write_toml_report(report, path)
         return
     writer = report.coalesce(1).write.mode("overwrite")
@@ -88,12 +103,20 @@ def _toml_value(v) -> str | None:
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, str):
-        # json string escaping is a subset of TOML basic-string escaping
-        return json.dumps(v)
+        # json string escaping (quotes/backslashes/control chars) is a
+        # subset of TOML basic-string escaping. ensure_ascii=False is
+        # load-bearing: the default would emit non-BMP characters as
+        # surrogate-PAIR escapes (\\ud83d\\ude00), which are not Unicode
+        # scalar values and are rejected by TOML parsers — raw UTF-8 is
+        # valid in a TOML basic string.
+        return json.dumps(v, ensure_ascii=False)
     if isinstance(v, (list, tuple)):
-        parts = [_toml_value(x) for x in v]
-        return "[" + ", ".join(p for p in parts if p is not None) + "]"
-    return json.dumps(str(v))
+        # None elements serialize as an explicit empty string, never
+        # silently dropped — positional alignment with sibling array
+        # columns (files[i] ↔ sizes[i]) must survive serialization
+        parts = [_toml_value(x) if x is not None else '""' for x in v]
+        return "[" + ", ".join(parts) + "]"
+    return json.dumps(str(v), ensure_ascii=False)
 
 
 def _write_toml_report(report: DataFrame, path: str) -> None:

@@ -132,12 +132,22 @@ def verify_pairs(
     plausible = (F.col("est_jaccard") >= F.lit(floor)) | (
         F.col("hamming") <= F.lit(config.simhash_radius + 8)
     )
-    scored = scored.filter(plausible)
+    # Candidate sources emit the same pair once per colliding key (a
+    # near-dup pair collides in most LSH bands); dedup happens HERE,
+    # after the codegen prune, so the one pair shuffle carries only
+    # plausible pairs instead of the ~30×-inflated raw union. Every
+    # scored column is a deterministic function of the pair, so
+    # key-only dropDuplicates is exact. Signature arrays are dropped
+    # first — the dedup exchange moves ~32-byte rows, not 128-int
+    # minhash payloads.
+    scored = (
+        scored.filter(plausible)
+        .drop("minhash_a", "minhash_b", "simhash_a", "simhash_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     if with_content:
         src = content_df if content_df is not None else sig_df
-        scored = attach_pair_signatures(
-            scored.drop("minhash_a", "minhash_b"), src, ["content"], id_col
-        )
+        scored = attach_pair_signatures(scored, src, ["content"], id_col)
         # The content pass is CPU-bound Python at ~KB-sized rows: AQE's
         # size-based coalescing would funnel it into 1-2 partitions and
         # serialize the UDF — spread it across the cores explicitly.
@@ -157,4 +167,4 @@ def verify_pairs(
     else:
         scored = scored.withColumn("sim", F.col("est_jaccard"))
         passed = F.col("sim") >= F.lit(config.similarity_threshold)
-    return scored.filter(passed).drop("minhash_a", "minhash_b", "simhash_a", "simhash_b")
+    return scored.filter(passed)

@@ -73,20 +73,27 @@ class DedupPipeline:
         return sigs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     def candidates(self, reps: DataFrame) -> DataFrame:
-        """LSH ∪ SimHash candidate pairs over representatives — deduped
-        once, at the union (the LSH side skips its inner distinct).
+        """LSH ∪ SimHash candidate pairs over representatives.
+
+        NOT deduped here: near-duplicate docs collide in most of the
+        32 LSH bands (and several SimHash block-pairs), so a distinct
+        at the union shuffles the full ~30×-inflated pair set before
+        verify's tier-1/2 codegen prune discards most of it.
+        ``verify_pairs`` dedupes AFTER that prune — the one pair
+        shuffle then carries only plausible pairs. Callers that
+        consume candidates directly (tests, metrics) should treat the
+        output as a multiset or apply ``.distinct()`` themselves.
         With ``same_lang_only`` the F7 gate drops cross-lang pairs
         (reference: cross-kind similarity is 0,
         /root/reference/src/media_dedup.rs:392-418)."""
         mh = lsh_candidate_pairs(reps, self.config, dedupe=False)
         # simhash pairs arrive hamming-verified INSIDE the join stage
         # (false block-pair collisions die in codegen, never shuffled —
-        # see simhash_candidate_pairs); the union's distinct is the
-        # only pair shuffle for both sources
+        # see simhash_candidate_pairs)
         sh = simhash_candidate_pairs(reps, self.config, dedupe=False).select(
             "id_a", "id_b"
         )
-        pairs = mh.union(sh).distinct()
+        pairs = mh.union(sh)
         if self.config.same_lang_only and "lang" in reps.columns:
             lang = reps.select("file_id", "lang")
             pairs = (

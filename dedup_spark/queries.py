@@ -642,6 +642,61 @@ SELECT CASE WHEN rn = 1 THEN 'keep' ELSE 'delete' END AS action,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM ranked GROUP BY 1
 """,
+    # Flagship fuzzy query, value-verified (round-3 upgrade from
+    # rows-only): the emitted (jaccard, containment) are EXACT scores —
+    # jaccard = token-5-shingle Jaccard over normalized content
+    # (shingles.shingle_set semantics: lowercase, collapse whitespace,
+    # split on spaces, distinct 5-token grams), containment =
+    # LCS/min-len over RAW content. DuckDB recomputes both from
+    # scratch: brute-force all-pairs shingle Jaccard for the >=0.9
+    # gate, and substring containment (position()) for the
+    # containment-admitted pairs — the fixture's containment family is
+    # pure truncations, so containment is exactly 1.0 and
+    # SQL-expressible. The oracle's containment branch floors at
+    # jaccard >= 0.7, where LSH candidacy is probabilistically certain
+    # (P(miss | J=0.7) < 3e-4 at b=32,r=4); below that neither side
+    # reliably emits, and the fixture contains no such pairs. Partial
+    # LCS containment (0.9 <= c < 1.0) would need a real LCS kernel —
+    # no SQL equivalent; covered by tests/test_lcs.py goldens instead.
+    "near_dup_pairs": f"""
+WITH {SQL_FILES},
+t AS (
+  SELECT file_id,
+         CASE WHEN length(trim(content)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(content)), '\\s+') END AS toks
+  FROM files
+),
+sh AS (
+  SELECT file_id,
+         UNNEST(list_distinct([array_to_string(toks[i:i+4], ' ')
+                               FOR i IN range(1, len(toks) - 3)])) AS s
+  FROM t WHERE len(toks) >= 5
+),
+counts AS (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY file_id),
+shared AS (
+  SELECT a.file_id AS id_a, b.file_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.file_id < b.file_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         shared / (ca.n_sh + cb.n_sh - shared) AS j,
+         fa.content AS ca_txt, fb.content AS cb_txt
+  FROM shared
+  JOIN counts ca ON ca.file_id = id_a
+  JOIN counts cb ON cb.file_id = id_b
+  JOIN files fa ON fa.file_id = id_a
+  JOIN files fb ON fb.file_id = id_b
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard,
+       CASE WHEN j >= 0.9 THEN NULL ELSE 1.0 END AS containment
+FROM scored
+WHERE j >= 0.9
+   OR (j >= 0.7 AND
+       position(CASE WHEN length(ca_txt) <= length(cb_txt) THEN ca_txt ELSE cb_txt END
+                IN CASE WHEN length(ca_txt) <= length(cb_txt) THEN cb_txt ELSE ca_txt END) > 0)
+ORDER BY id_a, id_b
+""",
     "hash_variants": f"""
 WITH {SQL_FILES}
 SELECT file_id, sha256(content) AS sha256, md5(content) AS md5 FROM files

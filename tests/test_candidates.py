@@ -93,6 +93,76 @@ def test_simhash_pigeonhole_guarantee(spark):
         assert (0, i) in pairs, f"pair (0,{i}) lost despite distance<=6"
 
 
+def _pairs_reference_form(keys, key_cols, cap, id_col="file_id"):
+    """The pre-round-3 sort_array(collect_set) pair expansion — kept
+    here as the independent reference the bucket form must match
+    bit-for-bit (same pattern as the UF-vs-star CC identity test)."""
+    buckets = keys.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_set(id_col)).alias("ids"), F.count(F.lit(1)).alias("n")
+    )
+    ok = buckets.filter((F.col("n") >= 2) & (F.col("n") <= cap))
+    return (
+        ok.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+@pytest.mark.parametrize("cap", [2, 10, 512])
+def test_bucket_form_matches_reference_form(sig_df, cap):
+    from dedup_spark.operators.lsh import pairs_from_keys
+
+    keys = band_keys(sig_df, CFG)
+    new = {
+        (r["id_a"], r["id_b"])
+        for r in pairs_from_keys(keys, ["band_id", "band_hash"], cap).collect()
+    }
+    ref = {
+        (r["id_a"], r["id_b"])
+        for r in _pairs_reference_form(keys, ["band_id", "band_hash"], cap).collect()
+    }
+    assert new == ref
+
+
+def test_pair_dedup_placement_bit_identical(spark):
+    """Verified pairs from the RAW candidate multiset (dedup deferred
+    to after verify's cheap prune) must be bit-identical to verifying
+    a pre-deduped candidate set — the round-3 shuffle move must not
+    change a single pair or score."""
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.operators.verify import verify_pairs
+    from dedup_spark.plans.pipeline import DedupPipeline
+
+    base = "\n".join(f"fn_{i} = mod_{i}.call(arg_{i}, {i * 3})" for i in range(30))
+    rows = []
+    for fam in range(6):
+        fam_base = base.replace("mod_0", f"fam{fam}_mod", 1)
+        rows.append((fam * 10, "r", f"p{fam}a", "c", "py", fam_base))
+        rows.append((fam * 10 + 1, "r", f"p{fam}b", "c", "py", fam_base.replace("fn_5", "renamed", 1)))
+        rows.append((fam * 10 + 2, "r", f"p{fam}c", "c", "py", fam_base))  # exact dup
+    df = spark.createDataFrame(
+        rows, "file_id long, repo string, path string, commit string, lang string, content string"
+    )
+    cfg = DedupConfig()
+    pipe = DedupPipeline(spark, cfg)
+    sigs = pipe.signatures(df).localCheckpoint()
+    reps = pipe.representatives(sigs)
+    raw = pipe.candidates(reps)
+    assert raw.count() > raw.distinct().count()  # the multiset is real
+    content = df.select("file_id", "content")
+
+    def key(r):
+        return (r["id_a"], r["id_b"], round(r["sim"], 9), round(r["est_jaccard"], 9), r["hamming"])
+
+    v_raw = sorted(key(r) for r in verify_pairs(raw, reps, cfg, content_df=content).collect())
+    v_pre = sorted(
+        key(r) for r in verify_pairs(raw.distinct(), reps, cfg, content_df=content).collect()
+    )
+    assert v_raw == v_pre and len(v_raw) == len({(a, b) for a, b, *_ in v_raw})
+
+
 def test_same_lang_gate(spark):
     from dedup_spark.config import DedupConfig
     from dedup_spark.plans.pipeline import DedupPipeline

@@ -130,9 +130,52 @@ def test_second_save_appends_only_new_generation(spark, cache_dir):
     assert resolved == {"a.py": "H_A2", "b.py": "H_B", "c.py": "H_C"}
 
     store.compact()
-    assert store.generations() == [1]
+    # compaction publishes ONE new generation (max+1) then deletes the
+    # old ones — never a moment without a data dir (ADVICE r2 fix)
+    assert store.generations() == [2]
     resolved2 = {r["path"]: r["hash"] for r in store.load().collect()}
     assert resolved2 == resolved
+
+
+def test_compact_interrupted_cleanup_still_correct(spark, cache_dir, monkeypatch):
+    """A crash between the compacted-gen publish and old-gen cleanup
+    must leave a CORRECT store: the new generation shadows every old
+    key latest-wins, and the next compaction removes the leftovers."""
+    import shutil as _shutil
+
+    from dedup_spark.checkpoint import SignatureStore
+    from dedup_spark.config import RECALL_CONFIG
+
+    cfg = RECALL_CONFIG.with_(cache_path=cache_dir)
+    store = SignatureStore(spark, cache_dir, cfg)
+    schema = (
+        "repo string, path string, commit string, hash string, "
+        "minhash array<int>, simhash long, n_shingles int"
+    )
+    store.save(spark.createDataFrame([("r", "a.py", "c", "H_A1", [1], 1, 1)], schema))
+    store.save(spark.createDataFrame([("r", "a.py", "c", "H_A2", [2], 2, 1)], schema))
+
+    real_rmtree = _shutil.rmtree
+    calls = {"n": 0}
+
+    def crashy_rmtree(path, **kw):  # crash before ANY old gen is removed
+        calls["n"] += 1
+        raise KeyboardInterrupt("simulated crash mid-cleanup")
+
+    monkeypatch.setattr("dedup_spark.checkpoint.shutil.rmtree", crashy_rmtree)
+    try:
+        store.compact()
+    except KeyboardInterrupt:
+        pass
+    assert calls["n"] == 1
+    monkeypatch.setattr("dedup_spark.checkpoint.shutil.rmtree", real_rmtree)
+    # old gens 0,1 survive alongside the published gen=2 — reads stay
+    # correct (latest wins), and recovery is just the next compact()
+    assert store.generations() == [0, 1, 2]
+    assert {r["hash"] for r in store.load().collect()} == {"H_A2"}
+    store.compact()
+    assert store.generations() == [3]
+    assert {r["hash"] for r in store.load().collect()} == {"H_A2"}
 
 
 def test_auto_compaction_threshold(spark, cache_dir):

@@ -106,3 +106,38 @@ def test_toml_report_round_trips(spark, tmp_path):
     assert sets[1]["files"] == ['a/we"ird\\p.py', "a/y.py"]
     assert sets[3]["n_files"] == 2
     assert sets[3]["min_size"] == 20 and sets[3]["max_size"] == 22
+
+
+def test_toml_report_non_bmp_and_null_elements(spark, tmp_path):
+    """ADVICE r2: (a) non-BMP characters (emoji paths) must serialize
+    as raw UTF-8, not surrogate-pair escapes tomllib rejects; (b) None
+    elements inside arrays must keep their position (placeholder), not
+    silently shorten the array."""
+    import tomllib
+
+    from dedup_spark.operators.report import _toml_value, write_report
+
+    rows = [(1, "a/\N{GRINNING FACE}.py", ["x.py", None, "z.py"], 2)]
+    df = spark.createDataFrame(
+        rows, "cluster_id long, path string, files array<string>, n_files long"
+    )
+    out = str(tmp_path / "report.toml")
+    write_report(df, out, fmt="toml")
+    parsed = tomllib.load(open(out, "rb"))  # raises on surrogate escapes
+    s = parsed["sets"][0]
+    assert s["path"] == "a/\N{GRINNING FACE}.py"
+    assert s["files"] == ["x.py", "", "z.py"]  # position preserved
+    assert _toml_value(["a", None]) == '["a", ""]'
+
+
+def test_toml_report_size_guard(spark, tmp_path):
+    from dedup_spark.operators.report import write_report
+
+    df = spark.range(5).withColumnRenamed("id", "cluster_id")
+    with pytest.raises(ValueError, match="TOML report refused"):
+        write_report(df, str(tmp_path / "r.toml"), fmt="toml", toml_max_sets=3)
+    # under the cap it writes normally
+    write_report(df, str(tmp_path / "r.toml"), fmt="toml", toml_max_sets=5)
+    import tomllib
+
+    assert len(tomllib.load(open(str(tmp_path / "r.toml"), "rb"))["sets"]) == 5
