@@ -101,12 +101,13 @@ def run_incremental_dedup(
       4. store append: one new generation (atomic publish, O(batch),
          lineage metrics row per batch).
     """
-    import shutil
-
     from pyspark.sql.window import Window
+
+    from dedup_spark.checkpoint import HadoopFS
 
     cfg = config or DedupConfig()
     store = SignatureStore(spark, store_path, cfg)
+    report_fs = HadoopFS(spark, report_path)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         b = batch.select(*CODE_FILES_COLUMNS)
@@ -120,14 +121,21 @@ def run_incremental_dedup(
             .withColumn("_b_repo", F.first("repo").over(w))
             .withColumn("_b_path", F.first("path").over(w))
         )
-        existing = store.load()
-        if existing is not None:
-            hist = existing.select(
+        # history probe, pruned: collect the batch's distinct hashes
+        # (bounded by maxFilesPerTrigger — this list is the one
+        # driver-side term, and it is batch-sized, never store-sized)
+        # and read ONLY their hash-bucket partitions from the store.
+        # Probe input stays ~flat as the store grows [VERDICT r2 #3];
+        # the result is ≤ one row per batch hash → broadcast join.
+        hashes = [r[0] for r in sigs.select("hash").distinct().collect()]
+        hist = store.probe_hashes(hashes)
+        if hist is not None:
+            hist = hist.select(
                 F.col("hash"),
-                F.col("path").alias("_h_path"),
-                F.col("repo").alias("_h_repo"),
-            ).dropDuplicates(["hash"])
-            ranked = ranked.join(hist, "hash", "left")
+                F.col("first_path").alias("_h_path"),
+                F.col("first_repo").alias("_h_repo"),
+            )
+            ranked = ranked.join(F.broadcast(hist), "hash", "left")
         else:
             ranked = ranked.withColumn("_h_path", F.lit(None).cast("string")).withColumn(
                 "_h_repo", F.lit(None).cast("string")
@@ -145,7 +153,7 @@ def run_incremental_dedup(
         if hits.count() > 0:
             hits.write.mode("overwrite").parquet(batch_dir)  # retry-safe
         else:
-            shutil.rmtree(batch_dir, ignore_errors=True)  # undo a half-failed retry
+            report_fs.delete(batch_dir)  # undo a half-failed retry
         store.save(sigs)
 
     return (
