@@ -132,14 +132,18 @@ def verify_pairs(
     plausible = (F.col("est_jaccard") >= F.lit(floor)) | (
         F.col("hamming") <= F.lit(config.simhash_radius + 8)
     )
-    # Candidate sources emit the same pair once per colliding key (a
-    # near-dup pair collides in most LSH bands); dedup happens HERE,
-    # after the codegen prune, so the one pair shuffle carries only
-    # plausible pairs instead of the ~30×-inflated raw union. Every
-    # scored column is a deterministic function of the pair, so
-    # key-only dropDuplicates is exact. Signature arrays are dropped
-    # first — the dedup exchange moves ~32-byte rows, not 128-int
-    # minhash payloads.
+    # Idempotence guard: verify accepts a pair MULTISET (callers that
+    # skip candidates()' union distinct, e.g. per-source metrics) and
+    # still emits each pair once. Every scored column is a
+    # deterministic function of the pair, so key-only dropDuplicates
+    # is exact; on the normal pre-deduped path this is a ~n_verified
+    # narrow shuffle (trivial). NOTE the main dedup deliberately does
+    # NOT live here: the tier-1/2 prune above consumes est_jaccard/
+    # hamming, so any multiset reaching this point already paid the
+    # wide signature-attach joins per duplicate row — see
+    # DedupPipeline.candidates for the A/B that pinned dedup at the
+    # union. Signature arrays are dropped first — this exchange moves
+    # ~32-byte rows, not 128-int minhash payloads.
     scored = (
         scored.filter(plausible)
         .drop("minhash_a", "minhash_b", "simhash_a", "simhash_b")

@@ -72,28 +72,39 @@ class DedupPipeline:
         w = Window.partitionBy("hash").orderBy("file_id")
         return sigs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
-    def candidates(self, reps: DataFrame) -> DataFrame:
-        """LSH ∪ SimHash candidate pairs over representatives.
+    def candidates(self, reps: DataFrame, dedupe: bool = True) -> DataFrame:
+        """LSH ∪ SimHash candidate pairs over representatives, deduped
+        ONCE at the union.
 
-        NOT deduped here: near-duplicate docs collide in most of the
-        32 LSH bands (and several SimHash block-pairs), so a distinct
-        at the union shuffles the full ~30×-inflated pair set before
-        verify's tier-1/2 codegen prune discards most of it.
-        ``verify_pairs`` dedupes AFTER that prune — the one pair
-        shuffle then carries only plausible pairs. Callers that
-        consume candidates directly (tests, metrics) should treat the
-        output as a multiset or apply ``.distinct()`` themselves.
-        With ``same_lang_only`` the F7 gate drops cross-lang pairs
-        (reference: cross-kind similarity is 0,
+        The dedup placement is measured, not guessed: near-duplicate
+        docs collide in most of the 32 LSH bands, so the union is a
+        ~30×-inflated multiset (2.18M rows for 46,991 true pairs at
+        400k files) — but the rows are 16-byte (id_a, id_b) keys. The
+        alternative (dedup AFTER verify's tier-1/2 prune) cannot skip
+        this shuffle, because the prune consumes est_jaccard/hamming,
+        which require attaching the 128-int minhash + simhash arrays
+        to every PAIR row first — i.e. the inflation would ride the
+        two wide signature-attach joins instead of one narrow
+        distinct. A/B at local[8]/400k: dedup-first 34-39s vs
+        dedup-after-prune 47-54s for candidates+verify, identical
+        output (bit-identity test in test_candidates.py). At 10^12
+        files the narrow shuffle is ~35 GB where the attached multiset
+        would be ~2 TB.
+
+        ``dedupe=False`` exposes the raw multiset (tests, collision
+        metrics). With ``same_lang_only`` the F7 gate drops cross-lang
+        pairs (reference: cross-kind similarity is 0,
         /root/reference/src/media_dedup.rs:392-418)."""
         mh = lsh_candidate_pairs(reps, self.config, dedupe=False)
         # simhash pairs arrive hamming-verified INSIDE the join stage
         # (false block-pair collisions die in codegen, never shuffled —
-        # see simhash_candidate_pairs)
-        sh = simhash_candidate_pairs(reps, self.config, dedupe=False).select(
-            "id_a", "id_b"
+        # see simhash_candidate_pairs); the union's distinct is the
+        # only pair shuffle for both sources
+        pairs = mh.union(
+            simhash_candidate_pairs(reps, self.config, dedupe=False).select("id_a", "id_b")
         )
-        pairs = mh.union(sh)
+        if dedupe:
+            pairs = pairs.distinct()
         if self.config.same_lang_only and "lang" in reps.columns:
             lang = reps.select("file_id", "lang")
             pairs = (

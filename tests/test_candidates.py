@@ -127,10 +127,11 @@ def test_bucket_form_matches_reference_form(sig_df, cap):
 
 
 def test_pair_dedup_placement_bit_identical(spark):
-    """Verified pairs from the RAW candidate multiset (dedup deferred
-    to after verify's cheap prune) must be bit-identical to verifying
-    a pre-deduped candidate set — the round-3 shuffle move must not
-    change a single pair or score."""
+    """Verified pairs from the RAW candidate multiset (candidates with
+    dedupe=False — verify's post-prune key dedup must then absorb the
+    band-collision multiplicity) must be bit-identical to verifying
+    the normal pre-deduped candidate set: the dedup placement is a
+    pure physical choice, never a semantic one."""
     from dedup_spark.config import DedupConfig
     from dedup_spark.operators.verify import verify_pairs
     from dedup_spark.plans.pipeline import DedupPipeline
@@ -149,7 +150,7 @@ def test_pair_dedup_placement_bit_identical(spark):
     pipe = DedupPipeline(spark, cfg)
     sigs = pipe.signatures(df).localCheckpoint()
     reps = pipe.representatives(sigs)
-    raw = pipe.candidates(reps)
+    raw = pipe.candidates(reps, dedupe=False)
     assert raw.count() > raw.distinct().count()  # the multiset is real
     content = df.select("file_id", "content")
 
