@@ -185,6 +185,21 @@ class SignatureStore:
     def _hb_of(self, h: str) -> int:
         return zlib.crc32(h.encode()) % self.n_hash_buckets
 
+    def _writer(self, df: DataFrame):
+        """Partitioned writer shared by save/compact. A parquet bloom
+        filter on ``hash`` gives ``probe_hashes`` row-group skipping
+        INSIDE each hb bucket dir (random hex hashes defeat min-max
+        stats, so without the bloom every row group in a probed bucket
+        is read); sized for ~1M distinct hashes per file at the
+        default 1% fpp."""
+        return (
+            df.withColumn("bucket", self._bucket())
+            .withColumn("hb", self._hb())
+            .write.option("parquet.bloom.filter.enabled#hash", "true")
+            .option("parquet.bloom.filter.expected.ndv#hash", "1000000")
+            .partitionBy("bucket", "hb")
+        )
+
     def generations(self) -> list[int]:
         return sorted(
             int(e.split("=", 1)[1])
@@ -249,9 +264,7 @@ class SignatureStore:
         """
         new = sigs.select(*CACHE_COLS).dropDuplicates(CACHE_KEY)
         staged = f"{self.path}/_staged_{uuid.uuid4().hex}"
-        new.withColumn("bucket", self._bucket()).withColumn("hb", self._hb()).write.partitionBy(
-            "bucket", "hb"
-        ).parquet(staged)
+        self._writer(new).parquet(staged)
         has_files = self.fs.has_file_with_suffix(staged, ".parquet")
         n_rows = self.spark.read.parquet(staged).count() if has_files else 0
         if n_rows == 0:
@@ -282,9 +295,8 @@ class SignatureStore:
         gens = self.generations()
         if len(gens) <= 1:
             return
-        resolved = self.load().withColumn("bucket", self._bucket()).withColumn("hb", self._hb())
         staged = f"{self.path}/_staged_{uuid.uuid4().hex}"
-        resolved.write.partitionBy("bucket", "hb").parquet(staged)  # reads old gens here
+        self._writer(self.load()).parquet(staged)  # reads old gens here
         self.fs.rename(staged, f"{self._data_dir}/gen={gens[-1] + 1}")  # atomic publish point
         for g in gens:
             self.fs.delete(f"{self._data_dir}/gen={g}")
