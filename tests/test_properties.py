@@ -1,0 +1,125 @@
+"""Property-based (hypothesis) tests for the pure Python/numpy kernels.
+
+These are the engine's correctness-critical leaf functions — the batch
+kernels MUST be bit-identical to their scalar references for ANY input,
+not just the frozen goldens, because signature mismatches silently cost
+recall rather than raising. No SparkSession involved: all properties
+run on the executors' kernel code directly, so thousands of examples
+stay cheap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dedup_spark.functions.hashing import fnv1a64_batch, fnv1a64_py
+from dedup_spark.functions.lcs import containment_score, longest_common_substring_len
+from dedup_spark.functions.shingles import (
+    MinHasher,
+    batch_minhash_simhash,
+    doc_fingerprint,
+    normalize_text,
+    shingle_set,
+    simhash64,
+)
+
+SETTINGS = settings(max_examples=200, deadline=None)
+
+
+def _lcs_dp(a: str, b: str) -> int:
+    """Independent O(n·m) dynamic-programming LCS reference."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    best = 0
+    for ca in a:
+        cur = [0] * (len(b) + 1)
+        for j, cb in enumerate(b, 1):
+            if ca == cb:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
+
+
+short_text = st.text(alphabet="abcx ", max_size=40)
+
+
+@SETTINGS
+@given(short_text, short_text)
+def test_lcs_matches_dp_reference(a, b):
+    assert longest_common_substring_len(a, b) == _lcs_dp(a, b)
+
+
+@SETTINGS
+@given(short_text, short_text)
+def test_lcs_symmetric_and_bounded(a, b):
+    got = longest_common_substring_len(a, b)
+    assert got == longest_common_substring_len(b, a)
+    assert 0 <= got <= min(len(a), len(b))
+
+
+@SETTINGS
+@given(st.text(alphabet="abcx", min_size=1, max_size=30), st.text(alphabet="abcx", max_size=10))
+def test_containment_of_substring_is_one(a, suffix):
+    # the shorter string IS a substring of the longer → containment 1.0
+    assert containment_score(a, suffix + a) == 1.0
+    assert containment_score(a, a) == 1.0
+
+
+@SETTINGS
+@given(st.lists(st.binary(max_size=200), max_size=30), st.integers(min_value=64, max_value=4096))
+def test_fnv1a_batch_matches_scalar(docs, chunk_cells):
+    # small chunk_cells forces the length-sorted chunking paths
+    got = fnv1a64_batch(docs, chunk_cells=chunk_cells)
+    assert [int(h) for h in got] == [fnv1a64_py(d) for d in docs]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=60).map(
+            lambda xs: np.unique(np.array(xs, dtype=np.uint64))
+        ),
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=64),
+)
+def test_batch_minhash_simhash_matches_scalar(shingle_sets, chunk):
+    """The Arrow-batch segment-reduction kernel must be bit-identical
+    to the per-doc path for ANY shingle sets and ANY chunk boundary."""
+    hasher = MinHasher(16)
+    sigs, sims = batch_minhash_simhash(shingle_sets, hasher, chunk_shingles=chunk)
+    for s, sig, sim in zip(shingle_sets, sigs, sims):
+        ref_sig = hasher.signature(s)
+        ref_sim = simhash64(s)
+        if ref_sig is None:
+            assert sig is None and sim is None
+        else:
+            assert np.array_equal(np.asarray(sig), ref_sig)
+            assert sim == ref_sim
+
+
+@SETTINGS
+@given(st.text(alphabet="ab cd\t\n", max_size=80), st.integers(min_value=1, max_value=6))
+def test_shingle_set_count_bound_and_ws_invariance(text, k):
+    sh = shingle_set(text, k)
+    n_tok = len(normalize_text(text).split())
+    # distinct k-shingles of an n-token doc: at most n-k+1 (0 if short)
+    assert sh.shape[0] <= max(0, n_tok - k + 1)
+    # whitespace shape must not matter under normalization
+    mangled = text.replace(" ", "   ").replace("\t", " \n ")
+    assert np.array_equal(np.sort(sh), np.sort(shingle_set(mangled, k)))
+
+
+@SETTINGS
+@given(st.text(alphabet="abc \n", max_size=120), st.integers(min_value=1, max_value=12))
+def test_doc_fingerprint_deterministic_and_ws_normal(text, window):
+    fp = doc_fingerprint(text, window)
+    assert fp == doc_fingerprint(text, window)  # pure
+    assert -(1 << 63) <= fp < (1 << 63)  # Spark LongType range
+    if not text.split():
+        assert fp == 0
