@@ -53,8 +53,11 @@ def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6: full pipeline cluster assignment (connected components —
-    iterative, rows-only check)."""
+    """M6: full pipeline cluster assignment. Value-verified since
+    round 3: the oracle recomputes the verified pairs brute-force and
+    labels components with a recursive transitive closure (min-id
+    labels — connected_components' exact contract); exact_rep falls
+    out of MIN(file_id) OVER (PARTITION BY content)."""
     from dedup_spark.config import DedupConfig
     from dedup_spark.plans.pipeline import DedupPipeline
     from dedup_spark.sources.loader import documents_as_code_files

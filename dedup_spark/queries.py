@@ -359,6 +359,49 @@ stats AS (
 """ % _STOPWORDS_SQL
 
 
+# Shared fuzzy-pair recomputation (near_dup_pairs + near_dup_clusters
+# oracles): brute-force token-5-shingle Jaccard over normalized content
+# + substring containment over raw content, gated exactly like verify
+# (J >= 0.9, or containment with the J >= 0.7 floor where LSH candidacy
+# is probabilistically certain — P(miss | J=0.7) < 3e-4 at b=32,r=4).
+SQL_NEARDUP_PAIRS = """
+t AS (
+  SELECT file_id,
+         CASE WHEN length(trim(content)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(content)), '\\s+') END AS toks
+  FROM files
+),
+sh AS (
+  SELECT file_id,
+         UNNEST(list_distinct([array_to_string(toks[i:i+4], ' ')
+                               FOR i IN range(1, len(toks) - 3)])) AS s
+  FROM t WHERE len(toks) >= 5
+),
+counts AS (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY file_id),
+shared AS (
+  SELECT a.file_id AS id_a, b.file_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.file_id < b.file_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         shared / (ca.n_sh + cb.n_sh - shared) AS j,
+         fa.content AS ca_txt, fb.content AS cb_txt
+  FROM shared
+  JOIN counts ca ON ca.file_id = id_a
+  JOIN counts cb ON cb.file_id = id_b
+  JOIN files fa ON fa.file_id = id_a
+  JOIN files fb ON fb.file_id = id_b
+),
+nd_pairs AS (
+  SELECT id_a, id_b, j FROM scored
+  WHERE j >= 0.9
+     OR (j >= 0.7 AND
+         position(CASE WHEN length(ca_txt) <= length(cb_txt) THEN ca_txt ELSE cb_txt END
+                  IN CASE WHEN length(ca_txt) <= length(cb_txt) THEN cb_txt ELSE ca_txt END) > 0)
+)
+"""
+
 ORACLE: dict[str, str] = {
     "text_quality": f"""
 WITH {SQL_FILES}, {SQL_TOKS}
@@ -660,42 +703,46 @@ FROM ranked GROUP BY 1
     # no SQL equivalent; covered by tests/test_lcs.py goldens instead.
     "near_dup_pairs": f"""
 WITH {SQL_FILES},
-t AS (
-  SELECT file_id,
-         CASE WHEN length(trim(content)) = 0 THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(lower(content)), '\\s+') END AS toks
-  FROM files
-),
-sh AS (
-  SELECT file_id,
-         UNNEST(list_distinct([array_to_string(toks[i:i+4], ' ')
-                               FOR i IN range(1, len(toks) - 3)])) AS s
-  FROM t WHERE len(toks) >= 5
-),
-counts AS (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY file_id),
-shared AS (
-  SELECT a.file_id AS id_a, b.file_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
-  FROM sh a JOIN sh b ON a.s = b.s AND a.file_id < b.file_id
-  GROUP BY 1, 2
-),
-scored AS (
-  SELECT id_a, id_b,
-         shared / (ca.n_sh + cb.n_sh - shared) AS j,
-         fa.content AS ca_txt, fb.content AS cb_txt
-  FROM shared
-  JOIN counts ca ON ca.file_id = id_a
-  JOIN counts cb ON cb.file_id = id_b
-  JOIN files fa ON fa.file_id = id_a
-  JOIN files fb ON fb.file_id = id_b
-)
+{SQL_NEARDUP_PAIRS}
 SELECT id_a, id_b, round(j, 6) AS jaccard,
        CASE WHEN j >= 0.9 THEN NULL ELSE 1.0 END AS containment
-FROM scored
-WHERE j >= 0.9
-   OR (j >= 0.7 AND
-       position(CASE WHEN length(ca_txt) <= length(cb_txt) THEN ca_txt ELSE cb_txt END
-                IN CASE WHEN length(ca_txt) <= length(cb_txt) THEN cb_txt ELSE ca_txt END) > 0)
+FROM nd_pairs
 ORDER BY id_a, id_b
+""",
+    # Full-pipeline cluster assignment, value-verified (round-3 upgrade
+    # from rows-only): exact_rep = min file_id per content; fuzzy
+    # cluster = connected component over the SAME verified-pair set the
+    # near_dup_pairs oracle recomputes from scratch, labeled with the
+    # component's min id via a recursive transitive closure (DuckDB
+    # WITH RECURSIVE; UNION dedup guarantees termination) — exactly
+    # connected_components()' contract (cc.py: "cluster id is the
+    # component's minimum node id"). cluster_id = coalesce(fuzzy label
+    # of exact_rep, exact_rep); cluster_size = members per label. The
+    # closure is O(V·E) rows — an oracle-scale device, not the engine's
+    # plan (the engine uses union-find / large-small-star).
+    "near_dup_clusters": f"""
+WITH RECURSIVE {SQL_FILES},
+{SQL_NEARDUP_PAIRS},
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM nd_pairs
+  UNION SELECT id_b, id_a FROM nd_pairs
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
+),
+label AS (SELECT a AS fid, LEAST(a, MIN(b)) AS lbl FROM reach GROUP BY a),
+reps AS (
+  SELECT file_id, MIN(file_id) OVER (PARTITION BY content) AS exact_rep FROM files
+),
+cl AS (
+  SELECT r.file_id, COALESCE(l.lbl, r.exact_rep) AS cluster_id
+  FROM reps r LEFT JOIN label l ON l.fid = r.exact_rep
+)
+SELECT file_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM cl ORDER BY file_id
 """,
     "hash_variants": f"""
 WITH {SQL_FILES}
