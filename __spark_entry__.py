@@ -91,8 +91,10 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_binary_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary near-dup end-to-end: payload bytes → hex char-shingle
-    signatures → full MinHash/SimHash/verify/CC pipeline (rows-only:
-    signature/iterative stages have no SQL equivalent)."""
+    signatures → full MinHash/SimHash/verify/CC pipeline. Value-
+    verified since round 3: the oracle rebuilds the hex payloads,
+    brute-forces char-16-gram Jaccard with the verify gate, and labels
+    components via the same recursive closure as near_dup_clusters."""
     from dedup_spark.operators.multimodal import (
         binary_near_dup_clusters,
         documents_as_assets,

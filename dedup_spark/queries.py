@@ -744,6 +744,71 @@ SELECT file_id, cluster_id,
        CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
 FROM cl ORDER BY file_id
 """,
+    # Binary near-dup end-to-end, value-verified (round-3 upgrade from
+    # rows-only): the asset fixture payload is a deterministic magic
+    # header (doc_id % 4 over the public PNG/JPEG/MP3/MKV signatures)
+    # prepended to the utf-8 text, and the engine runs its FULL
+    # pipeline over char-16 shingles of the lowercase hex string — all
+    # SQL-recomputable: DuckDB rebuilds the hex payloads, brute-forces
+    # distinct 16-char-gram Jaccard, gates exactly like verify
+    # (J >= 0.9, or the containment branch at the J >= 0.7 LSH-certain
+    # floor, expressed as raw-text substring containment — headers are
+    # equal-length so the shorter hex is the shorter text), then labels
+    # connected components min-id via the same recursive closure as
+    # near_dup_clusters. exact_rep = MIN(asset_id) per payload.
+    "binary_near_dup": """
+WITH RECURSIVE assets AS (
+  SELECT doc_id AS asset_id, text,
+         lower(CASE (doc_id % 4) WHEN 0 THEN '89504e47' WHEN 1 THEN 'ffd8ffe0'
+               WHEN 2 THEN '49443303' ELSE '1a45dfa3' END
+               || hex(encode(text))) AS c
+  FROM documents
+),
+sh AS (
+  SELECT asset_id,
+         UNNEST(list_distinct([substring(c, i, 16)
+                               FOR i IN range(1, length(c) - 14)])) AS s
+  FROM assets WHERE length(c) >= 16
+),
+counts AS (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY asset_id),
+shared AS (
+  SELECT a.asset_id AS id_a, b.asset_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.asset_id < b.asset_id
+  GROUP BY 1, 2
+),
+nd_pairs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN counts ca ON ca.asset_id = id_a
+  JOIN counts cb ON cb.asset_id = id_b
+  JOIN assets fa ON fa.asset_id = id_a
+  JOIN assets fb ON fb.asset_id = id_b
+  WHERE shared / (ca.n_sh + cb.n_sh - shared) >= 0.9
+     OR (shared / (ca.n_sh + cb.n_sh - shared) >= 0.7 AND
+         position(CASE WHEN length(fa.c) <= length(fb.c) THEN fa.text ELSE fb.text END
+                  IN CASE WHEN length(fa.c) <= length(fb.c) THEN fb.text ELSE fa.text END) > 0)
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM nd_pairs
+  UNION SELECT id_b, id_a FROM nd_pairs
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a WHERE r.a <> s2.b
+),
+label AS (SELECT a AS fid, LEAST(a, MIN(b)) AS lbl FROM reach GROUP BY a),
+reps AS (
+  SELECT asset_id, MIN(asset_id) OVER (PARTITION BY c) AS exact_rep FROM assets
+),
+cl AS (
+  SELECT r.asset_id, COALESCE(l.lbl, r.exact_rep) AS cluster_id
+  FROM reps r LEFT JOIN label l ON l.fid = r.exact_rep
+)
+SELECT asset_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM cl ORDER BY asset_id
+""",
     "hash_variants": f"""
 WITH {SQL_FILES}
 SELECT file_id, sha256(content) AS sha256, md5(content) AS md5 FROM files
