@@ -364,12 +364,18 @@ stats AS (
 # + substring containment over raw content, gated exactly like verify
 # (J >= 0.9, or containment with the J >= 0.7 floor where LSH candidacy
 # is probabilistically certain — P(miss | J=0.7) < 3e-4 at b=32,r=4).
+# Pairs are over REPRESENTATIVES (min file_id per content), mirroring
+# the engine's exact-rep collapse before LSH — at sf0.1 the corpus has
+# real exact dups and member-level brute force would overcount.
 SQL_NEARDUP_PAIRS = """
+rep_files AS (
+  SELECT MIN(file_id) AS file_id, content FROM files GROUP BY content
+),
 t AS (
   SELECT file_id,
          CASE WHEN length(trim(content)) = 0 THEN []::VARCHAR[]
               ELSE regexp_split_to_array(trim(lower(content)), '\\s+') END AS toks
-  FROM files
+  FROM rep_files
 ),
 sh AS (
   SELECT file_id,
@@ -390,8 +396,8 @@ scored AS (
   FROM shared
   JOIN counts ca ON ca.file_id = id_a
   JOIN counts cb ON cb.file_id = id_b
-  JOIN files fa ON fa.file_id = id_a
-  JOIN files fb ON fb.file_id = id_b
+  JOIN rep_files fa ON fa.file_id = id_a
+  JOIN rep_files fb ON fb.file_id = id_b
 ),
 nd_pairs AS (
   SELECT id_a, id_b, j FROM scored
