@@ -2,9 +2,11 @@
 
 ``entry`` runs the flagship near-dup pipeline end-to-end at sf0.001;
 ``queries()``/``oracle_sql()`` expose one entry per SQL-expressible
-operator (SURVEY.md §2) plus rows-only entries for the non-SQL fuzzy
-stages (MinHash/LSH, SimHash probing, verification, connected
-components — iterative / UDF-backed, no DuckDB equivalent).
+operator (SURVEY.md §2). Since round 3 every fuzzy-stage query except
+``embedding_ann`` is value-verified too (brute-force / recursive-
+closure / HUGEINT-kernel oracles in queries.ORACLE); embedding_ann
+stays rows-only by nature (probabilistic recall — gated by the
+recall@5 >= 0.9 pytest contract instead).
 """
 
 from __future__ import annotations
@@ -81,7 +83,10 @@ def _q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint (pandas-UDF kernel)."""
+    """Rolling-hash document fingerprint (pandas-UDF kernel).
+    Value-verified since round 3: queries.ORACLE['doc_fingerprint']
+    recomputes the exact 64-bit polynomial/splitmix kernel in DuckDB
+    HUGEINT arithmetic, bit-identical on every sf0.01/sf0.1 doc."""
     from dedup_spark.operators.textstats import with_fingerprint
     from dedup_spark.sources.loader import documents_as_code_files
 
