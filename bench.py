@@ -12,6 +12,18 @@ Stage queries are the engine's real phases, not toy scans:
   verify_cc  — tiered verification + connected components
   keep_plan  — token-set clusters → keep-selection window → action plan
   compare    — hash anti join + cross-source spanning sets
+
+Timing policy: the stage suite runs $SPARK_GRAFT_BENCH_REPEATS passes
+(default 2) and the headline is the per-stage MINIMUM — the same
+min-wall policy BENCH_scaling.json uses (adopted per round-1 ADVICE:
+min isolates the engine's steady-state cost from JIT warmup and
+shared-tenancy host noise, and can only under-report a co-tenant's
+interference, never hide a real regression). Every pass's raw stage
+walls are reported under "runs" so nothing is discarded silently, and
+"host_steal_pct_of_demand" records how much CPU the hypervisor denied
+this VM during the bench (steal/(busy+steal) from /proc/stat) — the
+number to read before comparing two benches taken in different
+weather windows.
 """
 
 from __future__ import annotations
@@ -36,17 +48,8 @@ from dedup_spark.session import get_spark  # noqa: E402
 from dedup_spark.sources.loader import documents_as_code_files  # noqa: E402
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark("dedup-bench", master=f"local[{cpus}]")
-    spark.sparkContext.setLogLevel("ERROR")
-    cfg = DedupConfig()
-    pipe = DedupPipeline(spark, cfg)
-
-    files = documents_as_code_files(spark, sf_dir)
-    n_files = files.count()  # warm the JVM + page cache before timing
-
+def run_stages(pipe: DedupPipeline, cfg: DedupConfig, files) -> dict[str, float]:
+    """One full pass over the six stage queries; returns stage walls."""
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
@@ -132,6 +135,39 @@ def main() -> None:
         cross_source_duplicates(half, source_col="half").count()
 
     timed("compare", _compare)
+    return timings
+
+
+def _cpu_sample() -> tuple[int, int]:
+    """(busy, steal) jiffies from /proc/stat — shared-tenancy weather
+    probe. Steal accrues only when this VM *wants* CPU and the host
+    gives it to a co-tenant, so steal/(busy+steal) is the fraction of
+    our demand the host denied during the bench."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    busy = int(parts[1]) + int(parts[2]) + int(parts[3])
+    steal = int(parts[8]) if len(parts) > 8 else 0
+    return busy, steal
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    spark = get_spark("dedup-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = DedupConfig()
+    pipe = DedupPipeline(spark, cfg)
+
+    files = documents_as_code_files(spark, sf_dir)
+    n_files = files.count()  # warm the JVM + page cache before timing
+
+    b0, s0 = _cpu_sample()
+    runs = [run_stages(pipe, cfg, files) for _ in range(repeats)]
+    b1, s1 = _cpu_sample()
+    demand = (b1 - b0) + (s1 - s0)
+    steal_pct = round(100.0 * (s1 - s0) / demand, 1) if demand else 0.0
+    timings = {name: min(r[name] for r in runs) for name in runs[0]}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -145,6 +181,9 @@ def main() -> None:
                 "n_files": n_files,
                 "files_per_sec": round(n_files / total, 1) if total else None,
                 "cpus": cpus,
+                "policy": f"per-stage min over {repeats} passes",
+                "host_steal_pct_of_demand": steal_pct,
+                "runs": runs,
             }
         )
     )
