@@ -1,0 +1,56 @@
+"""Oracle-drift guards: DuckDB oracle SQL vs the numpy kernels, no
+Spark. The driver's correctness gate compares the Spark queries to
+these oracles — if an oracle and its kernel ever drift apart, this
+catches it in milliseconds instead of a red CORRECTNESS round.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+import duckdb
+import pytest
+
+from dedup_spark.functions.shingles import doc_fingerprint
+from dedup_spark.queries import ORACLE
+
+_EDGE_DOCS = [
+    "",
+    "   \t\n  ",
+    "x",
+    "hello",
+    "a b",
+    "one two three four five six seven",          # < window tokens
+    "one two three four five six seven eight",    # == window
+    "one two three four five six seven eight nine ten",
+    "  leading and   multiple\t\tspaces trailing  ",
+    "repeat " * 40,
+    "\v\f\r mixed \v whitespace \f kinds \r here",
+]
+
+
+def _random_docs(n: int, seed: int = 0xD0C5) -> list[str]:
+    rng = random.Random(seed)
+    alphabet = string.ascii_letters + string.digits + string.punctuation + " \t\n"
+    return [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 400)))
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("docs", [_EDGE_DOCS, _random_docs(60)], ids=["edge", "random"])
+def test_doc_fingerprint_oracle_matches_kernel(docs):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, source VARCHAR, lang VARCHAR,"
+        " text VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, 'src0', 'en', ?, ?)",
+        [(i, t, len(t)) for i, t in enumerate(docs)],
+    )
+    got = dict(con.sql(ORACLE["doc_fingerprint"]).fetchall())
+    assert len(got) == len(docs)
+    for i, t in enumerate(docs):
+        assert got[i] == doc_fingerprint(t, 8), f"doc {i}: {t[:60]!r}"
