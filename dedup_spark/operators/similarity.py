@@ -185,6 +185,45 @@ def ann_topk_rhp(
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: every (id_a < id_b) with
+    cosine >= ``threshold``, plus the score (rounded to 3 dp for
+    cross-engine value comparison; the GATE uses full precision).
+
+    This is the exact correctness baseline of the embedding near-dup
+    family — one broadcast of the normalized corpus against itself,
+    dot products in JVM codegen (the same deterministic sequential
+    fold as ``cosine_topk``), O(n²/2) comparisons. At 100 TB the scale
+    path is the RHP-LSH bucketing above (``rhp_bucket_keys`` →
+    bucket-local exact cosine → threshold gate → connected
+    components, exactly the shape the text pipeline uses for
+    MinHash/SimHash candidates); this exact form exists so that path
+    has a ground truth to measure recall against, and it IS the right
+    plan whenever one side fits in a broadcast (reference analog: the
+    all-pairs similarity loop, /root/reference/src/media_dedup.rs:644-668).
+    """
+    n = with_norm(emb, vec_col)
+    a = n.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_av"), F.col("_norm").alias("_an")
+    )
+    b = n.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_bv"), F.col("_norm").alias("_bn")
+    )
+    pairs = F.broadcast(a).join(b, F.col("id_a") < F.col("id_b"))
+    pairs = pairs.withColumn(
+        "_cos", _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
+    )
+    return (
+        pairs.filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 3).alias("cos3"))
+    )
+
+
 # ---- exact n-gram Jaccard near-dup pairs ---------------------------------
 
 def ngram_shingles(tok_col: str = "t", n: int = 3) -> Column:

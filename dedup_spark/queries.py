@@ -338,6 +338,16 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine-threshold near-dup pairs over the embeddings table
+    (the embedding-space sibling of near_dup_pairs; threshold 0.4 is
+    sized to the synthetic corpus — 59 pairs at sf0.01, 920 at sf0.1)."""
+    from dedup_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
 _STOPWORDS_SQL = "['the','and','of','to','in','is','a','for','on','with','as','at','by','it','or','be','this','that','are','an']"
 
 SQL_TOKS = r"""
@@ -550,6 +560,17 @@ p AS (
 SELECT query_id, neighbor_id, round(cs, 3) AS cos3
 FROM p
 QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) <= 5
+""",
+    "embedding_near_dup": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cs, 3) AS cos3
+FROM p WHERE cs >= 0.4 ORDER BY id_a, id_b
 """,
     "exact_hash_clusters": f"""
 WITH {SQL_FILES}
@@ -917,6 +938,7 @@ QUERIES = {
     "shingle_counts": q_shingle_counts,
     "events_dedup": q_events_dedup,
     "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "asset_meta": q_asset_meta,
     "exact_hash_clusters": q_exact_hash_clusters,
     "exact_dup_sets": q_exact_dup_sets,

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from dedup_spark.operators.similarity import (
     ann_topk_rhp,
+    cosine_near_dup_pairs,
     cosine_topk,
     ngram_jaccard_pairs,
     ngram_shingles,
@@ -37,6 +38,26 @@ def test_cosine_topk_excludes_self_and_ties_break_by_id(spark):
         by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert by_q[0] == [1, 2]
     assert by_q[1] == [0, 2]
+
+
+def test_cosine_near_dup_pairs_exact(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 16))
+    # plant near-duplicates of the first 4 vectors (cos ≈ 0.999)
+    vecs = np.vstack([base, base[:4] + 0.01 * rng.standard_normal((4, 16))])
+    df = _emb_df(spark, vecs)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos3"]
+        for r in cosine_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    # exactly the planted twins survive a 0.95 gate, oriented id_a < id_b
+    assert set(got) == {(q, q + 30) for q in range(4)}
+    assert all(c >= 0.95 for c in got.values())
+    # brute-force numpy cross-check of every score
+    norms = np.linalg.norm(vecs, axis=1)
+    for (a, b), c in got.items():
+        exp = float(vecs[a] @ vecs[b] / (norms[a] * norms[b]))
+        assert abs(c - round(exp, 3)) < 2e-3
 
 
 def test_ann_recall_against_exact(spark):
