@@ -30,7 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
     return pipe.report(clusters).drop("files")
 
 
-# ---- rows-only (non-SQL-expressible) fuzzy-stage queries -----------------
+# ---- fuzzy-stage / pipeline-composite queries (oracles in queries.ORACLE;
+# only embedding_ann lacks one — probabilistic recall, pytest-gated) ------
 
 def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4+M5: LSH ∪ SimHash candidates, verified (threshold gate).
@@ -109,7 +110,7 @@ def _q_binary_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_near_dup_clusters(assets).orderBy("asset_id")
 
 
-_ROWS_ONLY = {
+_PIPELINE_QUERIES = {
     "near_dup_pairs": _q_near_dup_pairs,
     "near_dup_clusters": _q_near_dup_clusters,
     "embedding_ann": _q_embedding_ann,
@@ -121,7 +122,7 @@ _ROWS_ONLY = {
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dedup_spark.queries import QUERIES
 
-    return {**QUERIES, **_ROWS_ONLY}
+    return {**QUERIES, **_PIPELINE_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
