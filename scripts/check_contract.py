@@ -47,9 +47,11 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:  # noqa: BLE001
@@ -82,7 +84,7 @@ def main() -> int:
             failed.append(name)
             continue
         print(f"ok   {name}: {len(sdf)} rows match")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} ok")
+    print(f"\n{n_run - len(failed)}/{n_run} ok")
     return 1 if failed else 0
 
 
