@@ -1,0 +1,38 @@
+"""spark-submit driver that runs the cluster-assignment and recall
+fixtures through pytest — the north_rule test gate verbatim: "pass
+`python -m pytest -x -q` on the cluster-assignment and recall fixtures
+when run via spark-submit --py-files at both N and 4N executors".
+
+Launched by scripts/submit_pytest.sh, which ships dedup_spark via
+--py-files and exports DEDUP_TEST_MASTER so the suite's session-scoped
+fixture builds its SparkSession at the submitted parallelism instead
+of the default local[4].
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+FIXTURES = [
+    "tests/test_pipeline.py",  # recall 33/33, determinism, sha256 invariant
+    "tests/test_cc.py",        # cluster-assignment semantics (CC contract)
+]
+
+
+def main() -> None:
+    import pytest
+
+    os.chdir(REPO)
+    rc = pytest.main(["-x", "-q", *FIXTURES])
+    print(
+        f"FIXTURE_GATE master={os.environ.get('DEDUP_TEST_MASTER', '?')} "
+        f"exit={rc}"
+    )
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()

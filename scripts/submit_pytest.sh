@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# Run the cluster-assignment + recall fixtures via spark-submit
+# --py-files at a chosen parallelism (north_rule test gate). Usage:
+#   scripts/submit_pytest.sh [master]          # default local[8]
+# Evidence both cluster sizes with:
+#   scripts/submit_pytest.sh local[8] && scripts/submit_pytest.sh local[32]
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+MASTER="${1:-local[8]}"
+ZIP="$(mktemp -d)/dedup_spark.zip"
+(cd "$REPO" && python -c "
+import zipfile, os
+with zipfile.ZipFile('$ZIP', 'w') as z:
+    for root, _, files in os.walk('dedup_spark'):
+        for f in files:
+            if f.endswith('.py'):
+                z.write(os.path.join(root, f))
+")
+SPARK_HOME="${SPARK_HOME:-$(python -c 'import pyspark, os; print(os.path.dirname(pyspark.__file__))')}"
+DEDUP_TEST_MASTER="$MASTER" exec "$SPARK_HOME/bin/spark-submit" \
+  --master "$MASTER" \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.execution.arrow.pyspark.enabled=true \
+  --py-files "$ZIP" \
+  "$REPO/scripts/run_fixture_tests.py"

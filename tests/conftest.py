@@ -12,7 +12,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def spark():
     from dedup_spark.session import get_spark
 
-    s = get_spark(app_name="dedup-tests", master="local[4]", shuffle_partitions=8)
+    # DEDUP_TEST_MASTER lets scripts/submit_pytest.sh run this same
+    # suite under spark-submit --py-files at N and 4N cores (the
+    # north_rule test gate); default stays the lightweight local[4].
+    import os
+
+    s = get_spark(
+        app_name="dedup-tests",
+        master=os.environ.get("DEDUP_TEST_MASTER", "local[4]"),
+        shuffle_partitions=8,
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
