@@ -1,1 +1,3 @@
 """dedup_spark — PySpark-native near-duplicate detection + clustering engine."""
+
+__version__ = "0.3.0"

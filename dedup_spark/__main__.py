@@ -7,12 +7,16 @@ here): paths → tables; --delete/--move-to → action plan rows (dry-run
 by default, the reference's --dry-run semantics preserved and made the
 DEFAULT — a table pipeline never mutates without --execute);
 --media-mode → --fuzzy (the near-dup stack); --media-similarity 0-100
-→ threshold fraction; --target + --deduplicate → multi-source compare
-mode (§3.2); --filter-from / --include / --exclude → rclone-style
-rules; --cache-location → signature store path; --output/--format →
-report sink. Interactive TUI (-i) is intentionally out of scope
-(SURVEY §3.3) — its engine semantics (rescan, plan, execute) ARE this
-CLI.
+→ threshold fraction; --mode → --selection-strategy;
+--media-formats/--media-resolution → W3 preference ranking over
+lang/size; --fast-mode → xxhash64; --sort-by/--sort-order → W2 in-set
+ordering; --raw-sizes → suppress humansize display columns; --target +
+--deduplicate → multi-source compare mode (§3.2); --filter-from /
+--include / --exclude → rclone-style rules; --cache-location →
+signature store path; --output/--format → report sink;
+--progress/--verbose/--log-file/--version → driver niceties.
+Interactive TUI (-i) is intentionally out of scope (SURVEY §3.3) — its
+engine semantics (rescan, plan, execute) ARE this CLI.
 """
 
 from __future__ import annotations
@@ -35,11 +39,37 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--include", action="append", default=None, help="glob include (repeatable)")
     p.add_argument("--exclude", action="append", default=None, help="glob exclude (repeatable)")
     p.add_argument("--filter-from", help="rclone-style filter rules file")
-    p.add_argument("--fuzzy", action="store_true", help="near-dup mode (reference --media-mode)")
-    p.add_argument("--similarity", type=int, default=None, metavar="0-100",
+    p.add_argument("--fuzzy", "--media-mode", dest="fuzzy", action="store_true",
+                   help="near-dup mode (reference --media-mode)")
+    p.add_argument("--similarity", "--media-similarity", dest="similarity",
+                   type=int, default=None, metavar="0-100",
                    help="similarity threshold percent (reference --media-similarity)")
-    p.add_argument("--selection-strategy", dest="strategy", default=None,
-                   choices=["newest_modified", "oldest_modified", "shortest_path", "longest_path"])
+    p.add_argument("--selection-strategy", "--mode", dest="strategy", default=None,
+                   choices=["newest_modified", "oldest_modified", "shortest_path", "longest_path"],
+                   help="keep-selection strategy (reference --mode)")
+    p.add_argument("--media-formats", default=None, metavar="CSV",
+                   help="keep-preference list, highest priority first "
+                        "(maps to lang preference on code tables)")
+    p.add_argument("--media-resolution", default=None, metavar="highest|lowest|WxH",
+                   help="resolution keep-preference; WxH/an int targets the "
+                        "closest size (the table analog of pixel count)")
+    p.add_argument("--fast-mode", action="store_true",
+                   help="xxhash64 content hashing (reference --fast-mode; "
+                        "pair with --cache-location for cached reruns)")
+    p.add_argument("--sort-by", default=None,
+                   choices=["name", "size", "modified", "created", "path", "path_length"],
+                   help="in-set file ordering in the report (reference --sort-by)")
+    p.add_argument("--sort-order", default="asc", choices=["asc", "desc"])
+    p.add_argument("--raw-sizes", action="store_true",
+                   help="report sizes in raw bytes only (default adds "
+                        "humansize-style display columns)")
+    p.add_argument("--progress", action="store_true",
+                   help="show Spark console progress bars")
+    p.add_argument("--verbose", "-v", action="store_true", help="spark INFO logging")
+    p.add_argument("--log-file", default=None, help="also append summary lines here")
+    from dedup_spark import __version__
+
+    p.add_argument("--version", action="version", version=f"dedup_spark {__version__}")
     p.add_argument("--delete", action="store_true", help="plan delete for non-kept files")
     p.add_argument("--move-to", metavar="PREFIX", help="plan move of non-kept files under PREFIX")
     p.add_argument("--execute", action="store_true",
@@ -63,10 +93,18 @@ def make_config(args):
     overrides: dict = {}
     if args.algorithm:
         overrides["algorithm"] = args.algorithm
+    elif args.fast_mode:
+        # reference --fast-mode: the speed-optimized hash (README:391
+        # recommends xxhash); an explicit --algorithm wins
+        overrides["algorithm"] = "xxhash64"
     if args.similarity is not None:
         overrides["similarity_threshold"] = args.similarity / 100.0
     if args.strategy:
         overrides["keep_strategy"] = args.strategy
+    if args.media_formats:
+        overrides["lang_preference"] = tuple(
+            s.strip() for s in args.media_formats.split(",") if s.strip()
+        )
     if args.cache_location:
         overrides["cache_path"] = args.cache_location
     if args.parallel:
@@ -96,10 +134,19 @@ def main(argv: list[str] | None = None) -> int:
     from dedup_spark.plans.pipeline import DedupPipeline
     from dedup_spark.session import get_spark
 
+    extra_conf = {"spark.ui.showConsoleProgress": "true"} if args.progress else None
     spark = get_spark("dedup-cli", master=args.master,
-                      shuffle_partitions=cfg.shuffle_partitions)
-    spark.sparkContext.setLogLevel("ERROR")
+                      shuffle_partitions=cfg.shuffle_partitions,
+                      extra_conf=extra_conf)
+    spark.sparkContext.setLogLevel("INFO" if args.verbose else "ERROR")
     pipe = DedupPipeline(spark, cfg)
+
+    def emit(obj: dict) -> None:
+        line = json.dumps(obj)
+        print(line)
+        if args.log_file:
+            with open(args.log_file, "a", encoding="utf-8") as f:
+                f.write(line + "\n")
 
     if args.target:
         # §3.2 multi-source compare: sources vs target, per-file anti join
@@ -113,11 +160,11 @@ def main(argv: list[str] | None = None) -> int:
             pipe.load(args.target).withColumn("source", F.lit("tgt")), cfg
         )
         missing = missing_in_target(src_h, tgt_h)
-        print(json.dumps({"missing_in_target": missing.count()}))
+        emit({"missing_in_target": missing.count()})
         if args.deduplicate:
             both = src_h.unionByName(tgt_h)
             cross = cross_source_duplicates(both)
-            print(json.dumps({"cross_source_duplicate_files": cross.count()}))
+            emit({"cross_source_duplicate_files": cross.count()})
         if args.output:
             write_report(missing.select("repo", "path", "commit", "hash"),
                          args.output, args.format)
@@ -132,16 +179,38 @@ def main(argv: list[str] | None = None) -> int:
     else:
         clusters = exact_clusters(files, cfg, args.min_cluster_size)
 
-    report = pipe.report(clusters)
+    if args.sort_by:
+        # reference --sort-by/--sort-order: in-set file ordering (W2)
+        from dedup_spark.operators.report import duplicate_report
+        from dedup_spark.operators.select import rank_in_set
+
+        ranked = rank_in_set(
+            clusters.filter(F.col("cluster_size") >= 2),
+            criterion=args.sort_by,
+            ascending=args.sort_order == "asc",
+        )
+        report = duplicate_report(ranked, order_col="display_rank")
+    else:
+        report = pipe.report(clusters)
     n_sets = report.count()
     summary = {"duplicate_sets": n_sets,
                "files_in_sets": clusters.filter(F.col("cluster_size") >= 2).count()}
 
     if args.delete or args.move_to:
         from dedup_spark.operators.actions import build_plan, execute_plan, plan_summary
-        from dedup_spark.operators.select import select_kept
+        from dedup_spark.operators.select import select_kept, select_preferred
 
-        sel = select_kept(clusters.filter(F.col("cluster_size") >= 2), cfg.keep_strategy)
+        dup_sets = clusters.filter(F.col("cluster_size") >= 2)
+        if cfg.lang_preference:
+            # reference --media-formats / --media-resolution → W3
+            # preference ranking (format list first, then resolution)
+            policy, target = _parse_resolution(args.media_resolution)
+            sel = select_preferred(
+                dup_sets, cfg.lang_preference,
+                resolution_policy=policy, target_size=target,
+            )
+        else:
+            sel = select_kept(dup_sets, cfg.keep_strategy)
         plan = (build_plan(sel, "move", target_prefix=args.move_to)
                 if args.move_to else build_plan(sel, "delete"))
         for r in plan_summary(plan).collect():
@@ -153,10 +222,32 @@ def main(argv: list[str] | None = None) -> int:
             summary["dry_run"] = True
 
     if args.output:
-        write_report(report.drop("files"), args.output, args.format)
+        out = report.drop("files")
+        if not args.raw_sizes:
+            # reference default: humansize DECIMAL display; --raw-sizes
+            # suppresses the display columns (raw bytes stay either way)
+            from dedup_spark.operators.report import human_size
+
+            out = out.withColumn("min_size_display", human_size("min_size")) \
+                     .withColumn("max_size_display", human_size("max_size"))
+        write_report(out, args.output, args.format)
         summary["report"] = args.output
-    print(json.dumps(summary))
+    emit(summary)
     return 0
+
+
+def _parse_resolution(s: str | None) -> tuple[str, int | None]:
+    """reference --media-resolution: highest | lowest | WxH (WxH and a
+    plain int both become closest_to over the size column — the table
+    analog of pixel count)."""
+    if s in (None, "highest"):
+        return "highest", None
+    if s == "lowest":
+        return "lowest", None
+    if "x" in s:
+        w, h = s.lower().split("x", 1)
+        return "closest_to", int(w) * int(h)
+    return "closest_to", int(s)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def duplicate_report(clusters: DataFrame, key_col: str = "cluster_id") -> DataFrame:
+def duplicate_report(
+    clusters: DataFrame, key_col: str = "cluster_id", order_col: str | None = None
+) -> DataFrame:
     """S4: one row per duplicate set.
 
     Keyed by ``cluster_id`` (covers exact AND fuzzy sets — members of a
@@ -24,7 +26,21 @@ def duplicate_report(clusters: DataFrame, key_col: str = "cluster_id") -> DataFr
     hash-keyed map only ever held exact sets). ``hash`` reported is the
     representative's (min path ordering); ``size`` is min/max over
     members (equal for exact sets, a range for fuzzy ones).
+
+    ``order_col``: a numeric/sortable rank column (e.g. ``display_rank``
+    from select.rank_in_set) — the in-set file ordering of the
+    reference's --sort-by/--sort-order (W2). Default stays the W4
+    path-sorted deterministic order.
     """
+    if order_col is None:
+        files = F.sort_array(F.collect_list("path"))
+    else:
+        # array_sort over (rank, path) structs — path tiebreak keeps the
+        # report deterministic even if the rank column has duplicates
+        files = F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col(order_col), F.col("path")))),
+            lambda x: x["path"],
+        )
     return (
         clusters.groupBy(key_col)
         .agg(
@@ -32,10 +48,26 @@ def duplicate_report(clusters: DataFrame, key_col: str = "cluster_id") -> DataFr
             F.min("size").alias("min_size"),
             F.max("size").alias("max_size"),
             F.count(F.lit(1)).alias("n_files"),
-            F.sort_array(F.collect_list("path")).alias("files"),
+            files.alias("files"),
         )
         .withColumn("files_csv", F.concat_ws(",", "files"))
         .orderBy(key_col)  # W4 deterministic ordering
+    )
+
+
+def human_size(col) -> F.Column:
+    """Decimal (1000-based) size display — the reference prints sizes
+    through humansize DECIMAL (/root/reference/src/main.rs:5) unless
+    --raw-sizes. Pure JVM expression; display only, never used in
+    comparisons."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("double")
+    return (
+        F.when(c >= 1e12, F.concat(F.format_number(c / 1e12, 2), F.lit(" TB")))
+        .when(c >= 1e9, F.concat(F.format_number(c / 1e9, 2), F.lit(" GB")))
+        .when(c >= 1e6, F.concat(F.format_number(c / 1e6, 2), F.lit(" MB")))
+        .when(c >= 1e3, F.concat(F.format_number(c / 1e3, 2), F.lit(" kB")))
+        .otherwise(F.concat(c.cast("long").cast("string"), F.lit(" B")))
     )
 
 

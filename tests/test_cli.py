@@ -82,3 +82,90 @@ def test_filter_from(tmp_path):
     cfg = make_config(args)
     assert cfg.include == ("src/**",)
     assert cfg.exclude == ("*.min.js",)
+
+
+def test_reference_flag_aliases_and_fast_mode():
+    # reference spellings parse to the same dests as ours
+    args = build_parser().parse_args(
+        ["t", "--media-mode", "--media-similarity", "85", "--mode", "shortest_path",
+         "--fast-mode", "--media-formats", "py, go"]
+    )
+    assert args.fuzzy and args.similarity == 85 and args.strategy == "shortest_path"
+    cfg = make_config(args)
+    assert cfg.algorithm == "xxhash64"        # --fast-mode default
+    assert cfg.similarity_threshold == 0.85
+    assert cfg.lang_preference == ("py", "go")
+    # explicit --algorithm beats --fast-mode
+    cfg2 = make_config(build_parser().parse_args(["t", "--fast-mode", "--algorithm", "sha1"]))
+    assert cfg2.algorithm == "sha1"
+
+
+def test_parse_resolution():
+    from dedup_spark.__main__ import _parse_resolution
+
+    assert _parse_resolution(None) == ("highest", None)
+    assert _parse_resolution("lowest") == ("lowest", None)
+    assert _parse_resolution("1280x720") == ("closest_to", 1280 * 720)
+    assert _parse_resolution("4096") == ("closest_to", 4096)
+
+
+def test_cli_sort_by_and_human_sizes(spark, table, tmp_path, capsys):
+    rpt = str(tmp_path / "sorted_report")
+    assert main([table, "--sort-by", "path_length", "--sort-order", "desc",
+                 "-o", rpt, "-f", "json"]) == 0
+    rows = [json.loads(line) for line in
+            open(next(p for p in __import__("pathlib").Path(rpt).glob("part-*")))]
+    assert len(rows) == 1
+    # desc path-length: b/two.py (8) vs a/one.py (8) tie → path asc tiebreak;
+    # both same length here, so just assert columns exist and are humansized
+    assert rows[0]["min_size_display"].endswith(" B")
+    assert "files_csv" in rows[0]
+
+
+def test_cli_media_preference_selection(spark, tmp_path, capsys):
+    d = str(tmp_path / "pref.parquet")
+    rows = [
+        ("r1", "a/one.py", "c", "py", "alpha beta gamma delta"),
+        ("r1", "b/two.go", "c", "go", "alpha beta gamma delta"),  # exact dup, go
+    ]
+    spark.createDataFrame(rows, SCHEMA).write.parquet(d)
+    # prefer go over py: the kept file must be the .go one
+    assert main([d, "--delete", "--media-formats", "go,py"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["plan_keep"] == 1 and out["plan_delete"] == 1
+    # operator-level check that the preference ranks the .go file first
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.operators.exact import exact_clusters
+    from dedup_spark.operators.select import select_preferred
+    from dedup_spark.plans.pipeline import DedupPipeline
+
+    cfg = DedupConfig(lang_preference=("go", "py"))
+    pipe = DedupPipeline(spark, cfg)
+    clusters = exact_clusters(pipe.load(d), cfg, 2)
+    kept = select_preferred(clusters, cfg.lang_preference).filter("is_kept").first()
+    assert kept["lang"] == "go"
+
+
+def test_human_size_units(spark):
+    from dedup_spark.operators.report import human_size
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(500,), (1500,), (2_500_000,), (3_200_000_000,)], "n long")
+    vals = [r["h"] for r in df.select(human_size("n").alias("h")).collect()]
+    assert vals == ["500 B", "1.50 kB", "2.50 MB", "3.20 GB"]
+
+
+def test_cli_version(capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as ei:
+        build_parser().parse_args(["--version"])
+    assert ei.value.code == 0
+    assert "dedup_spark" in capsys.readouterr().out
+
+
+def test_cli_log_file(spark, table, tmp_path, capsys):
+    lf = str(tmp_path / "run.log")
+    assert main([table, "--log-file", lf]) == 0
+    logged = json.loads(open(lf).read().strip().splitlines()[-1])
+    assert logged["duplicate_sets"] == 1
