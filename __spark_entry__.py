@@ -3,10 +3,11 @@
 ``entry`` runs the flagship near-dup pipeline end-to-end at sf0.001;
 ``queries()``/``oracle_sql()`` expose one entry per SQL-expressible
 operator (SURVEY.md §2). Since round 3 every fuzzy-stage query except
-``embedding_ann`` is value-verified too (brute-force / recursive-
-closure / HUGEINT-kernel oracles in queries.ORACLE); embedding_ann
-stays rows-only by nature (probabilistic recall — gated by the
-recall@5 >= 0.9 pytest contract instead).
+the two ANN variants is value-verified too (brute-force / recursive-
+closure / HUGEINT-kernel oracles in queries.ORACLE); ``embedding_ann``
+(RHP-LSH) and ``embedding_ann_ivf`` (IVF coarse quantizer) stay
+rows-only by nature (probabilistic recall — gated by the recall@5 >=
+0.9 pytest contracts instead).
 """
 
 from __future__ import annotations
@@ -83,6 +84,20 @@ def _q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "neighbor_id")
 
 
+def _q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN data-adaptive scale path: IVF (spherical-k-means coarse
+    quantizer, bounded deterministic train sample, n_probe query-side
+    fan-out) + exact re-rank. Probabilistic recall → rows-only check;
+    recall@5 >= 0.9 gated in
+    tests/test_similarity.py::test_ivf_recall_at_scale_sizing."""
+    from dedup_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_centroids=16, n_probe=4
+    ).orderBy("query_id", "neighbor_id")
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (pandas-UDF kernel).
     Value-verified since round 3: queries.ORACLE['doc_fingerprint']
@@ -114,6 +129,7 @@ _PIPELINE_QUERIES = {
     "near_dup_pairs": _q_near_dup_pairs,
     "near_dup_clusters": _q_near_dup_clusters,
     "embedding_ann": _q_embedding_ann,
+    "embedding_ann_ivf": _q_embedding_ann_ivf,
     "doc_fingerprint": _q_doc_fingerprint,
     "binary_near_dup": _q_binary_near_dup,
 }

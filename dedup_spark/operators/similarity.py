@@ -13,6 +13,16 @@ Two paths, same results contract:
   prefixes; exact cosine re-rank on candidates only. Recall is tuned
   by (n_planes, n_tables); at 100 TB this is the difference between a
   full cross join and a bucket-local one.
+- ``ivf_topk`` — the data-adaptive scale path: spherical-k-means
+  coarse quantizer (IVF). Centroids train on a bounded deterministic
+  sample driver-side (standard IVF practice — the index never sees
+  more than ``sample_rows`` rows at train time no matter the corpus
+  size); every corpus row is assigned to its ONE nearest cell by a
+  single gemm per Arrow batch; queries probe their ``n_probe``
+  nearest cells. Candidates = cell-mates; exact cosine re-rank.
+  Versus RHP: cells follow the data distribution (clustered
+  embeddings get proportionally split), and the corpus index is one
+  key per row with probe cost query-side only — same asymmetry.
 
 Also n-gram Jaccard near-dup detection over text (exact, JVM-side
 shingle self-join — the non-probabilistic little sibling of MinHash):
@@ -177,6 +187,132 @@ def ann_topk_rhp(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     cand = cand.withColumn("_cos", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 3).alias("cos3"))
+    )
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 64,
+    n_iter: int = 20,
+    sample_rows: int = 10_000,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids (unit rows) for an IVF index.
+
+    Trains on a DETERMINISTIC bounded sample (orderBy id, limit) pulled
+    to the driver — the standard IVF recipe (a coarse quantizer needs
+    ~100·n_centroids training rows, not the corpus): at 10^12 rows the
+    driver pull stays ``sample_rows`` and assignment stays distributed.
+    Lloyd's on unit vectors with max-dot assignment; empty cells keep
+    their previous centroid (deterministic, no re-seeding).
+    """
+    sample = emb.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    if len(x) < n_centroids:
+        raise ValueError(f"sample ({len(x)}) smaller than n_centroids ({n_centroids})")
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = xn[rng.choice(len(xn), n_centroids, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(xn @ cent.T, axis=1)
+        nxt = cent.copy()
+        for j in np.unique(assign):
+            m = xn[assign == j].mean(axis=0)
+            nxt[j] = m / max(np.linalg.norm(m), 1e-12)
+        if np.allclose(nxt, cent):
+            break
+        cent = nxt
+    return cent
+
+
+def ivf_cell_keys(
+    df: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append an exploded ``cell`` int column: the ``n_probe`` nearest
+    centroids by cosine (one gemm per Arrow batch against the broadcast
+    centroid matrix — centroids are small, O(n_centroids·dim) floats,
+    and ride the UDF closure). ``n_probe=1`` indexes a corpus row;
+    ``n_probe>1`` is the query-side probe set."""
+    cent_t = centroids.T.copy()  # (dim, n_centroids), unit columns
+    probes = min(n_probe, centroids.shape[0])
+
+    @F.pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        if m.size == 0:
+            return pd.Series([], dtype=object)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        d = m @ cent_t  # (batch, n_centroids)
+        if probes == 1:
+            top = np.argmax(d, axis=1)[:, None]
+        else:
+            part = np.argpartition(-d, probes - 1, axis=1)[:, :probes]
+            order = np.argsort(-np.take_along_axis(d, part, axis=1), axis=1)
+            top = np.take_along_axis(part, order, axis=1)
+        return pd.Series([row.astype(np.int32) for row in top])
+
+    return df.withColumn("cell", F.explode(cells(F.col(vec_col))))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 20,
+    sample_rows: int = 10_000,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: candidates are
+    rows sharing any of the query's ``n_probe`` nearest cells; exact
+    cosine re-rank. Same output shape/contract as cosine_topk.
+
+    Parameter sizing: n_centroids ~ sqrt(corpus) keeps cells at
+    ~sqrt(n) rows (the classic IVF balance — both the probe fan-out
+    and the per-cell scan grow as sqrt(n)); recall is bought with
+    n_probe, which costs query-side only. The cell join is a plain
+    equi-join on an int key: data-skewed cells (dense embedding
+    regions) are exactly what AQE skew-join handles, and the quantizer
+    itself adapts — dense regions earn more centroids from k-means, so
+    IVF cells skew LESS than hash buckets on clustered data.
+    """
+    cent = train_ivf_centroids(
+        emb, n_centroids, n_iter, sample_rows, seed, id_col, vec_col
+    )
+    c = ivf_cell_keys(with_norm(emb, vec_col), cent, 1, vec_col).select(
+        "cell",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    q = ivf_cell_keys(with_norm(queries, vec_col), cent, n_probe, vec_col).select(
+        "cell",
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    cand = (
+        q.join(c, ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cand = cand.withColumn(
+        "_cos", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
     return (
         cand.withColumn("_rn", F.row_number().over(w))

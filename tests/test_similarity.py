@@ -200,3 +200,79 @@ def test_ann_recall_at_scale_shaped_params(spark, n_planes, n_tables, floor):
     recall = hits / total
     assert recall >= floor, f"recall@5 {recall:.3f} < {floor} at {n_planes}p/{n_tables}t"
     emb.unpersist(); qdf.unpersist()
+
+
+def test_ivf_recall_against_exact(spark):
+    from dedup_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    vecs = np.vstack([base, base[:5] + 0.05 * rng.standard_normal((5, 16))])
+    df = _emb_df(spark, vecs)
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, queries, k=1).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(df, queries, k=1, n_centroids=8, n_probe=4,
+                          sample_rows=100).collect()
+    }
+    assert exact == {(q, q + 40) for q in range(5)}
+    # planted twins are near-identical → same cell (or probed) → found
+    assert ivf >= exact
+
+
+def test_ivf_determinism_and_single_cell_index(spark):
+    from dedup_spark.operators.similarity import ivf_cell_keys, train_ivf_centroids, ivf_topk
+
+    rng = np.random.default_rng(5)
+    df = _emb_df(spark, rng.standard_normal((60, 8)))
+    cent1 = train_ivf_centroids(df, n_centroids=6, sample_rows=60)
+    cent2 = train_ivf_centroids(df, n_centroids=6, sample_rows=60)
+    assert np.array_equal(cent1, cent2)  # seeded sample + Lloyd's
+    # corpus index: exactly ONE cell per row (probe fan-out is query-side)
+    keyed = ivf_cell_keys(df, cent1, n_probe=1)
+    assert keyed.count() == 60
+    assert keyed.groupBy("vec_id").count().filter("count != 1").count() == 0
+    a = sorted(map(tuple, ivf_topk(df, df.limit(3), k=2, n_centroids=6,
+                                   n_probe=3, sample_rows=60).collect()))
+    b = sorted(map(tuple, ivf_topk(df, df.limit(3), k=2, n_centroids=6,
+                                   n_probe=3, sample_rows=60).collect()))
+    assert a == b
+
+
+def test_ivf_recall_at_scale_sizing(spark):
+    """Recall gate for the IVF scale path at sqrt-sized cells
+    (n_centroids ≈ sqrt(corpus), the classic IVF balance): 5k
+    synthetic corpus + 5 planted neighbors per query at cos≈0.97,
+    exact top-5 ground truth, recall@5 must stay ≥ 0.9."""
+    from dedup_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    n_bg, n_q, dim = 5_000, 50, 64
+    bg = rng.standard_normal((n_bg, dim))
+    queries = rng.standard_normal((n_q, dim))
+    planted = np.vstack([q + 0.25 * rng.standard_normal((5, dim)) for q in queries])
+    corpus = np.vstack([bg, planted])
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(corpus)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8).cache()
+    qdf = spark.createDataFrame(
+        [(int(1_000_000 + i), [float(x) for x in v]) for i, v in enumerate(queries)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+
+    exact, ivf = {}, {}
+    for r in cosine_topk(emb, qdf, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = ivf_topk(emb, qdf, k=5, n_centroids=72, n_probe=8, sample_rows=5_250)
+    for r in got.collect():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & ivf.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.9, f"IVF recall@5 {recall:.3f} < 0.9"
+    emb.unpersist(); qdf.unpersist()
