@@ -96,6 +96,28 @@ def main() -> None:
         pipe.cluster(sigs, verified),
         "hash window (skipped when exact_rep precomputed) + CC + size window",
     )
+
+    # ANN scale paths: the candidate join must be a bucket/cell
+    # equi-join (never a cross join), with Python only at the
+    # Arrow-batched key UDF sites
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    if os.path.exists(emb_path):
+        from dedup_spark.operators.similarity import ann_topk_rhp, ivf_topk
+
+        emb = spark.read.parquet(emb_path)
+        q = emb.filter(F.col("vec_id") < 20)
+        summarize(
+            "ANN RHP-LSH (bucket join + re-rank)",
+            ann_topk_rhp(emb, q, k=5, dim=64),
+            "tb equi-join + pair dedup + top-k window (partial WindowGroupLimit "
+            "before the exchange)",
+        )
+        summarize(
+            "ANN IVF (cell join + re-rank)",
+            ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4),
+            "cell equi-join + pair dedup + top-k window; centroid train is a "
+            "bounded driver sample, not part of the distributed plan",
+        )
     spark.stop()
 
 
