@@ -51,6 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep-preference list, highest priority first "
                         "(maps to lang preference on code tables)")
     p.add_argument("--media-resolution", default=None, metavar="highest|lowest|WxH",
+                   type=_resolution_arg,
                    help="resolution keep-preference; WxH/an int targets the "
                         "closest size (the table analog of pixel count)")
     p.add_argument("--fast-mode", action="store_true",
@@ -184,6 +185,19 @@ def main(argv: list[str] | None = None) -> int:
         from dedup_spark.operators.report import duplicate_report
         from dedup_spark.operators.select import rank_in_set
 
+        if (
+            args.sort_by in ("modified", "created")
+            and f"{args.sort_by}_at" not in clusters.columns
+        ):
+            # rank_in_set would silently fall back to path order —
+            # refuse instead: the input_hint table has no timestamps
+            # unless the source provides them as extra columns
+            print(
+                f"error: --sort-by {args.sort_by} requires a "
+                f"{args.sort_by}_at column in the input table",
+                file=sys.stderr,
+            )
+            return 2
         ranked = rank_in_set(
             clusters.filter(F.col("cluster_size") >= 2),
             criterion=args.sort_by,
@@ -201,10 +215,12 @@ def main(argv: list[str] | None = None) -> int:
         from dedup_spark.operators.select import select_kept, select_preferred
 
         dup_sets = clusters.filter(F.col("cluster_size") >= 2)
-        if cfg.lang_preference:
+        if cfg.lang_preference or args.media_resolution:
             # reference --media-formats / --media-resolution → W3
-            # preference ranking (format list first, then resolution)
-            policy, target = _parse_resolution(args.media_resolution)
+            # preference ranking (format list first, then resolution);
+            # a resolution-only preference applies too (empty format
+            # list → resolution alone decides)
+            policy, target = args.media_resolution or ("highest", None)
             sel = select_preferred(
                 dup_sets, cfg.lang_preference,
                 resolution_policy=policy, target_size=target,
@@ -236,18 +252,26 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def _parse_resolution(s: str | None) -> tuple[str, int | None]:
-    """reference --media-resolution: highest | lowest | WxH (WxH and a
-    plain int both become closest_to over the size column — the table
-    analog of pixel count)."""
-    if s in (None, "highest"):
+def _resolution_arg(s: str) -> tuple[str, int | None]:
+    """argparse type for --media-resolution: highest | lowest | WxH |
+    bytes (WxH and a plain int both become closest_to over the size
+    column — the table analog of pixel count). Malformed values raise
+    ArgumentTypeError → a clean argparse usage error, not a traceback."""
+    sl = s.strip().lower()
+    if sl == "highest":
         return "highest", None
-    if s == "lowest":
+    if sl == "lowest":
         return "lowest", None
-    if "x" in s:
-        w, h = s.lower().split("x", 1)
-        return "closest_to", int(w) * int(h)
-    return "closest_to", int(s)
+    try:
+        if "x" in sl:
+            w, h = sl.split("x", 1)
+            return "closest_to", int(w) * int(h)
+        return "closest_to", int(sl)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"invalid --media-resolution {s!r}: expected highest, lowest, "
+            "WxH (e.g. 1280x720) or an integer size"
+        ) from None
 
 
 if __name__ == "__main__":

@@ -59,14 +59,26 @@ def human_size(col) -> F.Column:
     """Decimal (1000-based) size display — the reference prints sizes
     through humansize DECIMAL (/root/reference/src/main.rs:5) unless
     --raw-sizes. Pure JVM expression; display only, never used in
-    comparisons."""
+    comparisons.
+
+    Unit promotion happens at the ROUNDING boundary (999_995 B →
+    "1.00 MB", never "1000.00 kB"), and values render through a
+    decimal cast, not format_number, so there is no locale comma
+    grouping ("999.99 kB", not "999.99" vs "1,000.00")."""
     c = F.col(col) if isinstance(col, str) else col
     c = c.cast("double")
+
+    def fmt(unit: float, name: str) -> F.Column:
+        v = F.round(c / F.lit(unit), 2).cast("decimal(20,2)").cast("string")
+        return F.concat(v, F.lit(" " + name))
+
+    # threshold = the smallest value whose 2-dp rounding in the lower
+    # unit would read 1000.00 — promote there
     return (
-        F.when(c >= 1e12, F.concat(F.format_number(c / 1e12, 2), F.lit(" TB")))
-        .when(c >= 1e9, F.concat(F.format_number(c / 1e9, 2), F.lit(" GB")))
-        .when(c >= 1e6, F.concat(F.format_number(c / 1e6, 2), F.lit(" MB")))
-        .when(c >= 1e3, F.concat(F.format_number(c / 1e3, 2), F.lit(" kB")))
+        F.when(c >= 9.99995e11, fmt(1e12, "TB"))
+        .when(c >= 9.99995e8, fmt(1e9, "GB"))
+        .when(c >= 9.99995e5, fmt(1e6, "MB"))
+        .when(c >= 1e3, fmt(1e3, "kB"))
         .otherwise(F.concat(c.cast("long").cast("string"), F.lit(" B")))
     )
 

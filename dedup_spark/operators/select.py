@@ -58,8 +58,14 @@ def select_preferred(
     reference), then by the resolution policy over ``size``:
     highest | lowest | closest_to(target_size).
     """
-    pos = F.array_position(F.lit(list(lang_preference)), F.col("lang"))
-    pref_rank = F.when(pos > 0, pos).otherwise(F.lit(len(lang_preference) + 1))
+    if lang_preference:
+        pos = F.array_position(F.lit(list(lang_preference)), F.col("lang"))
+        pref_rank = F.when(pos > 0, pos).otherwise(F.lit(len(lang_preference) + 1))
+    else:
+        # resolution-only preference (reference: --media-resolution
+        # without --media-formats): every lang ranks equal, the
+        # resolution policy alone decides
+        pref_rank = F.lit(1)
     if resolution_policy == "highest":
         res_key = F.col("size").desc()
     elif resolution_policy == "lowest":

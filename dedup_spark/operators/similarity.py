@@ -206,14 +206,25 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Spherical k-means centroids (unit rows) for an IVF index.
 
-    Trains on a DETERMINISTIC bounded sample (orderBy id, limit) pulled
-    to the driver — the standard IVF recipe (a coarse quantizer needs
+    Trains on a DETERMINISTIC bounded UNIFORM sample pulled to the
+    driver — the standard IVF recipe (a coarse quantizer needs
     ~100·n_centroids training rows, not the corpus): at 10^12 rows the
     driver pull stays ``sample_rows`` and assignment stays distributed.
-    Lloyd's on unit vectors with max-dot assignment; empty cells keep
-    their previous centroid (deterministic, no re-seeding).
+    The sample orders by ``xxhash64(id)`` (id tiebreak) and takes the
+    first ``sample_rows``: partition-invariant, seed-free deterministic,
+    and uniform over the id space — a plain ``orderBy(id).limit`` would
+    train only on the lowest-id region, which is usually one ingestion
+    batch/domain, and leave the rest of the corpus collapsing into a
+    few giant cells. Executes as per-partition top-n (TakeOrdered), not
+    a full sort. Lloyd's on unit vectors with max-dot assignment; empty
+    cells keep their previous centroid (deterministic, no re-seeding).
     """
-    sample = emb.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    sample = (
+        emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_rows)
+        .select(vec_col)
+        .collect()
+    )
     x = np.array([r[0] for r in sample], dtype=np.float64)
     if len(x) < n_centroids:
         raise ValueError(f"sample ({len(x)}) smaller than n_centroids ({n_centroids})")
@@ -304,11 +315,14 @@ def ivf_topk(
         F.col(vec_col).alias("_qv"),
         F.col("_norm").alias("_qn"),
     )
+    # no pair dedup needed (unlike the RHP path): a corpus row lives in
+    # exactly ONE cell and a query's n_probe cells are distinct, so each
+    # (query, neighbor) pair matches at most once — a dropDuplicates
+    # here would be a pure extra shuffle of vector payloads
     cand = (
         q.join(c, ["cell"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     cand = cand.withColumn(
         "_cos", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))

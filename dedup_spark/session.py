@@ -61,15 +61,19 @@ def get_spark(
     return spark
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """Make ``dedup_spark`` importable on executor Python workers — the
-    in-process equivalent of ``spark-submit --py-files dedup_spark.zip``
-    (the north_rule's deployment mode). Idempotent per session.
+def package_zip(dest: str | None = None) -> str:
+    """Write the ``--py-files`` zip of this package and return its path.
+
+    THE single packaging implementation: `_ship_package` (in-process),
+    `scripts/submit.sh` and `scripts/submit_pytest.sh` (spark-submit)
+    all call this, so what ships to executors cannot drift between
+    deployment modes. Usable as
+    ``python -c "from dedup_spark.session import package_zip; print(package_zip())"``.
     """
-    if getattr(spark, "_dedup_pkg_shipped", False):
-        return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), f"dedup_spark_pkg_{os.getpid()}.zip")
+    zpath = dest or os.path.join(
+        tempfile.gettempdir(), f"dedup_spark_pkg_{os.getpid()}.zip"
+    )
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
@@ -78,5 +82,15 @@ def _ship_package(spark: SparkSession) -> None:
                         full = os.path.join(root, fn)
                         rel = os.path.join("dedup_spark", os.path.relpath(full, pkg_dir))
                         zf.write(full, rel)
-    spark.sparkContext.addPyFile(zpath)
+    return zpath
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``dedup_spark`` importable on executor Python workers — the
+    in-process equivalent of ``spark-submit --py-files dedup_spark.zip``
+    (the north_rule's deployment mode). Idempotent per session.
+    """
+    if getattr(spark, "_dedup_pkg_shipped", False):
+        return
+    spark.sparkContext.addPyFile(package_zip())
     spark._dedup_pkg_shipped = True

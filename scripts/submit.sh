@@ -6,16 +6,12 @@
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 MASTER="${1:-local[8]}"; shift || true
-ZIP="$(mktemp -d)/dedup_spark.zip"
-(cd "$REPO" && python -c "
-import zipfile, os
-with zipfile.ZipFile('$ZIP', 'w') as z:
-    for root, _, files in os.walk('dedup_spark'):
-        for f in files:
-            if f.endswith('.py'):
-                z.write(os.path.join(root, f))
-print('packaged: $ZIP')
-")
+ZIP="$(cd "$REPO" && python -c "
+from dedup_spark.session import package_zip
+import tempfile, os
+print(package_zip(os.path.join(tempfile.mkdtemp(), 'dedup_spark.zip')))
+")"
+echo "packaged: $ZIP"
 SPARK_HOME="${SPARK_HOME:-$(python -c 'import pyspark, os; print(os.path.dirname(pyspark.__file__))')}"
 exec "$SPARK_HOME/bin/spark-submit" \
   --master "$MASTER" \

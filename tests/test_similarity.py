@@ -247,7 +247,11 @@ def test_ivf_recall_at_scale_sizing(spark):
     """Recall gate for the IVF scale path at sqrt-sized cells
     (n_centroids ≈ sqrt(corpus), the classic IVF balance): 5k
     synthetic corpus + 5 planted neighbors per query at cos≈0.97,
-    exact top-5 ground truth, recall@5 must stay ≥ 0.9."""
+    exact top-5 ground truth, recall@5 must stay ≥ 0.9. The train
+    sample (1,000) is a strict subset of the corpus (5,250) so the
+    gate exercises the bounded-sample regime the quantizer is for —
+    most corpus rows (and most planted neighbors) are NEVER seen at
+    train time and must still land in probeable cells."""
     from dedup_spark.operators.similarity import ivf_topk
 
     rng = np.random.default_rng(11)
@@ -268,7 +272,7 @@ def test_ivf_recall_at_scale_sizing(spark):
     exact, ivf = {}, {}
     for r in cosine_topk(emb, qdf, k=5).collect():
         exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    got = ivf_topk(emb, qdf, k=5, n_centroids=72, n_probe=8, sample_rows=5_250)
+    got = ivf_topk(emb, qdf, k=5, n_centroids=72, n_probe=8, sample_rows=1_000)
     for r in got.collect():
         ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     hits = sum(len(exact[q] & ivf.get(q, set())) for q in exact)
