@@ -165,3 +165,16 @@ def test_batch_shingle_sets_no_cross_doc_windows():
     # two 3-token docs, k=5: every window would span the boundary
     batch = batch_token_shingle_sets(["a b c", "d e f"], 5, normalize=False)
     assert all(arr.shape[0] == 0 for arr in batch)
+
+
+def test_hamming_similarity64_fraction(spark):
+    """H7 (reference percent similarity as a fraction): identical
+    signatures → 1.0; one flipped bit → 63/64; full complement → 0."""
+    from pyspark.sql import functions as F
+
+    from dedup_spark.functions.signatures import hamming_similarity64
+
+    rows = [(0x0, 0x0), (0x0, 0x1), (0x0, -1)]  # -1 = all 64 bits set
+    df = spark.createDataFrame(rows, "a long, b long")
+    vals = [r["s"] for r in df.select(hamming_similarity64(F.col("a"), F.col("b")).alias("s")).collect()]
+    assert vals == [1.0, 63 / 64, 0.0]
