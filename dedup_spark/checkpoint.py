@@ -26,6 +26,20 @@ generation per key — and periodically folded back into one generation
 by ``compact()`` (auto-triggered every ``compact_every`` saves;
 amortized O(store / compact_every) per save).
 
+Every row also carries ``gen0``, the generation it was FIRST written
+in, as an explicit data column (v2 store schema). The partition-dir
+``gen=`` number orders a row only until compaction rewrites it into a
+new directory; ``gen0`` survives that rewrite, so (a) latest-per-key
+resolution and (b) ``probe_hashes``' earliest-holder attribution stay
+correct across compactions. ``compact()`` keeps ONE row per
+(key, hash) — the earliest — rather than one per key: a hash
+superseded by an in-place rewrite remains in the store, preserving
+the probe's documented ever-seen contract (store size is O(live keys
++ superseded hashes), not O(all generations)). Legacy v1 stores (no
+``gen0`` column) read correctly — ``gen0`` defaults to the partition
+``gen``, exact for every save-produced row — and are migrated to v2
+wholesale by their next compaction.
+
 ``bucket = pmod(xxhash64(repo,path,commit), n_buckets)`` co-partitions
 the KEY side (cache joins, compaction merges); ``hb = pmod(crc32(hash),
 n_hash_buckets)`` partitions the CONTENT side so ``probe_hashes`` can
@@ -207,17 +221,30 @@ class SignatureStore:
             if e.startswith("gen=")
         )
 
+    def _read_with_gen0(self) -> DataFrame:
+        """Raw store rows with the write-order column ``_g`` resolved:
+        ``gen0`` where present (v2 rows — survives compaction), else
+        the partition ``gen`` (v1 legacy rows, where the two are equal
+        by construction since v1 never outlived a compaction rewrite).
+        """
+        df = self.spark.read.parquet(self._data_dir)
+        if "gen0" in df.columns:
+            return df.withColumn("_g", F.coalesce(F.col("gen0"), F.col("gen")))
+        return df.withColumn("_g", F.col("gen"))
+
     def load(self) -> DataFrame | None:
-        """Latest-generation-per-key view of the store (the MERGE INTO
-        read side). Single-generation stores (freshly compacted) skip
-        the resolution shuffle — keys are unique by construction."""
+        """Latest-write-per-key view of the store (the MERGE INTO read
+        side). A never-compacted single-generation store (gens == [0])
+        skips the resolution shuffle — keys are unique by construction;
+        a compacted store may hold several (key, hash) history rows per
+        key (see ``compact``) and always resolves."""
         gens = self.generations()
         if not gens:
             return None
-        df = self.spark.read.parquet(self._data_dir)
-        if len(gens) == 1:
+        df = self._read_with_gen0()
+        if gens == [0]:
             return df.select(*CACHE_COLS)
-        latest = F.max_by(F.struct(*[F.col(c) for c in VALUE_COLS]), F.col("gen"))
+        latest = F.max_by(F.struct(*[F.col(c) for c in VALUE_COLS]), F.col("_g"))
         return (
             df.groupBy(*CACHE_KEY)
             .agg(latest.alias("_v"))
@@ -262,7 +289,13 @@ class SignatureStore:
         publish nothing but still record a metrics row. Triggers
         compaction every ``compact_every`` generations.
         """
-        new = sigs.select(*CACHE_COLS).dropDuplicates(CACHE_KEY)
+        gens = self.generations()
+        next_gen = (gens[-1] + 1) if gens else 0
+        new = (
+            sigs.select(*CACHE_COLS)
+            .dropDuplicates(CACHE_KEY)
+            .withColumn("gen0", F.lit(next_gen))
+        )
         staged = f"{self.path}/_staged_{uuid.uuid4().hex}"
         self._writer(new).parquet(staged)
         has_files = self.fs.has_file_with_suffix(staged, ".parquet")
@@ -270,8 +303,6 @@ class SignatureStore:
         if n_rows == 0:
             self.fs.delete(staged)
         else:
-            gens = self.generations()
-            next_gen = (gens[-1] + 1) if gens else 0
             self.fs.mkdirs(self._data_dir)
             self.fs.rename(staged, f"{self._data_dir}/gen={next_gen}")  # atomic publish point
         self._record_metrics(n_rows, n_reused)
@@ -279,24 +310,51 @@ class SignatureStore:
             self.compact()
 
     def compact(self) -> None:
-        """Fold all generations into one (latest-per-key) — the
-        maintenance-compaction analog of Iceberg's rewrite_data_files.
+        """Fold all generations into one — the maintenance-compaction
+        analog of Iceberg's rewrite_data_files.
+
+        The compacted generation keeps ONE row per (key, hash): the
+        EARLIEST (min ``gen0``). That preserves, through any number of
+        compactions, both store contracts at once — latest-write-per-key
+        for the cache (``load`` resolves by ``gen0``, which rides along
+        as a data column) and ever-seen-with-first-holder for
+        ``probe_hashes`` (a hash superseded by an in-place key rewrite
+        keeps its original row and generation number; compacting to
+        latest-per-key, the previous design, silently deleted it and
+        changed duplicate-probe answers across the compaction boundary).
 
         Publish protocol: the compacted rows land as ONE new generation
         ``gen = max+1`` via a single rename into the existing data dir
         (the same atomic publish point ``save`` uses), and only then
         are the older generation dirs deleted. There is no window with
         no data directory: a crash after the publish rename leaves
-        max+1 shadowing every older key (latest-wins read resolution),
-        and a crash mid-cleanup leaves redundant-but-correct older
-        gens that the next compaction removes. (The previous design
-        swapped the data dir with two renames — a crash between them
-        orphaned the whole store.)"""
+        max+1's rows shadowing every older row they duplicate (each
+        (key, hash, gen0) row is identical to its source — read
+        resolution is unaffected by the redundancy), and a crash
+        mid-cleanup leaves redundant-but-correct older gens that the
+        next compaction removes. (The before-last design swapped the
+        data dir with two renames — a crash between them orphaned the
+        whole store.)"""
         gens = self.generations()
         if len(gens) <= 1:
             return
+        rows = self._read_with_gen0()
+        first = F.min_by(
+            F.struct(*[F.col(c) for c in ("minhash", "simhash", "n_shingles")]),
+            F.col("_g"),
+        )
+        compacted = (
+            rows.groupBy(*CACHE_KEY, "hash")
+            .agg(first.alias("_v"), F.min("_g").alias("gen0"))
+            .select(
+                *CACHE_KEY,
+                "hash",
+                *[F.col(f"_v.{c}").alias(c) for c in ("minhash", "simhash", "n_shingles")],
+                "gen0",
+            )
+        )
         staged = f"{self.path}/_staged_{uuid.uuid4().hex}"
-        self._writer(self.load()).parquet(staged)  # reads old gens here
+        self._writer(compacted).parquet(staged)  # reads old gens here
         self.fs.rename(staged, f"{self._data_dir}/gen={gens[-1] + 1}")  # atomic publish point
         for g in gens:
             self.fs.delete(f"{self._data_dir}/gen={g}")
@@ -341,11 +399,14 @@ class SignatureStore:
         ``load()``'s latest-per-key view in exactly one case: a key
         whose content changed IN PLACE (same repo/path/commit, new
         hash). For dedup, content once admitted to the corpus remains
-        a duplicate source even if its original file moved on.
+        a duplicate source even if its original file moved on — and
+        ``compact()`` preserves exactly this (per-(key, hash) earliest
+        rows with their original ``gen0``), so probe answers are
+        invariant across compaction boundaries.
         """
         if not self.generations():
             return None
-        df = self.spark.read.parquet(self._data_dir)
+        df = self._read_with_gen0()
         if len(hashes) <= max_inline:
             hbs = sorted({self._hb_of(h) for h in hashes})
             df = df.filter(F.col("hb").isin(hbs)).filter(F.col("hash").isin(list(hashes)))
@@ -355,7 +416,7 @@ class SignatureStore:
             ).dropDuplicates(["hash"])
             df = df.join(probe, "hash", "left_semi")
         first = F.min_by(
-            F.struct("repo", "path"), F.struct(F.col("gen"), F.col("repo"), F.col("path"))
+            F.struct("repo", "path"), F.struct(F.col("_g"), F.col("repo"), F.col("path"))
         )
         return (
             df.groupBy("hash")

@@ -292,3 +292,50 @@ def test_probe_hashes_ever_seen_semantics(spark, cache_dir):
         for r in store.probe_hashes(["H_OLD", "H_NEW"], max_inline=1).collect()
     }
     assert got_join == got
+
+
+def test_probe_and_load_invariant_across_compaction(spark, cache_dir):
+    """compact() must not change EITHER read contract: load() stays
+    latest-write-per-key, and probe_hashes stays ever-seen with the
+    earliest holder — including a hash superseded by an in-place key
+    rewrite (the row a latest-per-key compaction would delete) and
+    first-holder attribution (which needs the original generation
+    number, carried by gen0, not the rewritten partition dir)."""
+    from dedup_spark.checkpoint import SignatureStore
+
+    store = SignatureStore(spark, cache_dir, RECALL_CONFIG, compact_every=99)
+    # gen 0: H_OLD first held by a.py; gen 1: a.py rewritten in place;
+    # gen 2: H_OLD reappears under b.py (later holder) + new H_C
+    store.save(spark.createDataFrame([("r", "a.py", "c", "H_OLD", [1], 1, 1)], SIG_SCHEMA))
+    store.save(spark.createDataFrame([("r", "a.py", "c", "H_NEW", [2], 2, 1)], SIG_SCHEMA))
+    store.save(
+        spark.createDataFrame(
+            [("r", "b.py", "c", "H_OLD", [3], 3, 1), ("r", "c.py", "c", "H_C", [4], 4, 1)],
+            SIG_SCHEMA,
+        )
+    )
+
+    def snapshot():
+        loaded = {r["path"]: r["hash"] for r in store.load().collect()}
+        probed = {
+            r["hash"]: r["first_path"]
+            for r in store.probe_hashes(["H_OLD", "H_NEW", "H_C", "H_MISS"]).collect()
+        }
+        return loaded, probed
+
+    before = snapshot()
+    assert before[0] == {"a.py": "H_NEW", "b.py": "H_OLD", "c.py": "H_C"}
+    assert before[1] == {"H_OLD": "a.py", "H_NEW": "a.py", "H_C": "c.py"}
+
+    store.compact()
+    assert store.generations() == [3]
+    assert snapshot() == before
+
+    # another save + compaction cycle: contracts still invariant, and
+    # the store stays one row per (key, hash) — history does not regrow
+    store.save(spark.createDataFrame([("r", "d.py", "c", "H_D", [5], 5, 1)], SIG_SCHEMA))
+    store.compact()
+    loaded2, probed2 = snapshot()
+    assert loaded2 == {**before[0], "d.py": "H_D"}
+    assert probed2 == before[1]
+    assert spark.read.parquet(store._data_dir).count() == 5
