@@ -51,6 +51,18 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
 
 
+def _valid_vecs(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Rows a vector index can hold: non-null, exactly ``dim`` wide —
+    filtered JVM-side BEFORE any Arrow batch. The gemm kernels build a
+    dense (batch, dim) matrix with ``np.array(batch.tolist())``, which
+    raises on a None or ragged element and kills the whole task; the
+    exact expression paths instead map malformed rows through null-safe
+    SQL semantics. A malformed embedding carries no indexable signal,
+    so exclusion (not error) is the contract for the ANN index/probe
+    sides."""
+    return df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim))
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -117,6 +129,7 @@ def rhp_bucket_keys(
     """
     if n_planes + int(np.ceil(np.log2(max(n_tables, 2)))) > 62:
         raise ValueError("n_planes + log2(n_tables) must fit in an int64 key")
+    df = _valid_vecs(df, vec_col, dim)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
     proj = planes.reshape(n_tables * n_planes, dim).T.copy()  # (dim, t*p)
@@ -220,12 +233,21 @@ def train_ivf_centroids(
     cells keep their previous centroid (deterministic, no re-seeding).
     """
     sample = (
-        emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        emb.filter(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(sample_rows)
         .select(vec_col)
         .collect()
     )
-    x = np.array([r[0] for r in sample], dtype=np.float64)
+    rows = [r[0] for r in sample]
+    if rows:
+        # ragged guard: train on the dominant dimensionality only (a
+        # stray short/long vector would make np.array raise)
+        from collections import Counter
+
+        dim = Counter(map(len, rows)).most_common(1)[0][0]
+        rows = [r for r in rows if len(r) == dim]
+    x = np.array(rows, dtype=np.float64)
     if len(x) < n_centroids:
         raise ValueError(f"sample ({len(x)}) smaller than n_centroids ({n_centroids})")
     xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
@@ -256,6 +278,7 @@ def ivf_cell_keys(
     ``n_probe>1`` is the query-side probe set."""
     cent_t = centroids.T.copy()  # (dim, n_centroids), unit columns
     probes = min(n_probe, centroids.shape[0])
+    df = _valid_vecs(df, vec_col, centroids.shape[1])
 
     @F.pandas_udf("array<int>")
     def cells(v: pd.Series) -> pd.Series:

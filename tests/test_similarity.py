@@ -280,3 +280,32 @@ def test_ivf_recall_at_scale_sizing(spark):
     recall = hits / total
     assert recall >= 0.9, f"IVF recall@5 {recall:.3f} < 0.9"
     emb.unpersist(); qdf.unpersist()
+
+
+def test_ann_paths_tolerate_null_and_ragged_embeddings(spark):
+    """A NULL or wrong-width embedding row must not kill the ANN
+    kernels (np.array over a ragged Arrow batch raises): the index/
+    probe sides exclude malformed vectors JVM-side and every valid row
+    still resolves. Covers rhp_bucket_keys, ivf_cell_keys and the IVF
+    trainer's driver-side sample."""
+    from dedup_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 16))
+    vecs = np.vstack([base, base[:3] + 0.01 * rng.standard_normal((3, 16))])
+    good = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    bad = [(100, None), (101, [1.0, 2.0])]  # null + ragged
+    df = spark.createDataFrame(good + bad, "vec_id long, embedding array<float>")
+    queries = df.filter((F.col("vec_id") < 3) | (F.col("vec_id") >= 100))
+
+    ann = ann_topk_rhp(df, queries, k=1, n_planes=6, n_tables=8, dim=16).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    assert {(q, q + 30) for q in range(3)} <= got
+    assert all(r["query_id"] < 100 for r in ann)  # malformed rows excluded
+
+    ivf = ivf_topk(
+        df, queries, k=1, n_centroids=4, n_probe=2, sample_rows=50, seed=3
+    ).collect()
+    got_ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert {(q, q + 30) for q in range(3)} <= got_ivf
+    assert all(r["query_id"] < 100 for r in ivf)
