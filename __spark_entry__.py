@@ -38,8 +38,18 @@ def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4+M5: LSH ∪ SimHash candidates, verified (threshold gate).
     Value-verified since round 3: the emitted jaccard/containment are
     exact scores DuckDB recomputes independently (brute-force shingle
-    Jaccard + substring containment — see queries.ORACLE
-    'near_dup_pairs' for the floor/caveat notes)."""
+    Jaccard + substring containment).
+
+    The comparison is restricted to the DETERMINISTIC contract region
+    (j >= 0.9, or full containment with j >= 0.7) — the same predicate
+    the oracle's gate applies to its brute-forced exact scores, so the
+    check is robust to fixture refreshes: inside the region the
+    engine's probabilistic candidacy/plausibility stages admit with
+    P(miss) < 3e-4, so any asymmetry is a real defect, while the
+    engine's wider emission band (partial LCS >= 0.9, est-Jaccard
+    floor 0.5) has no deterministic SQL mirror — it stays covered by
+    planted-recall gates and LCS goldens. See queries.ORACLE
+    'near_dup_pairs' for the full derivation."""
     from dedup_spark.config import DedupConfig
     from dedup_spark.plans.pipeline import DedupPipeline
     from dedup_spark.sources.loader import documents_as_code_files
@@ -49,6 +59,10 @@ def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = pipe.signatures(files)
     reps = pipe.representatives(sigs)
     verified = pipe.verify(pipe.candidates(reps), reps)
+    contract_region = (F.col("jaccard") >= 0.9) | (
+        (F.col("jaccard") >= 0.7) & (F.col("containment") >= 1.0 - 1e-9)
+    )
+    verified = verified.filter(contract_region)
     return verified.select(
         "id_a", "id_b",
         F.round("jaccard", 6).alias("jaccard"),

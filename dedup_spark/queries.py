@@ -722,12 +722,26 @@ FROM ranked GROUP BY 1
     # gate, and substring containment (position()) for the
     # containment-admitted pairs — the fixture's containment family is
     # pure truncations, so containment is exactly 1.0 and
-    # SQL-expressible. The oracle's containment branch floors at
-    # jaccard >= 0.7, where LSH candidacy is probabilistically certain
-    # (P(miss | J=0.7) < 3e-4 at b=32,r=4); below that neither side
-    # reliably emits, and the fixture contains no such pairs. Partial
-    # LCS containment (0.9 <= c < 1.0) would need a real LCS kernel —
-    # no SQL equivalent; covered by tests/test_lcs.py goldens instead.
+    # SQL-expressible.
+    #
+    # CONTRACT REGION: both sides gate on the same DETERMINISTIC
+    # predicate over exactly-computable scores — j >= 0.9, or full
+    # substring containment with j >= 0.7 (the Spark side post-filters
+    # its verified pairs to this region in __spark_entry__). The
+    # engine's own emission gate is intentionally wider (containment
+    # >= 0.9 partial-LCS admits with an est-Jaccard >= 0.5 / hamming
+    # <= radius+8 plausibility floor): pairs in j ∈ [0.5, 0.7) with
+    # high containment ARE reliably engine-emitted (P(LSH candidacy |
+    # J=0.6) ≈ 0.988 at b=32,r=4), but est-Jaccard is a MinHash
+    # ESTIMATE, so no SQL gate can mirror that band deterministically —
+    # inside the contract region, by contrast, candidacy AND the floor
+    # are probabilistically certain (P(miss | J=0.7) < 3e-4), so an
+    # oracle pair the engine misses is a true recall failure. The
+    # excluded band stays covered by the planted-recall gates and
+    # tests/test_lcs.py goldens; test_oracles.py asserts the driver
+    # fixtures contain no ambiguous-band pairs, so a fixture refresh
+    # that grows one fails a NAMED test instead of silently skewing
+    # the cluster oracle (whose closure runs over the full gate).
     "near_dup_pairs": f"""
 WITH {SQL_FILES},
 {SQL_NEARDUP_PAIRS}

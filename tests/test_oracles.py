@@ -54,3 +54,148 @@ def test_doc_fingerprint_oracle_matches_kernel(docs):
     assert len(got) == len(docs)
     for i, t in enumerate(docs):
         assert got[i] == doc_fingerprint(t, 8), f"doc {i}: {t[:60]!r}"
+
+
+def _brute_pairs(con, docs_sql: str, shingle_sql: str) -> list[tuple]:
+    """All rep pairs with shared shingles and exact Jaccard >= 0.2 —
+    every pair either side's gate could conceivably admit."""
+    return con.sql(
+        f"""
+WITH reps AS ({docs_sql}),
+sh AS ({shingle_sql}),
+counts AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared / (ca.n + cb.n - shared) AS j,
+       ra.c AS c_a, rb.c AS c_b, ra.t AS t_a, rb.t AS t_b
+FROM shared
+JOIN counts ca ON ca.id = id_a JOIN counts cb ON cb.id = id_b
+JOIN reps ra ON ra.id = id_a  JOIN reps rb ON rb.id = id_b
+WHERE shared / (ca.n + cb.n - shared) >= 0.2
+"""
+    ).fetchall()
+
+
+def _partition(edges) -> frozenset:
+    """Union-find partition over the edge list, as a canonical set of
+    frozensets (singletons omitted — they never differ)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comps: dict = {}
+    for x in list(parent):
+        comps.setdefault(find(x), set()).add(x)
+    return frozenset(frozenset(c) for c in comps.values() if len(c) > 1)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_fixture_cluster_oracle_partition_stable(sf):
+    """The near_dup_clusters/binary_near_dup oracles gate their
+    containment branch at (j >= 0.7 AND full substring); the engine\'s
+    gate is wider (exact LCS containment >= 0.9, reached through a
+    probabilistic est-Jaccard/hamming plausibility floor) and has no
+    deterministic SQL mirror. The cluster contract therefore rests on
+    a FIXTURE invariant: the connected-component PARTITION must be
+    identical under (a) the oracle\'s edge set, (b) the engine\'s
+    certain edges (j >= 0.9, or containment >= 0.9 with j >= 0.65 —
+    where candidacy and the est floor are probabilistically certain),
+    and (c) those plus every uncertain-emission edge (containment
+    >= 0.9 at lower j, which the engine may or may not see). The two
+    containment notions differ on purpose, mirroring each side
+    faithfully: the engine scores suffix-automaton LCS over the
+    VERIFIED string (raw text, or the hex asset), while the oracles
+    use SQL position() over the raw TEXT (for binaries the hex strings
+    carry per-kind magic prefixes, so a truncated payload is a text
+    substring but never a hex substring). Extra
+    engine edges inside an oracle component are harmless; this fails,
+    by name, the moment a fixture refresh grows an edge that BRIDGES
+    two oracle components — the one case that would silently skew the
+    driver\'s cluster hash. (Residual: containment pairs at shingle
+    j < 0.2 never collide in LSH/SimHash at these sizes — excluded by
+    the brute-force floor.) Both shingle spaces are checked: token-5
+    text and char-16 hex (binary assets)."""
+    import os
+
+    from dedup_spark.functions.lcs import containment_score
+
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    path = f"{base}/{sf}/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"no fixture at {path}")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+
+    # text path: one rep per distinct content, token-5 shingles over
+    # normalized text (mirrors SQL_NEARDUP_PAIRS)
+    text_docs = """
+SELECT MIN(doc_id) AS id, text AS c, text AS t FROM documents GROUP BY text
+"""
+    text_shingles = r"""
+SELECT id, UNNEST(list_distinct([array_to_string(toks[i:i+4], ' ')
+                                 FOR i IN range(1, len(toks) - 3)])) AS s
+FROM (SELECT id, CASE WHEN length(trim(c)) = 0 THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(trim(lower(c)), '\s+') END AS toks
+      FROM reps)
+WHERE len(toks) >= 5
+"""
+    # binary path: hex assets (magic prefix by doc_id % 4), one rep per
+    # distinct hex string, char-16 shingles (mirrors binary_near_dup)
+    bin_docs = """
+SELECT MIN(doc_id) AS id, c, MIN(text) AS t FROM (
+  SELECT doc_id, text,
+         lower(CASE (doc_id % 4) WHEN 0 THEN '89504e47' WHEN 1 THEN 'ffd8ffe0'
+               WHEN 2 THEN '49443303' ELSE '1a45dfa3' END
+               || hex(encode(text))) AS c
+  FROM documents) GROUP BY c
+"""
+    bin_shingles = """
+SELECT id, UNNEST(list_distinct([substring(c, i, 16)
+                                 FOR i IN range(1, length(c) - 14)])) AS s
+FROM reps WHERE length(c) >= 16
+"""
+    for label, docs_sql, shingle_sql in [
+        ("text", text_docs, text_shingles),
+        ("binary", bin_docs, bin_shingles),
+    ]:
+        oracle_edges, certain_edges, uncertain_edges = [], [], []
+        for id_a, id_b, j, c_a, c_b, t_a, t_b in _brute_pairs(con, docs_sql, shingle_sql):
+            e = (id_a, id_b)
+            if j >= 0.9:
+                oracle_edges.append(e)
+                certain_edges.append(e)
+                continue
+            # oracle containment branch: position(shorter.text IN
+            # longer.text), shorter chosen by the verified-string length
+            t_short, t_long = (t_a, t_b) if len(c_a) <= len(c_b) else (t_b, t_a)
+            if t_short in t_long and j >= 0.7:
+                oracle_edges.append(e)
+            # engine containment branch: exact LCS over the verified string
+            cont = containment_score(c_a, c_b)
+            if cont < 0.9:
+                continue
+            if j >= 0.65:
+                certain_edges.append(e)
+            else:
+                uncertain_edges.append(e)
+        p_orc = _partition(oracle_edges)
+        p_cert = _partition(certain_edges)
+        p_all = _partition(certain_edges + uncertain_edges)
+        assert p_cert == p_orc, (
+            f"{sf}/{label}: an engine-certain containment edge bridges "
+            f"oracle components — the cluster oracle no longer mirrors the "
+            f"engine; move the fixture or extend the oracle gate"
+        )
+        assert p_all == p_orc, (
+            f"{sf}/{label}: an uncertain-emission edge (containment >= 0.9 "
+            f"at low j) bridges oracle components — the cluster hash now "
+            f"depends on probabilistic candidacy"
+        )
