@@ -14,9 +14,15 @@ is within GATE_FRAC of the best-window reference recorded in
 BENCH_scaling.json's host_calibration block.
 
 Direction note: the headline E uses min-wall-per-level, so a faster
-level-8 raises E while a faster level-2 lowers it.  The watcher runs
-BOTH levels in a quiet window — the policy is a steal-free estimate of
-both levels, not max-E shopping.
+level-8 raises E while a faster level-2 lowers it.  The watcher
+therefore keeps per-level attempt counts BALANCED: each quiet window
+runs both levels, the level with fewer recorded attempts first (a
+window that closes mid-round leaves a deficit the next window repays
+before the other level gets another sample), and only both-level
+rounds count toward max_topups.  An earlier two-tier design allowed
+cheap level-8-only attempts at a lower quiet bar; that systematically
+gave level 8 more min-samples than level 2 — exactly the max-E
+shopping this policy disclaims — and was removed.
 
 Usage: python3 scripts/quiet_watch.py [max_topups] [deadline_min]
 Logs to stdout; per-level bench output to /tmp/qw_l{k}_{i}.log.
@@ -36,12 +42,7 @@ sys.path.insert(0, REPO)
 
 from scripts.host_calibration import _run_level  # noqa: E402
 
-GATE_FRAC = 0.88          # full round (levels 8 AND 2) needs this fraction
-GATE_FRAC_L8 = 0.78       # a level-8-only attempt fires at this lower bar:
-#                           it costs ~3 min (vs ~25 for level 2), only a
-#                           faster level-8 can RAISE the min-wall headline,
-#                           and a mediocre attempt is harmlessly discarded
-#                           by the per-level min — opportunistic, not biased
+GATE_FRAC = 0.88          # a round (levels 8 AND 2) needs this fraction
 PROBE_PERIOD_S = 240      # between probes while waiting
 LEVEL_TIMEOUT = {2: 1500, 8: 900}
 
@@ -76,15 +77,29 @@ def probe_quiet(ref: dict[int, float]) -> tuple[bool, dict[int, float]]:
 
 
 def run_level(cores: int, n_files: int, tag: str) -> int:
+    """One bench_scaling run in its OWN process group, so a timeout
+    kills the py4j-launched Spark JVM too. ``subprocess.run(timeout=)``
+    SIGKILLs only the python driver; the JVM grandchild survived it as
+    an orphan burning up to 32 cores — every later kernel probe then
+    read 'not quiet' (or worse, a bench ran under the orphan's load)
+    until the job finished on its own."""
+    import signal
+
     log = f"/tmp/qw_l{cores}_{tag}.log"
     with open(log, "w") as f:
+        proc = subprocess.Popen(
+            [sys.executable, "bench_scaling.py", str(n_files), str(cores)],
+            cwd=REPO, stdout=f, stderr=subprocess.STDOUT,
+            start_new_session=True,
+        )
         try:
-            return subprocess.run(
-                [sys.executable, "bench_scaling.py", str(n_files), str(cores)],
-                cwd=REPO, stdout=f, stderr=subprocess.STDOUT,
-                timeout=LEVEL_TIMEOUT.get(cores, 1200),
-            ).returncode
+            return proc.wait(timeout=LEVEL_TIMEOUT.get(cores, 1200))
         except subprocess.TimeoutExpired:
+            try:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            proc.wait()
             return 124
 
 
@@ -97,30 +112,37 @@ def main() -> None:
     ref = _reference()
     print(f"[{_now()}] reference kernel agg: {ref}; gate {GATE_FRAC}", flush=True)
     done = 0
-    l8_attempts = 0
+    attempts = {2: 0, 8: 0}
     while done < max_topups and time.time() < deadline:
         ok, meas = probe_quiet(ref)
         frac = {k: round(v / ref[k], 2) for k, v in meas.items()}
-        l8_ok = meas[8] >= GATE_FRAC_L8 * ref[8] and l8_attempts < 2 * max_topups
-        print(f"[{_now()}] kernel probe {frac} quiet={ok} l8_ok={l8_ok}", flush=True)
-        if not ok and l8_ok:
-            l8_attempts += 1
-            rc = run_level(8, n_files, f"solo{l8_attempts}")
-            print(f"[{_now()}] level-8 solo attempt exit={rc}", flush=True)
-            continue
+        print(f"[{_now()}] kernel probe {frac} quiet={ok} attempts={attempts}", flush=True)
         if not ok:
             time.sleep(PROBE_PERIOD_S)
             continue
-        # level 8 first: it alone can raise the headline; 2 for honesty
-        for cores in (8, 2):
-            rc = run_level(cores, n_files, str(done))
+        # Balanced sampling (the honesty constraint): under the
+        # min-wall headline, extra attempts at level 8 RAISE E while
+        # extra attempts at level 2 LOWER it, so the level with fewer
+        # recorded attempts runs FIRST — if the previous window closed
+        # after level 8, this window repays the level-2 deficit before
+        # level 8 gets another sample. A round counts toward
+        # max_topups only when BOTH levels ran.
+        order = sorted((2, 8), key=lambda c: (attempts[c], -c))
+        completed = True
+        for cores in order:
+            rc = run_level(cores, n_files, f"{done}_{attempts[cores]}")
+            attempts[cores] += 1
             print(f"[{_now()}] level-{cores} top-up exit={rc}", flush=True)
-            ok, meas = probe_quiet(ref)
-            print(f"[{_now()}] post-probe "
-                  f"{ {k: round(v / ref[k], 2) for k, v in meas.items()} } "
-                  f"quiet={ok}", flush=True)
-            if not ok:
-                break  # window closed mid-round; don't burn the 25-min level-2
+            if cores != order[-1]:
+                ok, meas = probe_quiet(ref)
+                print(f"[{_now()}] post-probe "
+                      f"{ {k: round(v / ref[k], 2) for k, v in meas.items()} } "
+                      f"quiet={ok}", flush=True)
+                if not ok:
+                    completed = False
+                    break  # window closed mid-round; repay deficit next window
+        if not completed:
+            continue
         done += 1
         try:
             with open(os.path.join(REPO, "BENCH_scaling.json")) as f:
