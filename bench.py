@@ -14,7 +14,7 @@ Stage queries are the engine's real phases, not toy scans:
   compare    — hash anti join + cross-source spanning sets
 
 Timing policy: the stage suite runs $SPARK_GRAFT_BENCH_REPEATS passes
-(default 2) and the headline is the per-stage MINIMUM — the same
+(default 3) and the headline is the per-stage MINIMUM — the same
 min-wall policy BENCH_scaling.json uses (adopted per round-1 ADVICE:
 min isolates the engine's steady-state cost from JIT warmup and
 shared-tenancy host noise, and can only under-report a co-tenant's

@@ -110,21 +110,18 @@ def write_report(
     array-of-tables entry per duplicate set. The report is one row per
     set (already aggregated) — rows are STREAMED to the single file
     via toLocalIterator, never collected wholesale. TOML is inherently
-    a single driver-written file, so it is guarded: reports above
-    ``toml_max_sets`` sets refuse up front (a billion-set report
+    a single driver-written file, so it is guarded: above
+    ``toml_max_sets`` sets the write aborts (a billion-set report
     belongs in the distributed JSON/parquet sinks, not a driver
-    stream) — the probe is a ``limit(n+1).count()``, so the guard
-    itself never scans past the cap."""
+    stream). The guard counts WHILE streaming and stops at the cap —
+    a separate up-front ``limit(n+1).count()`` probe would recompute
+    the report's entire upstream lineage (signatures → candidates →
+    verify → CC on an uncached frame) once for the count and again
+    for the write; counting in-stream keeps it one pass, and the
+    atomic temp-file publish means an aborted write leaves nothing
+    behind."""
     if fmt == "toml":
-        n = report.limit(toml_max_sets + 1).count()
-        if n > toml_max_sets:
-            raise ValueError(
-                f"TOML report refused: > {toml_max_sets} duplicate sets; "
-                "the TOML sink is a single driver-streamed file — use "
-                "fmt='json' or 'parquet' (distributed) for reports this "
-                "size, or raise toml_max_sets explicitly"
-            )
-        _write_toml_report(report, path)
+        _write_toml_report(report, path, max_sets=toml_max_sets)
         return
     writer = report.coalesce(1).write.mode("overwrite")
     if fmt == "json":
@@ -163,17 +160,31 @@ def _toml_value(v) -> str | None:
     return json.dumps(str(v), ensure_ascii=False)
 
 
-def _write_toml_report(report: DataFrame, path: str) -> None:
+def _write_toml_report(report: DataFrame, path: str, max_sets: int | None = None) -> None:
     import os
 
     cols = report.columns
     tmp = f"{path}.tmp{os.getpid()}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write("# duplicate report (dedup_spark)\n")
-        for row in report.toLocalIterator():
-            f.write("\n[[sets]]\n")
-            for c in cols:
-                tv = _toml_value(row[c])
-                if tv is not None:
-                    f.write(f"{c} = {tv}\n")
+    try:
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("# duplicate report (dedup_spark)\n")
+            for i, row in enumerate(report.toLocalIterator()):
+                if max_sets is not None and i >= max_sets:
+                    raise ValueError(
+                        f"TOML report refused: > {max_sets} duplicate sets; "
+                        "the TOML sink is a single driver-streamed file — "
+                        "use fmt='json' or 'parquet' (distributed) for "
+                        "reports this size, or raise toml_max_sets explicitly"
+                    )
+                f.write("\n[[sets]]\n")
+                for c in cols:
+                    tv = _toml_value(row[c])
+                    if tv is not None:
+                        f.write(f"{c} = {tv}\n")
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     os.replace(tmp, path)  # atomic publish, same protocol as the store
