@@ -26,19 +26,24 @@ generation per key — and periodically folded back into one generation
 by ``compact()`` (auto-triggered every ``compact_every`` saves;
 amortized O(store / compact_every) per save).
 
-Every row also carries ``gen0``, the generation it was FIRST written
-in, as an explicit data column (v2 store schema). The partition-dir
-``gen=`` number orders a row only until compaction rewrites it into a
-new directory; ``gen0`` survives that rewrite, so (a) latest-per-key
-resolution and (b) ``probe_hashes``' earliest-holder attribution stay
-correct across compactions. ``compact()`` keeps ONE row per
-(key, hash) — the earliest — rather than one per key: a hash
-superseded by an in-place rewrite remains in the store, preserving
-the probe's documented ever-seen contract (store size is O(live keys
-+ superseded hashes), not O(all generations)). Legacy v1 stores (no
-``gen0`` column) read correctly — ``gen0`` defaults to the partition
-``gen``, exact for every save-produced row — and are migrated to v2
-wholesale by their next compaction.
+Every row also carries two explicit generation columns (v2 store
+schema): ``gen0``, the generation this (key, hash) pair was FIRST
+written in, and ``genl``, the generation it was LAST written in. The
+partition-dir ``gen=`` number orders a row only until compaction
+rewrites it into a new directory; the data columns survive that
+rewrite. The two readers need DIFFERENT orderings — ``load()``
+resolves latest-per-key by ``genl`` while ``probe_hashes`` attributes
+first holders by ``gen0`` — and one column cannot serve both: a key
+that returns to an earlier hash (K→A, K→B, K→A) must read A from the
+cache (last write) while the probe still credits A's gen-0 holder.
+``compact()`` keeps ONE row per (key, hash) — min ``gen0``, max
+``genl`` — rather than one per key: a hash superseded by an in-place
+rewrite remains in the store, preserving the probe's documented
+ever-seen contract (store size is O(live keys + superseded hashes),
+not O(all generations)). Legacy v1 stores (no gen columns) read
+correctly — both default to the partition ``gen``, exact for every
+save-produced row — and are migrated to v2 wholesale by their next
+compaction.
 
 ``bucket = pmod(xxhash64(repo,path,commit), n_buckets)`` co-partitions
 the KEY side (cache joins, compaction merges); ``hb = pmod(crc32(hash),
@@ -221,30 +226,32 @@ class SignatureStore:
             if e.startswith("gen=")
         )
 
-    def _read_with_gen0(self) -> DataFrame:
-        """Raw store rows with the write-order column ``_g`` resolved:
-        ``gen0`` where present (v2 rows — survives compaction), else
-        the partition ``gen`` (v1 legacy rows, where the two are equal
-        by construction since v1 never outlived a compaction rewrite).
-        """
+    def _read_with_gens(self) -> DataFrame:
+        """Raw store rows with the two write-order columns resolved:
+        ``_g0`` (first write — probe attribution order) and ``_gl``
+        (last write — cache resolution order). v2 rows carry them as
+        data columns that survive compaction; v1 legacy rows fall back
+        to the partition ``gen``, exact because v1 rows never outlived
+        a compaction rewrite."""
         df = self.spark.read.parquet(self._data_dir)
-        if "gen0" in df.columns:
-            return df.withColumn("_g", F.coalesce(F.col("gen0"), F.col("gen")))
-        return df.withColumn("_g", F.col("gen"))
+        g0 = F.coalesce(F.col("gen0"), F.col("gen")) if "gen0" in df.columns else F.col("gen")
+        gl = F.coalesce(F.col("genl"), F.col("gen")) if "genl" in df.columns else F.col("gen")
+        return df.withColumn("_g0", g0).withColumn("_gl", gl)
 
     def load(self) -> DataFrame | None:
         """Latest-write-per-key view of the store (the MERGE INTO read
-        side). A never-compacted single-generation store (gens == [0])
-        skips the resolution shuffle — keys are unique by construction;
-        a compacted store may hold several (key, hash) history rows per
-        key (see ``compact``) and always resolves."""
+        side), resolved by ``_gl``. A never-compacted single-generation
+        store (gens == [0]) skips the resolution shuffle — keys are
+        unique by construction; a compacted store may hold several
+        (key, hash) history rows per key (see ``compact``) and always
+        resolves."""
         gens = self.generations()
         if not gens:
             return None
-        df = self._read_with_gen0()
+        df = self._read_with_gens()
         if gens == [0]:
             return df.select(*CACHE_COLS)
-        latest = F.max_by(F.struct(*[F.col(c) for c in VALUE_COLS]), F.col("_g"))
+        latest = F.max_by(F.struct(*[F.col(c) for c in VALUE_COLS]), F.col("_gl"))
         return (
             df.groupBy(*CACHE_KEY)
             .agg(latest.alias("_v"))
@@ -295,6 +302,7 @@ class SignatureStore:
             sigs.select(*CACHE_COLS)
             .dropDuplicates(CACHE_KEY)
             .withColumn("gen0", F.lit(next_gen))
+            .withColumn("genl", F.lit(next_gen))
         )
         staged = f"{self.path}/_staged_{uuid.uuid4().hex}"
         self._writer(new).parquet(staged)
@@ -313,13 +321,15 @@ class SignatureStore:
         """Fold all generations into one — the maintenance-compaction
         analog of Iceberg's rewrite_data_files.
 
-        The compacted generation keeps ONE row per (key, hash): the
-        EARLIEST (min ``gen0``). That preserves, through any number of
-        compactions, both store contracts at once — latest-write-per-key
-        for the cache (``load`` resolves by ``gen0``, which rides along
-        as a data column) and ever-seen-with-first-holder for
+        The compacted generation keeps ONE row per (key, hash), with
+        gen0 = min(first writes) and genl = max(last writes). That
+        preserves, through any number of compactions, both store
+        contracts at once — latest-write-per-key for the cache
+        (``load`` resolves by ``genl``: a key that RETURNS to an
+        earlier hash still reads as that hash, because its last-write
+        generation advanced) and ever-seen-with-first-holder for
         ``probe_hashes`` (a hash superseded by an in-place key rewrite
-        keeps its original row and generation number; compacting to
+        keeps its row and first-write generation; compacting to
         latest-per-key, the previous design, silently deleted it and
         changed duplicate-probe answers across the compaction boundary).
 
@@ -338,19 +348,24 @@ class SignatureStore:
         gens = self.generations()
         if len(gens) <= 1:
             return
-        rows = self._read_with_gen0()
-        first = F.min_by(
+        rows = self._read_with_gens()
+        vals = F.max_by(
             F.struct(*[F.col(c) for c in ("minhash", "simhash", "n_shingles")]),
-            F.col("_g"),
+            F.col("_gl"),
         )
         compacted = (
             rows.groupBy(*CACHE_KEY, "hash")
-            .agg(first.alias("_v"), F.min("_g").alias("gen0"))
+            .agg(
+                vals.alias("_v"),
+                F.min("_g0").alias("gen0"),
+                F.max("_gl").alias("genl"),
+            )
             .select(
                 *CACHE_KEY,
                 "hash",
                 *[F.col(f"_v.{c}").alias(c) for c in ("minhash", "simhash", "n_shingles")],
                 "gen0",
+                "genl",
             )
         )
         staged = f"{self.path}/_staged_{uuid.uuid4().hex}"
@@ -406,7 +421,7 @@ class SignatureStore:
         """
         if not self.generations():
             return None
-        df = self._read_with_gen0()
+        df = self._read_with_gens()
         if len(hashes) <= max_inline:
             hbs = sorted({self._hb_of(h) for h in hashes})
             df = df.filter(F.col("hb").isin(hbs)).filter(F.col("hash").isin(list(hashes)))
@@ -416,7 +431,7 @@ class SignatureStore:
             ).dropDuplicates(["hash"])
             df = df.join(probe, "hash", "left_semi")
         first = F.min_by(
-            F.struct("repo", "path"), F.struct(F.col("_g"), F.col("repo"), F.col("path"))
+            F.struct("repo", "path"), F.struct(F.col("_g0"), F.col("repo"), F.col("path"))
         )
         return (
             df.groupBy("hash")

@@ -339,3 +339,53 @@ def test_probe_and_load_invariant_across_compaction(spark, cache_dir):
     assert loaded2 == {**before[0], "d.py": "H_D"}
     assert probed2 == before[1]
     assert spark.read.parquet(store._data_dir).count() == 5
+
+
+def test_store_model_random_ops(spark, cache_dir):
+    """Randomized model check: a seeded sequence of saves (new keys,
+    in-place rewrites, hash re-appearances under other keys)
+    interleaved with compactions must always agree with a driver-side
+    dict model on BOTH read contracts — load() = latest write per key,
+    probe_hashes = earliest (gen, repo, path) holder per hash ever
+    seen. Exercises the generation numbering across compaction
+    publishes (gen = max+1) and the (key, hash) history retention."""
+    import random
+
+    from dedup_spark.checkpoint import SignatureStore
+
+    rng = random.Random(0xC0FFEE)
+    store = SignatureStore(
+        spark, cache_dir, RECALL_CONFIG, compact_every=99, n_buckets=4, n_hash_buckets=8
+    )
+    latest: dict = {}   # key -> hash
+    first: dict = {}    # hash -> (gen, repo, path), min wins
+    gen = 0             # mirrors the store's next_gen
+    n_gens = 0
+    keys = [(f"r{i % 3}", f"f{i}.py", "c") for i in range(8)]
+    hashes = [f"H{i}" for i in range(6)]
+    for step in range(12):
+        batch = {k: rng.choice(hashes) for k in rng.sample(keys, rng.randint(1, 3))}
+        rows = [(k[0], k[1], k[2], h, [1], 1, 1) for k, h in batch.items()]
+        store.save(spark.createDataFrame(rows, SIG_SCHEMA))
+        for k, h in batch.items():
+            latest[k] = h
+            cand = (gen, k[0], k[1])
+            if h not in first or cand < first[h]:
+                first[h] = cand
+        gen += 1
+        n_gens += 1
+        if step % 4 == 3 and n_gens > 1:
+            store.compact()
+            gen += 1  # compact publishes gen = max+1
+            n_gens = 1
+        got_latest = {
+            (r["repo"], r["path"], r["commit"]): r["hash"] for r in store.load().collect()
+        }
+        assert got_latest == latest, f"load() diverged from model at step {step}"
+        probed = {
+            r["hash"]: (r["first_repo"], r["first_path"])
+            for r in store.probe_hashes(hashes).collect()
+        }
+        assert probed == {h: (r, p) for h, (_g, r, p) in first.items()}, (
+            f"probe_hashes diverged from model at step {step}"
+        )
