@@ -86,6 +86,21 @@ CACHE_KEY = ["repo", "path", "commit"]
 VALUE_COLS = ["hash", "minhash", "simhash", "n_shingles"]
 CACHE_COLS = CACHE_KEY + VALUE_COLS
 
+# Pinned store read schema (v2 data columns + the three partition
+# columns). Inference reads ONE parquet footer, so a store mixing v1
+# files (no gen0/genl — possible after a crash between compact()'s
+# publish rename and its cleanup of legacy generations) could silently
+# lose the gen columns for EVERY row, breaking probe_hashes' documented
+# cross-compaction invariance and making load()'s latest-per-key
+# resolution tie nondeterministically. With the schema pinned, v1 files
+# surface gen0/genl as nulls and the coalesce-to-partition-gen fallback
+# in _read_with_gens applies per ROW, which is the correct semantics.
+STORE_READ_SCHEMA = (
+    "repo string, path string, commit string, hash string, "
+    "minhash array<int>, simhash long, n_shingles int, "
+    "gen0 int, genl int, gen int, bucket int, hb int"
+)
+
 
 class HadoopFS:
     """Store filesystem ops through the JVM Hadoop FileSystem API — the
@@ -232,11 +247,16 @@ class SignatureStore:
         (last write — cache resolution order). v2 rows carry them as
         data columns that survive compaction; v1 legacy rows fall back
         to the partition ``gen``, exact because v1 rows never outlived
-        a compaction rewrite."""
-        df = self.spark.read.parquet(self._data_dir)
-        g0 = F.coalesce(F.col("gen0"), F.col("gen")) if "gen0" in df.columns else F.col("gen")
-        gl = F.coalesce(F.col("genl"), F.col("gen")) if "genl" in df.columns else F.col("gen")
-        return df.withColumn("_g0", g0).withColumn("_gl", gl)
+        a compaction rewrite. The read schema is PINNED
+        (STORE_READ_SCHEMA): inference samples one footer, so a mixed
+        v1/v2 store would otherwise drop the gen columns for every row
+        whenever a v1 footer won — pinning makes the fallback per-ROW
+        (v1 rows read gen0/genl as null), which is the semantics the
+        coalesce encodes."""
+        df = self.spark.read.schema(STORE_READ_SCHEMA).parquet(self._data_dir)
+        return df.withColumn(
+            "_g0", F.coalesce(F.col("gen0"), F.col("gen"))
+        ).withColumn("_gl", F.coalesce(F.col("genl"), F.col("gen")))
 
     def load(self) -> DataFrame | None:
         """Latest-write-per-key view of the store (the MERGE INTO read

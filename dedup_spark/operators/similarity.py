@@ -63,6 +63,25 @@ def _valid_vecs(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     return df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim))
 
 
+def _require_query_dim(queries: DataFrame, vec_col: str, dim: int) -> None:
+    """Loud misconfiguration guard for the ANN entry points: a ``dim``
+    that matches no row makes ``_valid_vecs`` filter out EVERYTHING,
+    and an empty result would read downstream as "no near neighbors"
+    instead of an error. Checked on the QUERY side only — small by
+    contract, one limit-1 job; a corpus-side check would pay a scan
+    precisely when the corpus is healthy, and a corpus-wide mismatch
+    implies a query-side one under any shared embedding source. A few
+    malformed rows stay silently excluded (the documented contract);
+    only all-rows-excluded raises."""
+    if _valid_vecs(queries, vec_col, dim).isEmpty() and not queries.filter(
+        F.col(vec_col).isNotNull()
+    ).isEmpty():
+        raise ValueError(
+            f"no query row carries a non-null {vec_col!r} of width {dim} — "
+            f"dim={dim} looks misconfigured for this dataset"
+        )
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -180,6 +199,7 @@ def ann_topk_rhp(
     the 16-20-plane guidance carries those numbers. The quality gate
     travels with the config; re-measure when retuning.
     """
+    _require_query_dim(queries, vec_col, dim)
     ckeys = rhp_bucket_keys(with_norm(emb, vec_col), n_planes, n_tables, dim, seed, vec_col)
     qkeys = rhp_bucket_keys(
         with_norm(queries, vec_col), n_planes, n_tables, dim, seed, vec_col,
@@ -232,24 +252,35 @@ def train_ivf_centroids(
     a full sort. Lloyd's on unit vectors with max-dot assignment; empty
     cells keep their previous centroid (deterministic, no re-seeding).
     """
+    slack = max(16, sample_rows // 64)
     sample = (
-        emb.filter(F.col(vec_col).isNotNull())
+        emb.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(sample_rows)
+        .limit(sample_rows + slack)
         .select(vec_col)
         .collect()
     )
     rows = [r[0] for r in sample]
-    if rows:
-        # ragged guard: train on the dominant dimensionality only (a
-        # stray short/long vector would make np.array raise)
-        from collections import Counter
+    # ragged guard: train on the dominant width only (a stray short/
+    # long vector would make np.array raise). The slack rows keep the
+    # effective sample at sample_rows even after trimming a few
+    # minority-width rows — a near-equal sample_rows ≈ n_centroids
+    # sizing previously failed spuriously on ONE ragged row inside the
+    # limit. On a clean corpus the first sample_rows rows are identical
+    # to the pre-slack pull, so trained centroids are unchanged.
+    from collections import Counter
 
-        dim = Counter(map(len, rows)).most_common(1)[0][0]
-        rows = [r for r in rows if len(r) == dim]
+    widths = Counter(len(r) for r in rows)
+    dim = widths.most_common(1)[0][0] if rows else 0
+    rows = [r for r in rows if len(r) == dim][:sample_rows]
     x = np.array(rows, dtype=np.float64)
     if len(x) < n_centroids:
-        raise ValueError(f"sample ({len(x)}) smaller than n_centroids ({n_centroids})")
+        raise ValueError(
+            f"usable sample ({len(x)} rows of width {dim}) smaller than "
+            f"n_centroids ({n_centroids}); sampled width histogram: "
+            f"{dict(widths)} — a mixed-width corpus trains (and serves) "
+            f"only the majority width"
+        )
     xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = xn[rng.choice(len(xn), n_centroids, replace=False)]
@@ -326,6 +357,9 @@ def ivf_topk(
     cent = train_ivf_centroids(
         emb, n_centroids, n_iter, sample_rows, seed, id_col, vec_col
     )
+    # the trained width IS the index dim — queries of any other width
+    # would be silently dropped by the cell-key filter; fail loudly
+    _require_query_dim(queries, vec_col, cent.shape[1])
     c = ivf_cell_keys(with_norm(emb, vec_col), cent, 1, vec_col).select(
         "cell",
         F.col(id_col).alias("neighbor_id"),

@@ -131,8 +131,18 @@ def main() -> None:
         completed = True
         for cores in order:
             rc = run_level(cores, n_files, f"{done}_{attempts[cores]}")
-            attempts[cores] += 1
             print(f"[{_now()}] level-{cores} top-up exit={rc}", flush=True)
+            if rc != 0:
+                # a timed-out/failed run recorded NO sample — counting
+                # it as an attempt (and letting the round complete)
+                # would re-create the one-sided-sampling bias this
+                # policy exists to prevent: the short level-8 run
+                # completing while level 2 times out under co-tenant
+                # load would bank a level-8 min-wall with no level-2
+                # counterpart, yet read as balanced.
+                completed = False
+                break
+            attempts[cores] += 1
             if cores != order[-1]:
                 ok, meas = probe_quiet(ref)
                 print(f"[{_now()}] post-probe "

@@ -389,3 +389,55 @@ def test_store_model_random_ops(spark, cache_dir):
         assert probed == {h: (r, p) for h, (_g, r, p) in first.items()}, (
             f"probe_hashes diverged from model at step {step}"
         )
+
+
+def test_mixed_v1_v2_store_reads_gen_columns_per_row(spark, cache_dir):
+    """Regression for the pinned read schema: parquet schema inference
+    samples ONE footer, so a store mixing v1 files (no gen0/genl data
+    columns — the state a crash between compact()'s publish and its
+    legacy-gen cleanup leaves behind) and v2 files could silently drop
+    the gen columns for EVERY row whenever a v1 footer won the sample.
+    With STORE_READ_SCHEMA pinned, v1 rows surface gen0/genl as nulls
+    and fall back to the partition gen per ROW, so load()'s
+    latest-per-key and probe_hashes' first-holder answers hold."""
+    from dedup_spark.checkpoint import SignatureStore
+
+    cfg = RECALL_CONFIG.with_(cache_path=cache_dir)
+    store = SignatureStore(spark, cache_dir, cfg)
+
+    # v1 generation written directly: same partition layout, NO gen cols
+    v1 = spark.createDataFrame(
+        [("r", "a.py", "c", "H_A", [1], 1, 1), ("r", "b.py", "c", "H_B", [2], 2, 1)],
+        SIG_SCHEMA,
+    )
+    (
+        v1.withColumn("bucket", store._bucket())
+        .withColumn("hb", store._hb())
+        .write.partitionBy("bucket", "hb")
+        .parquet(f"{cache_dir}/data/gen=0")
+    )
+
+    # v2 generation via save(): a.py rewritten in place to a new hash
+    store.save(
+        spark.createDataFrame([("r", "a.py", "c", "H_A2", [9], 9, 1)], SIG_SCHEMA)
+    )
+    assert store.generations() == [0, 1]
+
+    def check():
+        resolved = {r["path"]: r["hash"] for r in store.load().collect()}
+        assert resolved == {"a.py": "H_A2", "b.py": "H_B"}
+        probed = {
+            r["hash"]: (r["first_repo"], r["first_path"])
+            for r in store.probe_hashes(["H_A", "H_A2", "H_B"]).collect()
+        }
+        # ever-seen: the superseded H_A stays probeable, credited to gen 0
+        assert probed == {
+            "H_A": ("r", "a.py"),
+            "H_A2": ("r", "a.py"),
+            "H_B": ("r", "b.py"),
+        }
+
+    check()
+    store.compact()  # migrates the v1 rows to v2 wholesale
+    assert store.generations() == [2]
+    check()

@@ -309,3 +309,42 @@ def test_ann_paths_tolerate_null_and_ragged_embeddings(spark):
     got_ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     assert {(q, q + 30) for q in range(3)} <= got_ivf
     assert all(r["query_id"] < 100 for r in ivf)
+
+
+def test_ann_dim_misconfig_raises_not_empty(spark):
+    """A dim that matches NO row must raise, not return an empty result
+    that reads as 'no near neighbors' (review finding): the query-side
+    guard catches the misconfiguration for both ANN paths, while a few
+    malformed rows remain silently excluded (contract unchanged)."""
+    from dedup_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(5)
+    df = _emb_df(spark, rng.standard_normal((20, 16)))
+    with pytest.raises(ValueError, match="dim=64"):
+        ann_topk_rhp(df, df.limit(2), k=1, n_planes=4, n_tables=2, dim=64)
+    # IVF trains on the corpus width, then rejects queries of another width
+    q_wrong = _emb_df(spark, rng.standard_normal((2, 8)))
+    with pytest.raises(ValueError, match="width 16"):
+        ivf_topk(df, q_wrong, k=1, n_centroids=4, sample_rows=30)
+
+
+def test_ivf_trainer_slack_survives_ragged_row_at_tight_sizing(spark):
+    """sample_rows ~= n_centroids with one ragged row inside the limit
+    previously raised 'sample smaller than n_centroids' even though the
+    corpus had plenty of valid rows; the slack pull + majority-width
+    trim keeps the effective sample full."""
+    from dedup_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(9)
+    good = [(i, [float(x) for x in v]) for i, v in enumerate(rng.standard_normal((40, 8)))]
+    bad = [(100, [1.0, 2.0]), (101, [])]  # ragged + empty
+    df = spark.createDataFrame(good + bad, "vec_id long, embedding array<float>")
+    cent = train_ivf_centroids(df, n_centroids=16, sample_rows=16, seed=1)
+    assert cent.shape == (16, 8)
+    # all-minority failure stays loud, with the width histogram
+    with pytest.raises(ValueError, match="width histogram"):
+        train_ivf_centroids(
+            spark.createDataFrame(bad[:1], "vec_id long, embedding array<float>"),
+            n_centroids=4,
+            sample_rows=8,
+        )
