@@ -271,6 +271,14 @@ def test_probe_hashes_pruned_and_flat(spark, cache_dir):
             assert "hb" in part_filters
     assert scanned == [2] * 8  # flat while the store grew 20 -> 160 rows
 
+    # the ACTUAL probe plan prunes too — the pinned read schema
+    # (STORE_READ_SCHEMA) must not defeat Hive partition pruning
+    real = store.probe_hashes(probe_set)
+    real.collect()
+    plan = real._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "hb" in part_filters
+
 
 def test_probe_hashes_ever_seen_semantics(spark, cache_dir):
     """A hash superseded by an in-place key rewrite (same key, new
