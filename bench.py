@@ -21,9 +21,19 @@ shared-tenancy host noise, and can only under-report a co-tenant's
 interference, never hide a real regression). Every pass's raw stage
 walls are reported under "runs" so nothing is discarded silently, and
 "host_steal_pct_of_demand" records how much CPU the hypervisor denied
-this VM during the bench (steal/(busy+steal) from /proc/stat) — the
-number to read before comparing two benches taken in different
-weather windows.
+this VM during the bench (steal/(busy+steal) from /proc/stat).
+
+Steal alone is NOT sufficient weather telemetry on this class of host:
+co-tenant memory-bandwidth pressure slows every memory-heavy loop
+without stealing any CPU time (measured here: windows with 0.0% steal
+and the signature kernel at 3-12x below its best-window throughput).
+So the bench also probes the actual signature kernel (Spark-free, 8
+synchronized processes) before and after the timed passes and reports
+"host_kernel_frac_pre/post" — aggregate kernel throughput as a
+fraction of the best-window reference in BENCH_scaling.json. Read
+THOSE before comparing two benches taken in different weather windows:
+a total that regressed while the kernel fraction sat at 0.6 is the
+host, not the engine.
 """
 
 from __future__ import annotations
@@ -138,6 +148,23 @@ def run_stages(pipe: DedupPipeline, cfg: DedupConfig, files) -> dict[str, float]
     return timings
 
 
+def _kernel_weather() -> float | None:
+    """One Spark-free signature-kernel probe at 8 synchronized workers,
+    as a fraction of the best-window reference (BENCH_scaling.json
+    host_calibration block). The bandwidth-sensitive complement to the
+    steal counter; None if the probe or reference is unavailable."""
+    try:
+        from scripts.host_calibration import _run_level
+        from scripts.quiet_watch import _reference
+
+        ref = _reference().get(8)
+        if not ref:
+            return None
+        return round(_run_level("kernel", 8) / ref, 3)
+    except Exception:
+        return None
+
+
 def _cpu_sample() -> tuple[int, int]:
     """(busy, steal) jiffies from /proc/stat — shared-tenancy weather
     probe. Steal accrues only when this VM *wants* CPU and the host
@@ -162,9 +189,11 @@ def main() -> None:
     files = documents_as_code_files(spark, sf_dir)
     n_files = files.count()  # warm the JVM + page cache before timing
 
+    kw_pre = _kernel_weather()
     b0, s0 = _cpu_sample()
     runs = [run_stages(pipe, cfg, files) for _ in range(repeats)]
     b1, s1 = _cpu_sample()
+    kw_post = _kernel_weather()
     demand = (b1 - b0) + (s1 - s0)
     steal_pct = round(100.0 * (s1 - s0) / demand, 1) if demand else 0.0
     timings = {name: min(r[name] for r in runs) for name in runs[0]}
@@ -183,6 +212,8 @@ def main() -> None:
                 "cpus": cpus,
                 "policy": f"per-stage min over {repeats} passes",
                 "host_steal_pct_of_demand": steal_pct,
+                "host_kernel_frac_pre": kw_pre,
+                "host_kernel_frac_post": kw_post,
                 "runs": runs,
             }
         )
