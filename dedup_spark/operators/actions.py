@@ -76,6 +76,62 @@ def mark_all(clusters: DataFrame, enable: bool = True) -> DataFrame:
     return plan if enable else plan.limit(0)
 
 
+def apply_plan_overrides(
+    plan: DataFrame, overrides: DataFrame, seq_col: str | None = None
+) -> DataFrame:
+    """X6 point updates to the job queue — the reference's per-file
+    keep-selected ('s'), ignore ('i') and per-set mark keys
+    (/root/reference/src/tui_app/mod.rs:787-794,1386) as a batch op:
+    ``overrides`` rows (file_id, action) replace the standing plan's
+    action for those files, last-write-wins like the TUI's queue.
+
+    Semantics mirrored exactly:
+    - 'keep' clears the file's pending job ("no job = Keep");
+    - 'ignore' parks the file — ``execute_plan`` touches neither
+      (it only removes delete/move rows);
+    - 'delete' point-marks one file regardless of the keep strategy.
+    move/copy are NOT valid point overrides (in the reference they come
+    only from the bulk action with a target directory) — rejected.
+    An override for a file_id absent from the plan is a no-op (the TUI
+    can only mark listed files). A move/copy target on an overridden
+    row is nulled — the job it belonged to no longer exists.
+
+    ``seq_col`` orders multiple updates to one file (latest wins, the
+    queue's overwrite behavior); without it duplicate file_ids are
+    ambiguous and raise. Validation runs driver-side on the overrides
+    frame only — point updates are small by contract (the plan side
+    stays a broadcast hash join, never shuffled).
+    """
+    ov = overrides
+    if seq_col is not None:
+        last = F.max_by(F.col("action"), F.col(seq_col))
+        ov = ov.groupBy("file_id").agg(last.alias("action"))
+    bad = ov.filter(~F.col("action").isin("keep", "delete", "ignore"))
+    if not bad.isEmpty():
+        vals = [r["action"] for r in bad.select("action").distinct().limit(5).collect()]
+        raise ValueError(f"invalid point-override actions {vals!r} (allowed: keep/delete/ignore)")
+    if seq_col is None:
+        dup = ov.groupBy("file_id").count().filter(F.col("count") > 1)
+        if not dup.isEmpty():
+            ids = [r["file_id"] for r in dup.limit(5).collect()]
+            raise ValueError(
+                f"multiple overrides for file_ids {ids!r} with no seq_col to order them"
+            )
+    o = ov.select("file_id", F.col("action").alias("_ov_action"))
+    return (
+        plan.join(F.broadcast(o), "file_id", "left")
+        .withColumn(
+            "target",
+            F.when(F.col("_ov_action").isNotNull(), F.lit(None).cast("string")).otherwise(
+                F.col("target")
+            ),
+        )
+        .withColumn("action", F.coalesce("_ov_action", "action"))
+        .drop("_ov_action")
+        .select("file_id", "cluster_id", "path", "action", "target")
+    )
+
+
 def execute_plan(files: DataFrame, plan: DataFrame, dry_run: bool = True) -> DataFrame:
     """Apply the plan to the dataset.
 

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dedup_spark.config import DedupConfig
-from dedup_spark.operators.actions import build_plan, plan_summary
+from dedup_spark.operators.actions import apply_plan_overrides, build_plan, plan_summary
 from dedup_spark.operators.compare import cross_source_duplicates, missing_in_target
 from dedup_spark.operators.exact import exact_clusters, size_prefilter, with_content_hash
 from dedup_spark.operators.report import duplicate_report, folder_rollup
@@ -219,6 +219,21 @@ def q_plan_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: per-action accounting."""
     sel = select_kept(_tokenset_clusters(spark, sf_dir), "shortest_path")
     return plan_summary(build_plan(sel, action="delete"))
+
+
+def q_plan_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: point updates to the job queue over the delete plan —
+    file_id % 7 == 0 rows forced 'keep' (clears the pending job),
+    % 7 == 1 rows 'ignore'; override wins over the keep strategy."""
+    sel = select_kept(_tokenset_clusters(spark, sf_dir), "shortest_path")
+    plan = build_plan(sel, action="delete")
+    ov = plan.filter(F.col("file_id") % 7 <= 1).select(
+        "file_id",
+        F.when(F.col("file_id") % 7 == 0, F.lit("keep"))
+        .otherwise(F.lit("ignore"))
+        .alias("action"),
+    )
+    return apply_plan_overrides(plan, ov)
 
 
 def q_hash_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,6 +727,20 @@ SELECT CASE WHEN rn = 1 THEN 'keep' ELSE 'delete' END AS action,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM ranked GROUP BY 1
 """,
+    "plan_override": f"""
+{_PRE},
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY length(path), path, file_id) AS rn
+  FROM clus
+)
+SELECT file_id, cluster_id, path,
+       CASE WHEN file_id % 7 = 0 THEN 'keep'
+            WHEN file_id % 7 = 1 THEN 'ignore'
+            WHEN rn = 1 THEN 'keep' ELSE 'delete' END AS action,
+       CAST(NULL AS VARCHAR) AS target
+FROM ranked
+""",
     # Flagship fuzzy query, value-verified (round-3 upgrade from
     # rows-only): the emitted (jaccard, containment) are EXACT scores —
     # jaccard = token-5-shingle Jaccard over normalized content
@@ -970,6 +999,7 @@ QUERIES = {
     "plan_delete": q_plan_delete,
     "plan_move": q_plan_move,
     "plan_summary": q_plan_summary,
+    "plan_override": q_plan_override,
     "hash_variants": q_hash_variants,
     "hash_prefix": q_hash_prefix,
     "dedup_stats": q_dedup_stats,

@@ -76,3 +76,57 @@ def test_plan_summary(selected):
     plan = build_plan(selected, "delete")
     counts = {r["action"]: r["n"] for r in plan_summary(plan).collect()}
     assert counts == {"keep": 2, "delete": 3}
+
+
+def test_plan_overrides_point_updates(clusters, selected, spark):
+    """X6 queue semantics (src/tui_app/mod.rs:787-794,1386): a point
+    'keep' clears the pending delete (file survives execution), a point
+    'delete' marks the strategy's kept file, 'ignore' parks a file;
+    overrides for unknown file_ids are no-ops."""
+    from dedup_spark.operators.actions import apply_plan_overrides
+
+    plan = build_plan(selected, "delete")
+    ov = spark.createDataFrame(
+        [(2, "keep"), (1, "delete"), (5, "ignore"), (999, "delete")],
+        "file_id long, action string",
+    )
+    out = apply_plan_overrides(plan, ov)
+    acts = {r["file_id"]: r["action"] for r in out.collect()}
+    assert acts == {1: "delete", 2: "keep", 3: "delete", 4: "keep", 5: "ignore"}
+    survivors = {r["path"] for r in execute_plan(clusters, out, dry_run=False).collect()}
+    # 1 deleted by override, 2 kept by override, 3 still deleted,
+    # 4 kept by strategy, 5 ignored (untouched)
+    assert survivors == {"deep/nested/one.py", "b/two.py", "c/longer/two.py"}
+
+
+def test_plan_overrides_last_wins_and_validation(selected, spark):
+    from dedup_spark.operators.actions import apply_plan_overrides
+
+    plan = build_plan(selected, "delete")
+    # seq-ordered double update to one file: latest wins (queue overwrite)
+    seq = spark.createDataFrame(
+        [(2, "keep", 1), (2, "delete", 2)], "file_id long, action string, seq long"
+    )
+    out = apply_plan_overrides(plan, seq, seq_col="seq")
+    assert out.filter("file_id = 2").collect()[0]["action"] == "delete"
+    # duplicates without an order are ambiguous
+    with pytest.raises(ValueError, match="multiple overrides"):
+        apply_plan_overrides(plan, seq.drop("seq")).collect()
+    # move/copy are not point overrides in the reference
+    bad = spark.createDataFrame([(2, "move")], "file_id long, action string")
+    with pytest.raises(ValueError, match="invalid point-override"):
+        apply_plan_overrides(plan, bad).collect()
+
+
+def test_plan_overrides_null_move_target(selected, spark):
+    """Overriding a move row clears its target — the job it belonged to
+    no longer exists."""
+    from dedup_spark.operators.actions import apply_plan_overrides
+
+    plan = build_plan(selected, "move", target_prefix="archive")
+    ov = spark.createDataFrame([(2, "keep")], "file_id long, action string")
+    out = apply_plan_overrides(plan, ov)
+    r2 = out.filter("file_id = 2").collect()[0]
+    assert r2["action"] == "keep" and r2["target"] is None
+    # untouched move rows keep their collision-renamed targets
+    assert out.filter("action = 'move' and target is null").count() == 0
