@@ -40,10 +40,16 @@ cache (last write) while the probe still credits A's gen-0 holder.
 ``genl`` — rather than one per key: a hash superseded by an in-place
 rewrite remains in the store, preserving the probe's documented
 ever-seen contract (store size is O(live keys + superseded hashes),
-not O(all generations)). Legacy v1 stores (no gen columns) read
-correctly — both default to the partition ``gen``, exact for every
-save-produced row — and are migrated to v2 wholesale by their next
-compaction.
+not O(all generations)). Legacy stores are handled at two levels:
+files missing the gen columns read correctly (both default to the
+partition ``gen``, exact for every save-produced row) and are folded
+to the current form by their next compaction; generations in the
+older ``gen=/bucket=`` LAYOUT (no hash-bucket level — Spark refuses
+mixed partition depths, and hb pruning would silently drop them) are
+rewritten into one current-layout generation at store OPEN, preserving
+write order in the gen columns. The store is per-ALGORITHM like the
+reference's ``file_hashes_{algo}.cache``: a ``_algo=<name>`` marker is
+stamped on first save and a mismatched open raises.
 
 ``bucket = pmod(xxhash64(repo,path,commit), n_buckets)`` co-partitions
 the KEY side (cache joins, compaction merges); ``hb = pmod(crc32(hash),
@@ -87,19 +93,26 @@ VALUE_COLS = ["hash", "minhash", "simhash", "n_shingles"]
 CACHE_COLS = CACHE_KEY + VALUE_COLS
 
 # Pinned store read schema (v2 data columns + the three partition
-# columns). Inference reads ONE parquet footer, so a store mixing v1
-# files (no gen0/genl — possible after a crash between compact()'s
-# publish rename and its cleanup of legacy generations) could silently
-# lose the gen columns for EVERY row, breaking probe_hashes' documented
-# cross-compaction invariance and making load()'s latest-per-key
-# resolution tie nondeterministically. With the schema pinned, v1 files
-# surface gen0/genl as nulls and the coalesce-to-partition-gen fallback
-# in _read_with_gens applies per ROW, which is the correct semantics.
-STORE_READ_SCHEMA = (
-    "repo string, path string, commit string, hash string, "
-    "minhash array<int>, simhash long, n_shingles int, "
-    "gen0 int, genl int, gen int, bucket int, hb int"
-)
+# columns). Inference reads ONE parquet footer, so a store mixing
+# pre-hb files (no gen0/genl — possible after a crash between
+# compact()'s publish rename and its cleanup of older generations)
+# could silently lose the gen columns for EVERY row, breaking
+# probe_hashes' documented cross-compaction invariance and making
+# load()'s latest-per-key resolution tie nondeterministically. With
+# the schema pinned, such files surface gen0/genl as nulls and the
+# coalesce-to-partition-gen fallback in _read_with_gens applies per
+# ROW, which is the correct semantics. The hash column's type follows
+# the algorithm (hash_spark_type): crc32/xxhash64 stores hold longs —
+# pinning "string" over them would fail every read.
+def store_read_schema(hash_type: str = "string") -> str:
+    return (
+        f"repo string, path string, commit string, hash {hash_type}, "
+        "minhash array<int>, simhash long, n_shingles int, "
+        "gen0 int, genl int, gen int, bucket int, hb int"
+    )
+
+
+STORE_READ_SCHEMA = store_read_schema()
 
 
 class HadoopFS:
@@ -201,10 +214,92 @@ class SignatureStore:
         self.compact_every = compact_every
         self.n_hash_buckets = n_hash_buckets
         self.fs = HadoopFS(spark, self.path)
+        from dedup_spark.functions.hashing import hash_spark_type
+
+        self._hash_type = hash_spark_type(config.algorithm)
+        self._read_schema = store_read_schema(self._hash_type)
+        self._checked = False  # algo marker + legacy migration, once
 
     @property
     def _data_dir(self) -> str:
         return f"{self.path}/data"
+
+    # ---- open-time invariants (memoized) -----------------------------
+    def _ensure_open(self) -> None:
+        """One-time open checks: (a) the store is per-ALGORITHM, like
+        the reference's ``file_hashes_{algo}.cache`` files
+        (/root/reference/src/file_cache.rs:119-121) — a marker dir
+        ``_algo=<name>`` records the writer's algorithm and a mismatch
+        raises instead of failing deep in a parquet type error;
+        (b) legacy pre-hb generations (round-2 layout ``gen=/bucket=``,
+        no hash-bucket level) are migrated to the current layout —
+        Spark's partition discovery refuses MIXED depths outright, and
+        a pure-legacy store would silently defeat probe_hashes' hb
+        pruning (hb reads as null → every probe filtered out)."""
+        if self._checked:
+            return
+        markers = [e for e in self.fs.listdir(self.path) if e.startswith("_algo=")]
+        if markers and markers != [f"_algo={self.config.algorithm}"]:
+            found = ", ".join(m.split("=", 1)[1] for m in markers)
+            raise ValueError(
+                f"signature store at {self.path!r} was written with algorithm "
+                f"{found!r}, not {self.config.algorithm!r}; stores are "
+                "per-algorithm (reference parity: file_hashes_{algo}.cache) — "
+                "use a separate cache_path per algorithm"
+            )
+        self._migrate_legacy_gens()
+        self._checked = True
+
+    def _mark_algo(self) -> None:
+        self.fs.mkdirs(f"{self.path}/_algo={self.config.algorithm}")
+
+    def _legacy_gens(self) -> list[int]:
+        """Generations in the round-2 layout (``bucket=`` dirs with
+        parquet files directly inside — no ``hb=`` level)."""
+        out = []
+        for g in self._list_gens():
+            gdir = f"{self._data_dir}/gen={g}"
+            buckets = [e for e in self.fs.listdir(gdir) if e.startswith("bucket=")]
+            if buckets and not any(
+                e.startswith("hb=") for e in self.fs.listdir(f"{gdir}/{buckets[0]}")
+            ):
+                out.append(g)
+        return out
+
+    def _migrate_legacy_gens(self) -> None:
+        """Rewrite legacy generations into the current layout as ONE new
+        generation, preserving each row's original write order in the
+        gen0/genl data columns. Same publish protocol as save/compact:
+        stage → atomic rename → delete sources; a crash before the
+        deletes leaves a mixed store that the next open re-migrates
+        (re-published rows are value-identical — min/max/max_by
+        resolution is unaffected by the redundancy). Single-writer
+        assumption as everywhere in the store."""
+        legacy = self._legacy_gens()
+        if not legacy:
+            return
+        all_gens = self._list_gens()
+        legacy_schema = (
+            f"repo string, path string, commit string, hash {self._hash_type}, "
+            "minhash array<int>, simhash long, n_shingles int, bucket int"
+        )
+        parts = []
+        for g in legacy:
+            parts.append(
+                self.spark.read.schema(legacy_schema)
+                .parquet(f"{self._data_dir}/gen={g}")
+                .select(*CACHE_COLS)
+                .withColumn("gen0", F.lit(g))
+                .withColumn("genl", F.lit(g))
+            )
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows.unionByName(p)
+        staged = f"{self.path}/_staged_{uuid.uuid4().hex}"
+        self._writer(rows).parquet(staged)
+        self.fs.rename(staged, f"{self._data_dir}/gen={all_gens[-1] + 1}")  # atomic
+        for g in legacy:
+            self.fs.delete(f"{self._data_dir}/gen={g}")
 
     def _bucket(self) -> Column:
         return F.pmod(F.xxhash64(*CACHE_KEY), F.lit(self.n_buckets))
@@ -213,11 +308,16 @@ class SignatureStore:
         """Hash-bucket partition column: crc32 is chosen over xxhash64
         because the driver can compute the SAME bucket in pure Python
         (zlib.crc32) to enumerate which partition dirs a probe list
-        touches — see ``probe_hashes``."""
-        return F.pmod(F.crc32(F.encode(F.col("hash"), "utf-8")), F.lit(self.n_hash_buckets))
+        touches — see ``probe_hashes``. Long-typed hashes
+        (crc32/xxhash64 algorithms) bucket on their decimal string —
+        Spark's long→string cast and Python's str() agree exactly."""
+        return F.pmod(
+            F.crc32(F.encode(F.col("hash").cast("string"), "utf-8")),
+            F.lit(self.n_hash_buckets),
+        )
 
-    def _hb_of(self, h: str) -> int:
-        return zlib.crc32(h.encode()) % self.n_hash_buckets
+    def _hb_of(self, h) -> int:
+        return zlib.crc32(str(h).encode()) % self.n_hash_buckets
 
     def _writer(self, df: DataFrame):
         """Partitioned writer shared by save/compact. A parquet bloom
@@ -234,12 +334,16 @@ class SignatureStore:
             .partitionBy("bucket", "hb")
         )
 
-    def generations(self) -> list[int]:
+    def _list_gens(self) -> list[int]:
         return sorted(
             int(e.split("=", 1)[1])
             for e in self.fs.listdir(self._data_dir)
             if e.startswith("gen=")
         )
+
+    def generations(self) -> list[int]:
+        self._ensure_open()
+        return self._list_gens()
 
     def _read_with_gens(self) -> DataFrame:
         """Raw store rows with the two write-order columns resolved:
@@ -253,7 +357,7 @@ class SignatureStore:
         whenever a v1 footer won — pinning makes the fallback per-ROW
         (v1 rows read gen0/genl as null), which is the semantics the
         coalesce encodes."""
-        df = self.spark.read.schema(STORE_READ_SCHEMA).parquet(self._data_dir)
+        df = self.spark.read.schema(self._read_schema).parquet(self._data_dir)
         return df.withColumn(
             "_g0", F.coalesce(F.col("gen0"), F.col("gen"))
         ).withColumn("_gl", F.coalesce(F.col("genl"), F.col("gen")))
@@ -333,6 +437,7 @@ class SignatureStore:
         else:
             self.fs.mkdirs(self._data_dir)
             self.fs.rename(staged, f"{self._data_dir}/gen={next_gen}")  # atomic publish point
+            self._mark_algo()
         self._record_metrics(n_rows, n_reused)
         if len(self.generations()) >= self.compact_every:
             self.compact()
@@ -441,13 +546,19 @@ class SignatureStore:
         """
         if not self.generations():
             return None
+        # null hashes (null-content rows upstream of any non-empty
+        # filter) can't match anything and would crash the driver-side
+        # crc32 bucketing — drop them from the probe, not the process
+        hashes = [h for h in hashes if h is not None]
+        if not hashes:
+            return None
         df = self._read_with_gens()
         if len(hashes) <= max_inline:
             hbs = sorted({self._hb_of(h) for h in hashes})
             df = df.filter(F.col("hb").isin(hbs)).filter(F.col("hash").isin(list(hashes)))
         else:
             probe = self.spark.createDataFrame(
-                [(h,) for h in hashes], "hash string"
+                [(h,) for h in hashes], f"hash {self._hash_type}"
             ).dropDuplicates(["hash"])
             df = df.join(probe, "hash", "left_semi")
         first = F.min_by(

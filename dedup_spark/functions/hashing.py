@@ -134,6 +134,18 @@ def content_hash(col: Column | str, algorithm: str = "sha256") -> Column:
     raise ValueError(f"unsupported hash algorithm: {algorithm!r}")
 
 
+def hash_spark_type(algorithm: str = "sha256") -> str:
+    """Spark SQL type of ``content_hash(col, algorithm)``: hex-digest
+    algorithms yield strings; crc32/xxhash64 yield longs (opaque
+    grouping keys). The SignatureStore pins its read schema with this,
+    so a store written with a long-typed algorithm stays readable."""
+    if algorithm in ("crc32", "xxhash64"):
+        return "long"
+    if algorithm in ("sha256", "sha1", "md5", "fnv1a", "blake3"):
+        return "string"
+    raise ValueError(f"unsupported hash algorithm: {algorithm!r}")
+
+
 def hash_prefix(col: Column | str, n: int = 16) -> Column:
     """Display truncation (W5, /root/reference/src/main.rs:258)."""
     c = F.col(col) if isinstance(col, str) else col

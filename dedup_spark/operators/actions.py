@@ -106,7 +106,13 @@ def apply_plan_overrides(
     if seq_col is not None:
         last = F.max_by(F.col("action"), F.col(seq_col))
         ov = ov.groupBy("file_id").agg(last.alias("action"))
-    bad = ov.filter(~F.col("action").isin("keep", "delete", "ignore"))
+    # NULL action must be rejected too: isin(...) is NULL for NULL input,
+    # so a bare ~isin filter would silently pass a null override through
+    # as a no-op coalesce downstream — the caller's intended point update
+    # (e.g. rescuing a file from deletion) would never apply
+    bad = ov.filter(
+        F.col("action").isNull() | ~F.col("action").isin("keep", "delete", "ignore")
+    )
     if not bad.isEmpty():
         vals = [r["action"] for r in bad.select("action").distinct().limit(5).collect()]
         raise ValueError(f"invalid point-override actions {vals!r} (allowed: keep/delete/ignore)")

@@ -110,7 +110,13 @@ def run_incremental_dedup(
     report_fs = HadoopFS(spark, report_path)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        b = batch.select(*CODE_FILES_COLUMNS)
+        # F3 non-empty filter, same predicate as the batch loader —
+        # also drops null-content rows, whose null hash has nothing to
+        # dedup against (and would otherwise reach the driver-side
+        # probe bucketing)
+        b = batch.select(*CODE_FILES_COLUMNS).filter(
+            F.length("content") >= cfg.min_content_len
+        )
         sigs = with_signatures(with_content_hash(b, cfg), cfg)
         sigs = sigs.localCheckpoint()  # one computation: probe + save
         # intra-batch probe: first row of each hash (deterministic

@@ -130,3 +130,16 @@ def test_plan_overrides_null_move_target(selected, spark):
     assert r2["action"] == "keep" and r2["target"] is None
     # untouched move rows keep their collision-renamed targets
     assert out.filter("action = 'move' and target is null").count() == 0
+
+
+def test_plan_overrides_null_action_rejected(selected, spark):
+    """A NULL override action must raise like any other invalid action
+    — ``~isin(...)`` alone is NULL for NULL input, which would silently
+    drop the row from validation and turn the caller's intended point
+    update into a no-op (e.g. a 'keep' rescue that never applies)."""
+    from dedup_spark.operators.actions import apply_plan_overrides
+
+    plan = build_plan(selected, "delete")
+    ov = spark.createDataFrame([(2, None)], "file_id long, action string")
+    with pytest.raises(ValueError, match="invalid point-override"):
+        apply_plan_overrides(plan, ov).collect()

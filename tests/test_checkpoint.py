@@ -449,3 +449,139 @@ def test_mixed_v1_v2_store_reads_gen_columns_per_row(spark, cache_dir):
     store.compact()  # migrates the v1 rows to v2 wholesale
     assert store.generations() == [2]
     check()
+
+
+def test_long_hash_algorithm_store_roundtrip(spark, cache_dir):
+    """crc32/xxhash64 hashes are LONGs; the store's pinned read schema
+    must follow the algorithm (regression: a store written by
+    ``--fast-mode`` xxhash64 + ``--cache-location`` threw a parquet
+    type mismatch on every subsequent open)."""
+    from dedup_spark.checkpoint import SignatureStore
+
+    cfg = RECALL_CONFIG.with_(cache_path=cache_dir, algorithm="xxhash64")
+    store = SignatureStore(spark, cache_dir, cfg)
+    long_schema = SIG_SCHEMA.replace("hash string", "hash long")
+    store.save(
+        spark.createDataFrame(
+            [("r", "a.py", "c", -42, [1], 1, 1), ("r", "b.py", "c", 7, [2], 2, 1)],
+            long_schema,
+        )
+    )
+    store.save(spark.createDataFrame([("r", "a.py", "c", 99, [9], 9, 1)], long_schema))
+    got = {r["path"]: r["hash"] for r in store.load().collect()}
+    assert got == {"a.py": 99, "b.py": 7}
+    # driver-side hb bucketing must agree with the written partitions
+    # for negative longs too (decimal-string cast on both sides)
+    probed = {
+        r["hash"]: r["first_path"]
+        for r in store.probe_hashes([-42, 7, 99, 123456]).collect()
+    }
+    assert probed == {-42: "a.py", 7: "b.py", 99: "a.py"}
+    store.compact()
+    probed2 = {
+        r["hash"]: r["first_path"] for r in store.probe_hashes([-42, 7, 99]).collect()
+    }
+    assert probed2 == probed
+
+
+def test_legacy_layout_store_migrates_on_open(spark, cache_dir):
+    """Round-2 stores were partitioned ``gen=/bucket=`` (no hb level).
+    Spark's partition discovery refuses mixed depths, and the hb prune
+    would silently drop every legacy row from probes — so opening a
+    store migrates legacy generations into the current layout,
+    preserving write order in the gen0/genl data columns."""
+    from dedup_spark.checkpoint import SignatureStore
+
+    cfg = RECALL_CONFIG.with_(cache_path=cache_dir)
+    s0 = SignatureStore(spark, cache_dir, cfg)
+    legacy = [
+        (0, [("r", "a.py", "c", "H_A", [1], 1, 1)]),
+        (1, [("r", "b.py", "c", "H_B", [2], 2, 1), ("r", "a.py", "c", "H_A2", [9], 9, 1)]),
+    ]
+    for g, rows in legacy:
+        (
+            spark.createDataFrame(rows, SIG_SCHEMA)
+            .withColumn("bucket", s0._bucket())
+            .write.partitionBy("bucket")
+            .parquet(f"{cache_dir}/data/gen={g}")
+        )
+
+    store = SignatureStore(spark, cache_dir, cfg)
+    assert store.generations() == [2]  # one migrated generation
+    got = {r["path"]: r["hash"] for r in store.load().collect()}
+    assert got == {"a.py": "H_A2", "b.py": "H_B"}  # latest write wins
+    probed = {
+        r["hash"]: (r["first_repo"], r["first_path"])
+        for r in store.probe_hashes(["H_A", "H_A2", "H_B"]).collect()
+    }
+    assert probed == {
+        "H_A": ("r", "a.py"),
+        "H_A2": ("r", "a.py"),
+        "H_B": ("r", "b.py"),
+    }
+
+
+def test_mixed_depth_store_recovers_on_open(spark, cache_dir):
+    """Crash window: a legacy-layout generation next to a current-layout
+    one (an interrupted migration/compaction cleanup) makes the whole
+    data dir unreadable by partition discovery
+    (CONFLICTING_PARTITION_COLUMN_NAMES) — open must re-migrate the
+    legacy dirs instead of leaving the store bricked."""
+    from pyspark.sql import functions as F
+
+    from dedup_spark.checkpoint import SignatureStore
+
+    cfg = RECALL_CONFIG.with_(cache_path=cache_dir)
+    s0 = SignatureStore(spark, cache_dir, cfg)
+    (
+        spark.createDataFrame([("r", "a.py", "c", "H_A", [1], 1, 1)], SIG_SCHEMA)
+        .withColumn("bucket", s0._bucket())
+        .write.partitionBy("bucket")
+        .parquet(f"{cache_dir}/data/gen=0")
+    )
+    v2 = (
+        spark.createDataFrame([("r", "b.py", "c", "H_B", [2], 2, 1)], SIG_SCHEMA)
+        .withColumn("gen0", F.lit(1))
+        .withColumn("genl", F.lit(1))
+    )
+    s0._writer(v2).parquet(f"{cache_dir}/data/gen=1")
+
+    store = SignatureStore(spark, cache_dir, cfg)
+    assert store.generations() == [1, 2]  # legacy gen 0 re-published as 2
+    got = {r["path"]: r["hash"] for r in store.load().collect()}
+    assert got == {"a.py": "H_A", "b.py": "H_B"}
+    probed = {
+        r["hash"]: r["first_path"]
+        for r in store.probe_hashes(["H_A", "H_B"]).collect()
+    }
+    assert probed == {"H_A": "a.py", "H_B": "b.py"}
+
+
+def test_store_algorithm_mismatch_raises(spark, cache_dir):
+    """Stores are per-algorithm (reference: file_hashes_{algo}.cache) —
+    reopening with a different algorithm raises a clear error instead
+    of failing deep inside a parquet type mismatch."""
+    from dedup_spark.checkpoint import SignatureStore
+
+    cfg = RECALL_CONFIG.with_(cache_path=cache_dir)
+    store = SignatureStore(spark, cache_dir, cfg)
+    store.save(spark.createDataFrame([("r", "a.py", "c", "HA", [1], 1, 1)], SIG_SCHEMA))
+    other = SignatureStore(
+        spark, cache_dir, RECALL_CONFIG.with_(cache_path=cache_dir, algorithm="xxhash64")
+    )
+    with pytest.raises(ValueError, match="per-algorithm"):
+        other.load()
+
+
+def test_probe_hashes_ignores_null_hashes(spark, cache_dir):
+    """A null hash (null-content row upstream) must not crash the
+    driver-side crc32 bucket enumeration — it is dropped from the
+    probe; an all-null probe returns None like an empty store."""
+    from dedup_spark.checkpoint import SignatureStore
+
+    cfg = RECALL_CONFIG.with_(cache_path=cache_dir)
+    store = SignatureStore(spark, cache_dir, cfg)
+    store.save(spark.createDataFrame([("r", "a.py", "c", "HA", [1], 1, 1)], SIG_SCHEMA))
+    probed = {r["hash"] for r in store.probe_hashes(["HA", None]).collect()}
+    assert probed == {"HA"}
+    assert store.probe_hashes([None]) is None

@@ -138,3 +138,27 @@ def test_streaming_exact_dups_drops_replays(spark, tmp_path):
     assert len(paths) == 2
     assert "b.py" in paths
     assert len(paths & {"a.py", "dup.py"}) == 1
+
+
+def test_null_and_empty_content_rows_do_not_wedge_stream(spark, tmp_path):
+    """Null/empty content yields a null/degenerate hash: the batch must
+    apply the loader's F3 non-empty filter (regression: a null hash
+    reached the driver-side probe bucketing, crashed the micro-batch,
+    and the retry replayed the same batch forever)."""
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    rows = ROWS1 + [
+        ("r9", "null.py", "c9", "py", None),
+        ("r9", "empty.py", "c9", "py", ""),
+        ("r9", "dup_a.py", "c9", "py", "alpha beta gamma"),  # dup of a.py
+    ]
+    _write_batch(spark, src, rows, "b1")
+    q = run_incremental_dedup(spark, src, store, report, ckpt, DedupConfig())
+    q.awaitTermination(120)
+    rep = spark.read.parquet(report)
+    assert {r["path"] for r in rep.collect()} == {"dup_a.py"}
+    stored = spark.read.parquet(store + "/data")
+    # the null/empty rows never reach the store
+    assert {r["path"] for r in stored.collect()} == {"a.py", "b.py", "dup_a.py"}
