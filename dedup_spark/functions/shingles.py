@@ -283,29 +283,31 @@ def batch_minhash_simhash(
 _WS_BYTES = np.array([9, 10, 11, 12, 13, 32], dtype=np.uint8)
 
 
-def doc_fingerprint(text: str, window: int = 8) -> int:
-    """64-bit document fingerprint: polynomial hash of every
-    ``window``-token span (stride 1), XOR-combined — order-insensitive
-    across spans, order-sensitive within (robust to block moves,
-    cheap, deterministic). Fewer than ``window`` tokens → one span of
-    all tokens; empty → 0. Returned signed (Spark LongType).
+def doc_span_hashes(text: str, window: int = 8) -> np.ndarray:
+    """64-bit polynomial hash of every ``window``-token span (stride
+    1), in document order, splitmix64-finalized. Fewer than ``window``
+    tokens → one span of all tokens; empty/whitespace-only → empty
+    array. Tokens are maximal runs of non-ASCII-whitespace bytes
+    (_WS_BYTES).
 
     Fully vectorized on the prefix-sum span-hash machinery (one
     ``_span_hash_prefix`` pass hashes every token, a sliding-window
-    second-level polynomial hashes every span) — replaces a per-byte
-    pure-Python FNV loop that was ~100× slower per doc. Tokens are
-    maximal runs of non-ASCII-whitespace bytes (_WS_BYTES).
+    second-level polynomial hashes every span). This is the shared
+    kernel behind ``doc_fingerprint`` (XOR-reduce) and the span-level
+    dedup / decontamination operators (operators/spans.py), so the
+    DuckDB HUGEINT oracle validated for the fingerprint covers every
+    consumer.
     """
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     n = b.shape[0]
     if n == 0:
-        return 0
+        return np.empty(0, dtype=np.uint64)
     is_tok = ~np.isin(b, _WS_BYTES)
     starts = np.flatnonzero(is_tok & ~np.concatenate(([False], is_tok[:-1])))
     ends = np.flatnonzero(is_tok & ~np.concatenate((is_tok[1:], [False]))) + 1
     t = starts.shape[0]
     if t == 0:
-        return 0
+        return np.empty(0, dtype=np.uint64)
     S, inv = _span_hash_prefix(b)
     with np.errstate(over="ignore"):
         tok_h = _mix((S[ends] - S[starts]) * inv[starts])
@@ -316,6 +318,23 @@ def doc_fingerprint(text: str, window: int = 8) -> int:
         if k > 1:
             np.multiply.accumulate(np.full(k - 1, _BASE, dtype=np.uint64), out=pows[1:])
         spans = _mix((win * pows[None, :]).sum(axis=1, dtype=np.uint64))
+    return spans
+
+
+def doc_fingerprint(text: str, window: int = 8) -> int:
+    """64-bit document fingerprint: polynomial hash of every
+    ``window``-token span (stride 1), XOR-combined — order-insensitive
+    across spans, order-sensitive within (robust to block moves,
+    cheap, deterministic). Fewer than ``window`` tokens → one span of
+    all tokens; empty → 0. Returned signed (Spark LongType).
+
+    Span hashes come from ``doc_span_hashes`` (vectorized prefix-sum
+    kernel — replaced a per-byte pure-Python FNV loop that was ~100×
+    slower per doc).
+    """
+    spans = doc_span_hashes(text, window)
+    if spans.shape[0] == 0:
+        return 0
     acc = int(np.bitwise_xor.reduce(spans))
     return acc - (1 << 64) if acc >= (1 << 63) else acc
 

@@ -1,0 +1,263 @@
+"""Span-level (sub-document) dedup, benchmark decontamination, and
+line-level boilerplate detection — the training-data curation layer
+below whole-document near-dup.
+
+Three operators over the same idea — hash every k-token span (stride
+1) and aggregate span occurrences across the corpus:
+
+- ``span_dup_stats``: per-document duplicated-span fraction (how much
+  of this doc's text also appears verbatim elsewhere) — the signal
+  behind substring-level training-data dedup (Lee et al. 2022,
+  "Deduplicating Training Data Makes Language Models Better": exact
+  duplicated spans matter even when whole docs are distinct).
+- ``decontaminate``: n-gram overlap of a corpus against a benchmark
+  set (GPT-3-appendix-style 13-gram decontamination) — flags training
+  docs that share any k-token span with an eval document.
+- ``line_dup_stats`` / ``top_duplicated_lines``: exact line-level
+  boilerplate (CCNet-style: headers, license banners, nav text that
+  repeats across many documents).
+
+Span hashes come from ``functions.shingles.doc_span_hashes`` — the
+same vectorized prefix-sum/splitmix64 kernel as ``doc_fingerprint``,
+so the bit-exact DuckDB HUGEINT oracle validated for the fingerprint
+also value-verifies these operators (queries.ORACLE ``dup_spans`` /
+``decontam``). Line hashing is plain sha256 (JVM builtin).
+
+Scale posture (100 TB):
+- Exploded span rows ≈ total corpus tokens — linear in input, same
+  order as the tokenizer pass; no quadratic blowup anywhere.
+- Per-span doc counts are a groupBy with map-side partial aggregation
+  (hot boilerplate spans combine before the exchange).
+- The dup-flag membership check is a left-semi join on the 64-bit
+  span hash; boilerplate keys are skewed by nature → AQE skew-join
+  handles them, and the semi join carries only (id, hash) pairs,
+  never content.
+- Benchmark sets are small by definition → broadcast semi join, no
+  shuffle of the corpus side beyond the explode.
+
+Reference tie-in: the reference dedups whole files only
+(/root/reference/src/file_utils.rs hashing + media fingerprints);
+sub-document spans are part of this repo's training-pipeline
+extension (SURVEY.md "Training-data curation").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+
+def make_span_hashes_udf(window: int = 8):
+    """Arrow-batched UDF: text → sorted distinct signed-int64 hashes of
+    every ``window``-token span (stride 1; <window tokens → one span of
+    all tokens; empty → empty array)."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def span_udf(texts: pd.Series) -> pd.Series:
+        from dedup_spark.functions.shingles import doc_span_hashes
+
+        return texts.fillna("").map(
+            lambda t: np.unique(doc_span_hashes(t, window)).astype(np.int64)
+        )
+
+    return span_udf
+
+
+def with_span_hashes(
+    df: DataFrame, col: str = "content", window: int = 8, out_col: str = "span_hashes"
+) -> DataFrame:
+    return df.withColumn(out_col, make_span_hashes_udf(window)(F.col(col)))
+
+
+def _exploded_spans(df: DataFrame, id_col: str, col: str, window: int) -> DataFrame:
+    """(id, span hash) pairs, distinct within each document (the UDF
+    already dedups per doc). Narrow — no shuffle until aggregation."""
+    return with_span_hashes(df, col, window).select(
+        id_col, F.explode("span_hashes").alias("span_hash")
+    )
+
+
+def span_doc_counts(
+    df: DataFrame, id_col: str = "file_id", col: str = "content", window: int = 8
+) -> DataFrame:
+    """(span_hash, n_docs): how many distinct documents contain each
+    k-token span. Map-side partial agg absorbs hot boilerplate spans."""
+    return _exploded_spans(df, id_col, col, window).groupBy("span_hash").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def top_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "file_id",
+    col: str = "content",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Spans that occur in >= min_docs documents, most-shared first —
+    the corpus's verbatim boilerplate inventory (by hash; join back to
+    an exploded sample to recover example text when needed)."""
+    return (
+        span_doc_counts(df, id_col, col, window)
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), "span_hash")
+    )
+
+
+def _dup_stats_from_exploded(
+    ex: DataFrame, id_col: str, key_col: str, n_col: str, dup_col: str, ratio_col: str
+) -> DataFrame:
+    """Shared single-chain dup-profile plan over exploded (id, key)
+    rows (key NULL for element-less docs, from explode_outer):
+
+        window count over key  →  groupBy doc
+
+    One linear pipeline — the (possibly UDF-produced) explode input is
+    evaluated exactly ONCE (a branched counts-then-join-back plan
+    re-evaluates the upstream per branch: Spark has no cross-branch
+    CSE without an explicit lineage cut), and there are no joins: 2
+    exchanges total. Element-less docs ride the NULL window partition
+    and come out with zero counts (count(col) skips NULLs).
+
+    Hot-key posture: a boilerplate key shared by a large fraction of
+    the corpus lands in one window partition (WindowExec buffers one
+    key group at a time, spilling via the unsafe-row array) — bounded
+    by the hottest key's doc count, same pathology class as any
+    per-key aggregation; corpora with pathological mega-boilerplate
+    should pre-drop it via ngram-style max_doc_freq caps
+    (similarity.ngram_jaccard_pairs shows the counted-never-silent
+    pattern).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col)
+    flagged = ex.withColumn("n_docs", F.count(key_col).over(w))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(key_col).alias(n_col),
+            F.coalesce(
+                F.sum((F.col("n_docs") >= 2).cast("long")), F.lit(0)
+            ).alias(dup_col),
+        )
+        .withColumn(
+            ratio_col,
+            F.round(F.col(dup_col) / F.greatest(F.col(n_col), F.lit(1)), 6),
+        )
+    )
+
+
+def span_dup_stats(
+    df: DataFrame, id_col: str = "file_id", col: str = "content", window: int = 8
+) -> DataFrame:
+    """Per-document span-duplication profile:
+
+    - n_spans: distinct k-token spans in the doc,
+    - n_dup_spans: of those, how many occur in >= 2 documents,
+    - dup_span_ratio: n_dup_spans / n_spans (0 for span-less docs).
+
+    High ratio = the doc is mostly text that exists verbatim elsewhere
+    (the substring-dedup removal signal). Docs with no spans (empty /
+    whitespace-only) are preserved with zero counts.
+    """
+    ex = with_span_hashes(df, col, window).select(
+        id_col, F.explode_outer("span_hashes").alias("span_hash")
+    )
+    return _dup_stats_from_exploded(
+        ex, id_col, "span_hash", "n_spans", "n_dup_spans", "dup_span_ratio"
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "file_id",
+    col: str = "content",
+    window: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, count its
+    distinct k-token spans that also occur in ANY benchmark document
+    (n_hit_spans) and flag is_contaminated = n_hit_spans > 0.
+
+    window=13 mirrors the published 13-gram practice. Benchmarks are
+    small relative to the corpus, so the distinct benchmark span set
+    is broadcast (set broadcast_benchmark=False to force a shuffled
+    semi join when the benchmark side is genuinely large).
+    """
+    # (Catalyst extracts the bench-side UDF twice under the distinct —
+    # harmless: the benchmark side is small by definition.)
+    bench_hashes = (
+        _exploded_spans(benchmark, id_col, col, window)
+        .select("span_hash")
+        .distinct()
+        .withColumn("bench_hit", F.lit(True))
+    )
+    if broadcast_benchmark:
+        bench_hashes = F.broadcast(bench_hashes)
+    # Single chain (corpus UDF evaluated once, no join-back): left join
+    # keeps every exploded row — explode_outer NULLs for span-less docs
+    # match nothing and fall through with bench_hit NULL.
+    ex = with_span_hashes(corpus, col, window).select(
+        id_col, F.explode_outer("span_hashes").alias("span_hash")
+    )
+    return (
+        ex.join(bench_hashes, "span_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum(F.col("bench_hit").cast("long")), F.lit(0)).alias(
+                "n_hit_spans"
+            )
+        )
+        .withColumn("is_contaminated", F.col("n_hit_spans") > 0)
+    )
+
+
+# ---- line-level boilerplate (exact, JVM-only — no UDF) -------------------
+
+LINE_SEP = "\r?\n"
+
+
+def _doc_lines(df: DataFrame, id_col: str, col: str) -> Column:
+    """Distinct non-blank lines of a document (trim-filtered)."""
+    return F.array_distinct(
+        F.filter(F.split(F.col(col), LINE_SEP), lambda x: F.length(F.trim(x)) > 0)
+    )
+
+
+def line_dup_stats(
+    df: DataFrame, id_col: str = "file_id", col: str = "content"
+) -> DataFrame:
+    """Per-document line-level boilerplate profile: n_lines (distinct
+    non-blank), n_dup_lines (of those, lines occurring in >= 2 docs),
+    dup_line_ratio. Line identity is sha256 of the raw line (JVM
+    builtin — the whole plan stays JVM-side, no Python). Same
+    single-chain window plan as span_dup_stats."""
+    ex = df.select(
+        id_col, F.explode_outer(_doc_lines(df, id_col, col)).alias("line")
+    ).select(id_col, F.sha2(F.col("line"), 256).alias("line_hash"))
+    return _dup_stats_from_exploded(
+        ex, id_col, "line_hash", "n_lines", "n_dup_lines", "dup_line_ratio"
+    )
+
+
+def top_duplicated_lines(
+    df: DataFrame, id_col: str = "file_id", col: str = "content", min_docs: int = 2
+) -> DataFrame:
+    """The literal boilerplate lines shared by >= min_docs documents
+    (line text kept — this is the human-readable inventory; at corpus
+    scale prefer line_dup_stats + a sampled join for examples)."""
+    ex = (
+        df.select(id_col, F.explode(_doc_lines(df, id_col, col)).alias("line"))
+        .select(id_col, "line")
+    )
+    return (
+        ex.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), "line")
+    )

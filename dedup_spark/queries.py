@@ -267,8 +267,45 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# training-data pipeline queries (textstats / similarity)
+# training-data pipeline queries (textstats / similarity / spans)
 # ---------------------------------------------------------------------------
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span fraction (substring-level dedup signal,
+    8-token spans). Value-verified: the oracle recomputes the span-hash
+    kernel in DuckDB HUGEINT arithmetic (_sql_span_cte)."""
+    from dedup_spark.operators.spans import span_dup_stats
+
+    return span_dup_stats(_files(spark, sf_dir), window=8).orderBy("file_id")
+
+
+def q_top_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate inventory: 8-token spans shared by >= 2 docs."""
+    from dedup_spark.operators.spans import top_duplicated_spans
+
+    return top_duplicated_spans(_files(spark, sf_dir), window=8)
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (file_id % 20 != 0)
+    sharing any 13-token span with the benchmark split (% 20 == 0)."""
+    from dedup_spark.operators.spans import decontaminate
+
+    files = _files(spark, sf_dir)
+    bench = files.filter(F.col("file_id") % 20 == 0)
+    corpus = files.filter(F.col("file_id") % 20 != 0)
+    return decontaminate(corpus, bench, window=13).orderBy("file_id")
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc line-level boilerplate profile (JVM-only plan). The
+    fixture corpus is newline-free, so values are degenerate at
+    sf<=0.1 (each doc = 1 unique line) — still a full value-check of
+    the plumbing; multiline behavior is pytest-covered."""
+    from dedup_spark.operators.spans import line_dup_stats
+
+    return line_dup_stats(_files(spark, sf_dir)).orderBy("file_id")
+
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features + gate per document (curation filter)."""
@@ -432,6 +469,87 @@ nd_pairs AS (
                   IN CASE WHEN length(ca_txt) <= length(cb_txt) THEN cb_txt ELSE ca_txt END) > 0)
 )
 """
+
+def _sql_span_cte(window: int) -> str:
+    """DuckDB CTE chain recomputing the EXACT 64-bit span-hash kernel
+    (functions/shingles.doc_span_hashes) for every ``window``-token
+    span: per-token Horner polynomial of (byte+1) in base
+    11400714819323198485 mod 2^64, splitmix64-finalized; then every
+    window-token span (stride 1, k = min(window, n_tokens))
+    polynomial-combined over the token hashes and finalized again.
+    Ends with ``spm(file_id, th)`` — one row per span occurrence (th
+    in uint64 domain as HUGEINT). HUGEINT carries the 128-bit
+    products; (a*c) mod 2^64 is computed limb-split
+    ((hi*c mod 2^64)<<32 + lo*c, mod 2^64) so nothing overflows.
+    ascii(ch) equals the utf-8 byte the kernel hashes only for ASCII
+    text — the documents corpus is pure ASCII (checked: octet_length
+    == length for every row at sf0.01/sf0.1); a non-ASCII corpus would
+    need a bytes-level split here. Shared by the doc_fingerprint
+    (XOR-reduce), dup_spans / top_dup_spans (window=8) and decontam
+    (window=13) oracles; validated bit-identical vs the numpy kernel
+    on all sf0.01 and sf0.1 docs plus edge cases (empty, 1 token, <k,
+    =k, >k tokens).
+    """
+    return rf"""
+tok AS (
+  SELECT file_id,
+         list_filter(regexp_split_to_array(content, '[\t\n\x0B\f\r ]+'), t -> t <> '') AS toks
+  FROM files
+),
+tu AS (
+  SELECT file_id, UNNEST(toks) AS t, UNNEST(range(1, len(toks) + 1)) AS tpos
+  FROM tok WHERE len(toks) > 0
+),
+tokh AS (
+  SELECT file_id, tpos,
+    list_reduce(
+      list_reverse(list_transform(range(1, length(t) + 1),
+                                  i -> CAST(ascii(t[i]) + 1 AS HUGEINT))),
+      (a, x) -> ((((a // 4294967296) * 11400714819323198485 % 18446744073709551616) * 4294967296
+                  + (a % 4294967296) * 11400714819323198485) % 18446744073709551616 + x)
+                 % 18446744073709551616) AS p,
+    xor(p, p >> 30) AS m1,
+    (((m1 // 4294967296) * 13787848793156543929 % 18446744073709551616) * 4294967296
+     + (m1 % 4294967296) * 13787848793156543929) % 18446744073709551616 AS m2,
+    xor(m2, m2 >> 27) AS m3,
+    (((m3 // 4294967296) * 10723151780598845931 % 18446744073709551616) * 4294967296
+     + (m3 % 4294967296) * 10723151780598845931) % 18446744073709551616 AS m4,
+    xor(m4, m4 >> 31) AS th
+  FROM tu
+),
+agg AS (
+  SELECT file_id, list(th ORDER BY tpos) AS ths, least({window}, CAST(len(list(th)) AS BIGINT)) AS k
+  FROM tokh GROUP BY file_id
+),
+sp AS (
+  SELECT file_id,
+         UNNEST([list_reduce(
+            list_reverse(ths[w : w + k - 1]),
+            (a, x) -> ((((a // 4294967296) * 11400714819323198485 % 18446744073709551616) * 4294967296
+                        + (a % 4294967296) * 11400714819323198485) % 18446744073709551616 + x)
+                       % 18446744073709551616)
+          FOR w IN range(1, len(ths) - k + 2)]) AS p
+  FROM agg
+),
+spm AS (
+  SELECT file_id,
+    xor(p, p >> 30) AS m1,
+    (((m1 // 4294967296) * 13787848793156543929 % 18446744073709551616) * 4294967296
+     + (m1 % 4294967296) * 13787848793156543929) % 18446744073709551616 AS m2,
+    xor(m2, m2 >> 27) AS m3,
+    (((m3 // 4294967296) * 10723151780598845931 % 18446744073709551616) * 4294967296
+     + (m3 % 4294967296) * 10723151780598845931) % 18446744073709551616 AS m4,
+    xor(m4, m4 >> 31) AS th
+  FROM sp
+)"""
+
+
+#: signed-BIGINT view of a uint64-domain HUGEINT column
+_SQL_SIGNED64 = (
+    "CAST(CASE WHEN {c} >= 9223372036854775808 THEN {c} - 18446744073709551616 "
+    "ELSE {c} END AS BIGINT)"
+)
+
 
 ORACLE: dict[str, str] = {
     "text_quality": f"""
@@ -880,79 +998,100 @@ SELECT asset_id, cluster_id,
 FROM cl ORDER BY asset_id
 """,
     # Rolling-hash doc fingerprint, value-verified (round-3 upgrade
-    # from rows-only): DuckDB recomputes the EXACT 64-bit kernel
-    # (functions/shingles.doc_fingerprint) — per-token Horner
-    # polynomial of (byte+1) in base 11400714819323198485 mod 2^64,
-    # splitmix64-finalized; then every 8-token span (stride 1, k =
-    # min(8, n_tokens)) polynomial-combined over the token hashes,
-    # finalized again, XOR-reduced; empty/whitespace-only docs → 0.
-    # HUGEINT carries the 128-bit products; (a*c) mod 2^64 is computed
-    # limb-split ((hi*c mod 2^64)<<32 + lo*c, mod 2^64) so nothing
-    # overflows. ascii(ch) equals the utf-8 byte the kernel hashes only
-    # for ASCII text — the documents corpus is pure ASCII (checked:
-    # octet_length == length for every row at sf0.01/sf0.1); a
-    # non-ASCII corpus would need a bytes-level split here.
-    # Validated bit-identical vs the numpy kernel on all sf0.01 and
-    # sf0.1 docs plus edge cases (empty, 1 token, <k, =k, >k tokens).
+    # from rows-only): DuckDB recomputes the exact kernel via
+    # _sql_span_cte (see its docstring for the arithmetic), then
+    # XOR-reduces the span hashes; empty/whitespace-only docs → 0.
     "doc_fingerprint": rf"""
 WITH {SQL_FILES},
-tok AS (
-  SELECT file_id,
-         list_filter(regexp_split_to_array(content, '[\t\n\x0B\f\r ]+'), t -> t <> '') AS toks
-  FROM files
-),
-tu AS (
-  SELECT file_id, UNNEST(toks) AS t, UNNEST(range(1, len(toks) + 1)) AS tpos
-  FROM tok WHERE len(toks) > 0
-),
-tokh AS (
-  SELECT file_id, tpos,
-    list_reduce(
-      list_reverse(list_transform(range(1, length(t) + 1),
-                                  i -> CAST(ascii(t[i]) + 1 AS HUGEINT))),
-      (a, x) -> ((((a // 4294967296) * 11400714819323198485 % 18446744073709551616) * 4294967296
-                  + (a % 4294967296) * 11400714819323198485) % 18446744073709551616 + x)
-                 % 18446744073709551616) AS p,
-    xor(p, p >> 30) AS m1,
-    (((m1 // 4294967296) * 13787848793156543929 % 18446744073709551616) * 4294967296
-     + (m1 % 4294967296) * 13787848793156543929) % 18446744073709551616 AS m2,
-    xor(m2, m2 >> 27) AS m3,
-    (((m3 // 4294967296) * 10723151780598845931 % 18446744073709551616) * 4294967296
-     + (m3 % 4294967296) * 10723151780598845931) % 18446744073709551616 AS m4,
-    xor(m4, m4 >> 31) AS th
-  FROM tu
-),
-agg AS (
-  SELECT file_id, list(th ORDER BY tpos) AS ths, least(8, CAST(len(list(th)) AS BIGINT)) AS k
-  FROM tokh GROUP BY file_id
-),
-sp AS (
-  SELECT file_id,
-         UNNEST([list_reduce(
-            list_reverse(ths[w : w + k - 1]),
-            (a, x) -> ((((a // 4294967296) * 11400714819323198485 % 18446744073709551616) * 4294967296
-                        + (a % 4294967296) * 11400714819323198485) % 18446744073709551616 + x)
-                       % 18446744073709551616)
-          FOR w IN range(1, len(ths) - k + 2)]) AS p
-  FROM agg
-),
-spm AS (
-  SELECT file_id,
-    xor(p, p >> 30) AS m1,
-    (((m1 // 4294967296) * 13787848793156543929 % 18446744073709551616) * 4294967296
-     + (m1 % 4294967296) * 13787848793156543929) % 18446744073709551616 AS m2,
-    xor(m2, m2 >> 27) AS m3,
-    (((m3 // 4294967296) * 10723151780598845931 % 18446744073709551616) * 4294967296
-     + (m3 % 4294967296) * 10723151780598845931) % 18446744073709551616 AS m4,
-    xor(m4, m4 >> 31) AS th
-  FROM sp
-),
+{_sql_span_cte(8)},
 fp AS (SELECT file_id, bit_xor(th) AS f FROM spm GROUP BY file_id)
 SELECT fi.file_id,
        CAST(CASE WHEN COALESCE(fp.f, 0) >= 9223372036854775808
                  THEN COALESCE(fp.f, 0) - 18446744073709551616
                  ELSE COALESCE(fp.f, 0) END AS BIGINT) AS fingerprint
 FROM files fi LEFT JOIN fp ON fp.file_id = fi.file_id
+ORDER BY fi.file_id
+""",
+    # Span-level dedup (Lee-et-al-style duplicated-substring signal):
+    # per-doc distinct 8-token spans, how many occur in >= 2 docs.
+    # Same span-hash kernel/CTE as doc_fingerprint (bit-validated).
+    "dup_spans": rf"""
+WITH {SQL_FILES},
+{_sql_span_cte(8)},
+sd AS (SELECT DISTINCT file_id, th FROM spm),
+cnt AS (SELECT th, COUNT(*) AS n_docs FROM sd GROUP BY th),
+pd AS (
+  SELECT s.file_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+  FROM sd s JOIN cnt c ON s.th = c.th GROUP BY s.file_id
+)
+SELECT fi.file_id,
+       COALESCE(pd.n_spans, 0) AS n_spans,
+       COALESCE(pd.n_dup_spans, 0) AS n_dup_spans,
+       round(COALESCE(pd.n_dup_spans, 0) / greatest(COALESCE(pd.n_spans, 0), 1), 6)
+         AS dup_span_ratio
+FROM files fi LEFT JOIN pd ON pd.file_id = fi.file_id
+ORDER BY fi.file_id
+""",
+    # Corpus boilerplate inventory: spans occurring in >= 2 docs, by
+    # doc count (signed-int64 view of the span hash matches Spark).
+    "top_dup_spans": rf"""
+WITH {SQL_FILES},
+{_sql_span_cte(8)},
+sd AS (SELECT DISTINCT file_id, th FROM spm),
+cnt AS (SELECT th, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sd GROUP BY th)
+SELECT {_SQL_SIGNED64.format(c="th")} AS span_hash, n_docs
+FROM cnt WHERE n_docs >= 2
+ORDER BY n_docs DESC, span_hash
+""",
+    # Benchmark decontamination: 13-gram overlap of corpus docs
+    # (file_id % 20 <> 0) against the benchmark split (file_id % 20 = 0).
+    "decontam": rf"""
+WITH {SQL_FILES},
+{_sql_span_cte(13)},
+sd AS (SELECT DISTINCT file_id, th FROM spm),
+bench AS (SELECT DISTINCT th FROM sd WHERE file_id % 20 = 0),
+corp AS (SELECT file_id, th FROM sd WHERE file_id % 20 <> 0),
+hits AS (
+  SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM corp WHERE th IN (SELECT th FROM bench) GROUP BY file_id
+)
+SELECT fi.file_id,
+       COALESCE(h.n_hit, 0) AS n_hit_spans,
+       COALESCE(h.n_hit, 0) > 0 AS is_contaminated
+FROM files fi LEFT JOIN hits h ON h.file_id = fi.file_id
+WHERE fi.file_id % 20 <> 0
+ORDER BY fi.file_id
+""",
+    # Line-level boilerplate: distinct non-blank lines per doc, lines
+    # shared by >= 2 docs. The fixture corpus has no newlines, so at
+    # sf<=0.1 every doc is one "line" and (absent exact text dups)
+    # n_dup_lines is 0 — the query still verifies the full explode/
+    # count/semi-join plumbing value-for-value; the non-degenerate
+    # behavior is covered by tests/test_spans.py on multiline docs.
+    "line_dedup": rf"""
+WITH {SQL_FILES},
+ln AS (
+  SELECT file_id,
+         UNNEST(list_distinct(list_filter(regexp_split_to_array(content, '\r?\n'),
+                                          l -> length(trim(l)) > 0))) AS line
+  FROM files
+),
+lh AS (SELECT file_id, sha256(line) AS line_hash FROM ln),
+cnt AS (SELECT line_hash, COUNT(*) AS n_docs FROM lh GROUP BY line_hash),
+pd AS (
+  SELECT l.file_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines
+  FROM lh l JOIN cnt c ON l.line_hash = c.line_hash GROUP BY l.file_id
+)
+SELECT fi.file_id,
+       COALESCE(pd.n_lines, 0) AS n_lines,
+       COALESCE(pd.n_dup_lines, 0) AS n_dup_lines,
+       round(COALESCE(pd.n_dup_lines, 0) / greatest(COALESCE(pd.n_lines, 0), 1), 6)
+         AS dup_line_ratio
+FROM files fi LEFT JOIN pd ON pd.file_id = fi.file_id
 ORDER BY fi.file_id
 """,
     "hash_variants": f"""
@@ -974,6 +1113,10 @@ FROM tok
 }
 
 QUERIES = {
+    "dup_spans": q_dup_spans,
+    "top_dup_spans": q_top_dup_spans,
+    "decontam": q_decontam,
+    "line_dedup": q_line_dedup,
     "text_quality": q_text_quality,
     "token_rollup": q_token_rollup,
     "lang_id": q_lang_id,

@@ -1,0 +1,200 @@
+"""Span-level dedup / decontamination / line-boilerplate operators
+(operators/spans.py) against brute-force Python oracles on synthetic
+corpora with planted overlaps (the driver-contract fixture corpus is
+newline-free, so the non-degenerate line behavior lives here)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dedup_spark.functions.shingles import doc_fingerprint, doc_span_hashes
+from dedup_spark.operators.spans import (
+    decontaminate,
+    line_dup_stats,
+    span_dup_stats,
+    top_duplicated_lines,
+    top_duplicated_spans,
+)
+
+SHARED = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "file_id long, content string")
+
+
+def _brute_spans(text: str, window: int) -> set[tuple[str, ...]]:
+    toks = text.split()
+    if not toks:
+        return set()
+    k = min(window, len(toks))
+    return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+# ---- kernel ---------------------------------------------------------------
+
+def test_span_hashes_count_and_fingerprint_consistency():
+    text = "one two three four five six seven eight nine ten"
+    spans = doc_span_hashes(text, 8)
+    assert spans.shape[0] == 3  # 10 tokens, k=8 → 3 spans
+    acc = int(np.bitwise_xor.reduce(spans))
+    signed = acc - (1 << 64) if acc >= (1 << 63) else acc
+    assert signed == doc_fingerprint(text, 8)
+
+
+def test_span_hashes_short_and_empty():
+    assert doc_span_hashes("", 8).shape[0] == 0
+    assert doc_span_hashes("   \t\n ", 8).shape[0] == 0
+    # fewer than window tokens → exactly one span of all tokens
+    assert doc_span_hashes("a b c", 8).shape[0] == 1
+    # span hashes respect token order
+    a = doc_span_hashes("a b c", 8)[0]
+    b = doc_span_hashes("c b a", 8)[0]
+    assert a != b
+
+
+def test_span_hashes_locate_shared_phrase():
+    doc1 = f"intro words here {SHARED} trailing tail"
+    doc2 = f"other prefix {SHARED} different ending text"
+    h1 = set(doc_span_hashes(doc1, 8).tolist())
+    h2 = set(doc_span_hashes(doc2, 8).tolist())
+    inter = h1 & h2
+    # the planted 8-token phrase is a common span in both docs
+    assert len(inter) >= 1
+    # and matches the brute-force tuple intersection count
+    brute = _brute_spans(doc1, 8) & _brute_spans(doc2, 8)
+    assert len(inter) == len(brute)
+
+
+# ---- span_dup_stats -------------------------------------------------------
+
+def test_span_dup_stats_planted_overlap(spark):
+    rows = [
+        (1, f"unique opening run {SHARED} closing words one"),
+        (2, f"second document text {SHARED} other ending branch"),
+        (3, "entirely different content with no shared phrases at all here"),
+        (4, ""),  # span-less doc must survive with zeros
+    ]
+    out = {r["file_id"]: r for r in span_dup_stats(_df(spark, rows), window=8).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    texts = {fid: t for fid, t in rows}
+    # brute-force expected values
+    all_spans: dict[tuple[str, ...], set[int]] = {}
+    for fid, t in texts.items():
+        for s in _brute_spans(t, 8):
+            all_spans.setdefault(s, set()).add(fid)
+    for fid, t in texts.items():
+        spans = _brute_spans(t, 8)
+        n_dup = sum(1 for s in spans if len(all_spans[s]) >= 2)
+        assert out[fid]["n_spans"] == len(spans)
+        assert out[fid]["n_dup_spans"] == n_dup
+        expected_ratio = round(n_dup / max(len(spans), 1), 6)
+        assert abs(out[fid]["dup_span_ratio"] - expected_ratio) < 1e-9
+    assert out[3]["n_dup_spans"] == 0
+    assert out[4]["n_spans"] == 0 and out[4]["dup_span_ratio"] == 0.0
+
+
+def test_top_duplicated_spans_matches_brute(spark):
+    rows = [
+        (1, f"{SHARED} padding words after the phrase"),
+        (2, f"leading filler {SHARED}"),
+        (3, f"third copy {SHARED} again"),
+    ]
+    got = top_duplicated_spans(_df(spark, rows), window=8).collect()
+    all_spans: dict[tuple[str, ...], set[int]] = {}
+    for fid, t in rows:
+        for s in _brute_spans(t, 8):
+            all_spans.setdefault(s, set()).add(fid)
+    expected = sorted(
+        (len(v) for v in all_spans.values() if len(v) >= 2), reverse=True
+    )
+    assert sorted((r["n_docs"] for r in got), reverse=True) == expected
+    # ordering contract: most-shared first
+    assert [r["n_docs"] for r in got] == sorted(
+        [r["n_docs"] for r in got], reverse=True
+    )
+
+
+# ---- decontaminate --------------------------------------------------------
+
+def test_decontaminate_planted_overlap(spark):
+    phrase13 = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13"
+    bench = _df(spark, [(100, f"benchmark question text {phrase13} answer")])
+    corpus = _df(
+        spark,
+        [
+            (1, f"training doc containing {phrase13} verbatim leak"),
+            (2, "clean training document with nothing from the benchmark set"),
+        ],
+    )
+    out = {r["file_id"]: r for r in decontaminate(corpus, bench, window=13).collect()}
+    assert out[1]["is_contaminated"] is True and out[1]["n_hit_spans"] >= 1
+    assert out[2]["is_contaminated"] is False and out[2]["n_hit_spans"] == 0
+    # shuffled (non-broadcast) path is value-identical
+    out2 = {
+        r["file_id"]: r
+        for r in decontaminate(
+            corpus, bench, window=13, broadcast_benchmark=False
+        ).collect()
+    }
+    assert {k: (v["n_hit_spans"], v["is_contaminated"]) for k, v in out.items()} == {
+        k: (v["n_hit_spans"], v["is_contaminated"]) for k, v in out2.items()
+    }
+
+
+def test_decontaminate_no_false_positives_on_short_overlap(spark):
+    # only a 5-token shared run — below the 13-gram window → clean
+    short = "s1 s2 s3 s4 s5"
+    bench = _df(spark, [(100, f"bench doc with {short} plus its own long unique tail "
+                              "of many additional benchmark tokens")])
+    corpus = _df(spark, [(1, f"corpus doc with {short} and an unrelated very long "
+                             "training continuation of different words")])
+    out = decontaminate(corpus, bench, window=13).collect()
+    assert out[0]["is_contaminated"] is False
+
+
+# ---- line-level -----------------------------------------------------------
+
+BOILER = "// SPDX-License-Identifier: MIT"
+
+
+def test_line_dup_stats_multiline(spark):
+    rows = [
+        (1, f"{BOILER}\nint main() {{}}\n\n  \n"),
+        (2, f"{BOILER}\ndef f(): pass"),
+        (3, "completely unique single line"),
+        (4, ""),
+    ]
+    out = {r["file_id"]: r for r in line_dup_stats(_df(spark, rows)).collect()}
+    assert out[1]["n_lines"] == 2  # blank/whitespace lines dropped
+    assert out[1]["n_dup_lines"] == 1  # the license banner
+    assert abs(out[1]["dup_line_ratio"] - 0.5) < 1e-9
+    assert out[2]["n_dup_lines"] == 1
+    assert out[3]["n_dup_lines"] == 0
+    assert out[4]["n_lines"] == 0 and out[4]["dup_line_ratio"] == 0.0
+
+
+def test_line_dup_stats_within_doc_repeat_not_cross_doc(spark):
+    # a line repeated INSIDE one doc only is not cross-doc boilerplate
+    rows = [(1, "same line\nsame line\nother"), (2, "unrelated")]
+    out = {r["file_id"]: r for r in line_dup_stats(_df(spark, rows)).collect()}
+    assert out[1]["n_lines"] == 2  # distinct within doc
+    assert out[1]["n_dup_lines"] == 0
+
+
+def test_top_duplicated_lines(spark):
+    rows = [
+        (1, f"{BOILER}\nunique a"),
+        (2, f"{BOILER}\nunique b"),
+        (3, f"{BOILER}\nshared tail\nx"),
+        (4, "shared tail\ny"),
+    ]
+    got = {r["line"]: r["n_docs"] for r in top_duplicated_lines(_df(spark, rows)).collect()}
+    assert got == {BOILER: 3, "shared tail": 2}
+
+
+def test_crlf_lines(spark):
+    rows = [(1, "a\r\nb"), (2, "a\nc")]
+    out = {r["file_id"]: r for r in line_dup_stats(_df(spark, rows)).collect()}
+    # "a" matches across CRLF and LF docs
+    assert out[1]["n_dup_lines"] == 1 and out[2]["n_dup_lines"] == 1
