@@ -400,6 +400,32 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
+def q_embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup clusters: connected components over the
+    exact cosine near-dup pair graph (threshold 0.4 — same gate as
+    embedding_near_dup), every vec_id labeled with its min-id
+    component; vectors with no near-dup partner are their own
+    singleton cluster. Value-verified: recursive-closure CC oracle
+    (same pattern as near_dup_clusters)."""
+    from pyspark.sql import Window
+
+    from dedup_spark.operators.cc import connected_components
+    from dedup_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.4)
+    cc = connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        emb.select("vec_id")
+        .join(cc, emb["vec_id"] == cc["node"], "left")
+        .select("vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id"))
+    )
+    return labeled.withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+    ).orderBy("vec_id")
+
+
 _STOPWORDS_SQL = "['the','and','of','to','in','is','a','for','on','with','as','at','by','it','or','be','this','that','are','an']"
 
 SQL_TOKS = r"""
@@ -704,6 +730,37 @@ p AS (
 )
 SELECT id_a, id_b, round(cs, 3) AS cos3
 FROM p WHERE cs >= 0.4 ORDER BY id_a, id_b
+""",
+    # Embedding near-dup clusters: recursive transitive closure over
+    # the cosine-threshold pair graph, min-id component labels
+    # (connected_components' exact contract), singletons label
+    # themselves. Same closure pattern as near_dup_clusters.
+    "embedding_near_dup_clusters": """
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+nd AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM nd
+  UNION SELECT id_b, id_a FROM nd
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a WHERE r.a <> s2.b
+),
+label AS (SELECT a AS vid, LEAST(a, MIN(b)) AS lbl FROM reach GROUP BY a),
+al AS (
+  SELECT e.vec_id, COALESCE(l.lbl, e.vec_id) AS cluster_id
+  FROM e LEFT JOIN label l ON l.vid = e.vec_id
+)
+SELECT vec_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM al ORDER BY vec_id
 """,
     "exact_hash_clusters": f"""
 WITH {SQL_FILES}
@@ -1125,6 +1182,7 @@ QUERIES = {
     "events_dedup": q_events_dedup,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_clusters": q_embedding_near_dup_clusters,
     "asset_meta": q_asset_meta,
     "exact_hash_clusters": q_exact_hash_clusters,
     "exact_dup_sets": q_exact_dup_sets,
