@@ -123,3 +123,39 @@ def test_doc_fingerprint_deterministic_and_ws_normal(text, window):
     assert -(1 << 63) <= fp < (1 << 63)  # Spark LongType range
     if not text.split():
         assert fp == 0
+
+
+@SETTINGS
+@given(
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=10),
+)
+def test_span_hashes_position_independent(tokens, window):
+    """The hash of a k-token span depends only on its tokens, never on
+    where in the document it sits — the invariant cross-document span
+    matching (operators/spans.py) relies on."""
+    from dedup_spark.functions.shingles import doc_span_hashes
+
+    doc = " ".join(tokens)
+    spans = doc_span_hashes(doc, window)
+    k = min(window, len(tokens))
+    assert spans.shape[0] == len(tokens) - k + 1
+    for i in range(spans.shape[0]):
+        alone = doc_span_hashes(" ".join(tokens[i : i + k]), window)
+        assert alone.shape[0] == 1
+        assert spans[i] == alone[0]
+
+
+@SETTINGS
+@given(
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=10),
+)
+def test_span_hashes_whitespace_run_invariant(tokens, window):
+    """Token separators are maximal whitespace runs — the run's shape
+    (spaces, tabs, newlines, repeats) must not change any span hash."""
+    from dedup_spark.functions.shingles import doc_span_hashes
+
+    a = doc_span_hashes(" ".join(tokens), window)
+    b = doc_span_hashes("\t \n".join(tokens) + " \n", window)
+    assert np.array_equal(a, b)
