@@ -118,6 +118,23 @@ def main() -> None:
             "cell equi-join + pair dedup + top-k window; centroid train is a "
             "bounded driver sample, not part of the distributed plan",
         )
+
+    # span-level curation: single-chain plans — the span UDF must
+    # appear exactly ONCE (no branch recompute), 2 exchanges, no joins
+    from dedup_spark.operators.spans import decontaminate, span_dup_stats
+
+    summarize(
+        "span dup stats (single-chain window form)",
+        span_dup_stats(raw),
+        "2: window over span_hash + groupBy doc; UDF eval x1, no joins",
+    )
+    bench = raw.filter(F.col("file_id") % 20 == 0)
+    corp = raw.filter(F.col("file_id") % 20 != 0)
+    summarize(
+        "decontaminate (broadcast bench span set)",
+        decontaminate(corp, bench),
+        "1: groupBy doc; bench side broadcast, corpus UDF eval x1",
+    )
     spark.stop()
 
 
