@@ -217,6 +217,71 @@ def decontaminate(
     )
 
 
+def repo_span_similarity(
+    df: DataFrame,
+    repo_col: str = "repo",
+    col: str = "content",
+    window: int = 8,
+    threshold: float = 0.01,
+    max_repo_freq: int | None = None,
+) -> DataFrame:
+    """Fork / vendored-copy detection between repositories: span-set
+    Jaccard over each repo's distinct k-token spans (union across its
+    files). High overlap = one repo is largely a fork, mirror, or
+    vendored copy of the other — the repo-granularity dedup signal a
+    source-code corpus needs before file-level passes.
+
+    Same self-join shape (and the same quadratic-hot-key guard
+    contract) as similarity.ngram_jaccard_pairs, one level up: a span
+    present in r repos emits C(r,2) join rows, so ``max_repo_freq``
+    drops universal boilerplate spans from the JOIN side only
+    (per-repo totals stay exact → Jaccard underestimated, never
+    over). Default None = exact (the oracle-contract config).
+
+    Output: (repo_a, repo_b, n_shared_spans, jaccard) for pairs with
+    jaccard >= threshold, repo_a < repo_b.
+    """
+    rs = (
+        with_span_hashes(df, col, window)
+        .select(repo_col, F.explode("span_hashes").alias("span_hash"))
+        .distinct()
+    )
+    counts = rs.groupBy(repo_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    joinable = rs
+    if max_repo_freq is not None:
+        hot = (
+            rs.groupBy("span_hash")
+            .agg(F.count(F.lit(1)).alias("rf"))
+            .filter(F.col("rf") > max_repo_freq)
+            .select("span_hash")
+        )
+        joinable = rs.join(F.broadcast(hot), "span_hash", "left_anti")
+    a = joinable.select(F.col(repo_col).alias("repo_a"), "span_hash")
+    b = joinable.select(F.col(repo_col).alias("repo_b"), "span_hash")
+    shared = (
+        a.join(b, "span_hash")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+    ca = counts.select(F.col(repo_col).alias("repo_a"), F.col("n_spans").alias("_na"))
+    cb = counts.select(F.col(repo_col).alias("repo_b"), F.col("n_spans").alias("_nb"))
+    return (
+        shared.join(ca, "repo_a")
+        .join(cb, "repo_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared_spans")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared_spans")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("repo_a", "repo_b", "n_shared_spans", "jaccard")
+    )
+
+
 # ---- line-level boilerplate (exact, JVM-only — no UDF) -------------------
 
 LINE_SEP = "\r?\n"

@@ -307,6 +307,16 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dup_stats(_files(spark, sf_dir)).orderBy("file_id")
 
 
+def q_repo_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level fork/vendoring detection: span-set Jaccard between
+    repos (exact config — no hot-span cap — so DuckDB mirrors it)."""
+    from dedup_spark.operators.spans import repo_span_similarity
+
+    return repo_span_similarity(_files(spark, sf_dir), threshold=0.01).orderBy(
+        "repo_a", "repo_b"
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features + gate per document (curation filter)."""
     from dedup_spark.operators.textstats import quality_flag, with_text_stats
@@ -1121,6 +1131,29 @@ FROM files fi LEFT JOIN hits h ON h.file_id = fi.file_id
 WHERE fi.file_id % 20 <> 0
 ORDER BY fi.file_id
 """,
+    # Repo-level fork detection: span-set Jaccard between repos over
+    # the same bit-validated span-hash kernel.
+    "repo_similarity": rf"""
+WITH {SQL_FILES},
+{_sql_span_cte(8)},
+rs AS (
+  SELECT DISTINCT fi.repo, s.th
+  FROM spm s JOIN files fi ON fi.file_id = s.file_id
+),
+cnt AS (SELECT repo, CAST(COUNT(*) AS BIGINT) AS n FROM rs GROUP BY repo),
+shared AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+  FROM rs a JOIN rs b ON a.th = b.th AND a.repo < b.repo
+  GROUP BY a.repo, b.repo
+)
+SELECT s.repo_a, s.repo_b, s.n_shared_spans,
+       round(s.n_shared_spans / (ca.n + cb.n - s.n_shared_spans), 6) AS jaccard
+FROM shared s
+JOIN cnt ca ON ca.repo = s.repo_a
+JOIN cnt cb ON cb.repo = s.repo_b
+WHERE round(s.n_shared_spans / (ca.n + cb.n - s.n_shared_spans), 6) >= 0.01
+ORDER BY repo_a, repo_b
+""",
     # Line-level boilerplate: distinct non-blank lines per doc, lines
     # shared by >= 2 docs. The fixture corpus has no newlines, so at
     # sf<=0.1 every doc is one "line" and (absent exact text dups)
@@ -1174,6 +1207,7 @@ QUERIES = {
     "top_dup_spans": q_top_dup_spans,
     "decontam": q_decontam,
     "line_dedup": q_line_dedup,
+    "repo_similarity": q_repo_similarity,
     "text_quality": q_text_quality,
     "token_rollup": q_token_rollup,
     "lang_id": q_lang_id,

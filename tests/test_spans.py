@@ -198,3 +198,61 @@ def test_crlf_lines(spark):
     out = {r["file_id"]: r for r in line_dup_stats(_df(spark, rows)).collect()}
     # "a" matches across CRLF and LF docs
     assert out[1]["n_dup_lines"] == 1 and out[2]["n_dup_lines"] == 1
+
+
+# ---- repo-level fork detection -------------------------------------------
+
+def _repo_df(spark, rows):
+    return spark.createDataFrame(rows, "repo string, content string")
+
+
+def _repo_brute(rows, window):
+    spans: dict[str, set] = {}
+    for repo, text in rows:
+        spans.setdefault(repo, set()).update(_brute_spans(text, window))
+    return spans
+
+
+def test_repo_span_similarity_fork(spark):
+    from dedup_spark.operators.spans import repo_span_similarity
+
+    rows = [
+        ("upstream", f"module one {SHARED} and more code here"),
+        ("upstream", "a second file with its own distinct body of text tokens"),
+        ("fork", f"module one {SHARED} and more code here"),  # vendored copy
+        ("fork", "fork only extra file carrying brand new words"),
+        ("other", "completely unrelated repository content nothing shared at all"),
+    ]
+    got = {
+        (r["repo_a"], r["repo_b"]): r
+        for r in repo_span_similarity(_repo_df(spark, rows), window=8).collect()
+    }
+    spans = _repo_brute(rows, 8)
+    inter = len(spans["upstream"] & spans["fork"])
+    union = len(spans["upstream"] | spans["fork"])
+    pair = got[("fork", "upstream")]
+    assert pair["n_shared_spans"] == inter
+    assert abs(pair["jaccard"] - round(inter / union, 6)) < 1e-9
+    # the unrelated repo pairs share nothing → filtered out
+    assert ("other", "upstream") not in got and ("fork", "other") not in got
+
+
+def test_repo_span_similarity_hot_cap(spark):
+    from dedup_spark.operators.spans import repo_span_similarity
+
+    # one universal boilerplate span in every repo; cap drops it from
+    # the join side only, so pairs sharing ONLY boilerplate disappear
+    rows = [
+        ("r1", f"{SHARED} unique one body text"),
+        ("r2", f"{SHARED} unique two body text"),
+        ("r3", f"{SHARED} unique three body text"),
+    ]
+    exact = repo_span_similarity(_repo_df(spark, rows), window=8, threshold=0.0).collect()
+    capped = repo_span_similarity(
+        _repo_df(spark, rows), window=8, threshold=0.0, max_repo_freq=2
+    ).collect()
+    assert len(exact) == 3  # every pair shares the boilerplate span
+    shared_exact = {(r["repo_a"], r["repo_b"]): r["n_shared_spans"] for r in exact}
+    assert all(v >= 1 for v in shared_exact.values())
+    # with the cap, the universal span (repo freq 3 > 2) is dropped
+    assert capped == []
