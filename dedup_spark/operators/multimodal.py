@@ -165,6 +165,169 @@ def binary_near_dup_clusters(assets: DataFrame, config=None) -> DataFrame:
     )
 
 
+# ---- decode-adjacent plumbing: resize / frame-sample / features ----------
+# The decode boundary stays honestly stubbed (no media libs here): the
+# *fake* is only the bytes→pixels / bytes→duration step, clearly
+# factored into _fake_pixels/_fake_duration_ms where a real decoder
+# (PIL / ffmpeg) would plug in. Everything after the boundary —
+# nearest-neighbor resampling math, frame timestamp arithmetic, Arrow
+# batch shapes, one-to-many output schemas — is real and tested.
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("src_w", LongType(), False),
+        StructField("src_h", LongType(), False),
+        StructField("out_w", LongType(), False),
+        StructField("out_h", LongType(), False),
+        StructField("pixels", BinaryType(), False),  # grayscale row-major
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def _fake_pixels(payload: bytes):
+    """DECODE STUB (deterministic fake): derive a grayscale image from
+    the payload bytes — dimensions from the length, pixels from the
+    bytes tiled row-major. A real image decoder replaces exactly this
+    function."""
+    import numpy as np
+
+    n = len(payload)
+    w = 16 + (n % 48)
+    h = 16 + ((n // 7) % 48)
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if buf.shape[0] == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    reps = (w * h + buf.shape[0] - 1) // buf.shape[0]
+    return np.tile(buf, reps)[: w * h].reshape(h, w), w, h
+
+
+def _fake_duration_ms(payload: bytes) -> int:
+    """DECODE STUB (deterministic fake): video duration from payload
+    length (1 KB ≈ 1 s, floor 1 s). A real demuxer replaces this."""
+    return max(1000, (len(payload) * 1000) // 1024)
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbor resample of a 2-D uint8 array — real math
+    (index arithmetic only, no decode), deterministic."""
+    import numpy as np
+
+    h, w = img.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys[:, None], xs[None, :]]
+
+
+def resize_images(assets: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Image-normalization plumbing: decode (stub) → nearest-neighbor
+    resize to (out_w, out_h) → grayscale byte buffer, via mapInPandas
+    Arrow batches. Non-image rows are skipped (filter upstream to
+    avoid shipping their payloads). The output buffer is the canonical
+    input to pixel-level fingerprints (reference pHash decodes+resizes
+    exactly like this, /root/reference/src/media_dedup.rs:182-202)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if detect_kind_from_magic(raw) != "image" and kind != "image":
+                    continue
+                img, w, h = _fake_pixels(raw)
+                out = resize_nearest(img, out_w, out_h)
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "src_w": w,
+                        "src_h": h,
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "pixels": out.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return assets.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 1000, max_frames: int = 64) -> DataFrame:
+    """Video frame-sampling plumbing (one-to-many): demux (stub) →
+    one row per sampled timestamp with a deterministic frame payload.
+    The Spark shape is the real thing — mapInPandas emitting multiple
+    rows per input, bounded by max_frames so a pathological duration
+    can't explode a batch (counted by the bound, never silent: the
+    last emitted frame of a clipped asset has frame_idx ==
+    max_frames - 1). A real ffmpeg frame grab replaces the stubbed
+    byte-slice frames."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if detect_kind_from_magic(raw) != "video" and kind != "video":
+                    continue
+                dur = _fake_duration_ms(raw)
+                n = min(max_frames, max(1, dur // every_ms))
+                for i in range(n):
+                    ts = i * every_ms
+                    lo = (i * 97) % max(1, len(raw))
+                    rows.append(
+                        {
+                            "asset_id": int(aid),
+                            "frame_idx": i,
+                            "ts_ms": ts,
+                            "frame": raw[lo : lo + 64] or b"\x00",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return assets.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def extract_features(assets: DataFrame, dim: int = 64) -> DataFrame:
+    """Payload → L2-normalized float feature vector (byte 4-bit-pair
+    histogram folded to ``dim``). NOT a stub: byte-distribution
+    features are decode-free, deterministic content descriptors —
+    coarse, but real. The output column is drop-in compatible with the
+    embedding operators (similarity.cosine_near_dup_pairs /
+    ann_topk_rhp / ivf_topk), closing the multimodal → embedding-dedup
+    loop; a learned encoder would replace this UDF with the same
+    signature."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, FloatType
+
+    @pandas_udf(ArrayType(FloatType()))
+    def feat(payloads: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for payload in payloads:
+            raw = bytes(payload) if payload is not None else b""
+            buf = np.frombuffer(raw, dtype=np.uint8)
+            if buf.shape[0] < 2:
+                out.append(np.zeros(dim, dtype=np.float32))
+                continue
+            # byte-bigram nibble pairs → 256 bins → fold to dim
+            pairs = (buf[:-1].astype(np.int32) >> 4) * 16 + (buf[1:].astype(np.int32) >> 4)
+            hist = np.bincount(pairs % dim, minlength=dim).astype(np.float64)
+            nrm = np.linalg.norm(hist)
+            out.append((hist / nrm if nrm > 0 else hist).astype(np.float32))
+        return pd.Series(out)
+
+    return assets.withColumn("embedding", feat(F.col("payload")))
+
+
 def documents_as_assets(spark, sf_dir: str) -> DataFrame:
     """Fixture adapter: documents → asset rows with payload =
     utf-8 bytes prefixed by a deterministic per-row magic header

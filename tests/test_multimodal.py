@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from dedup_spark.operators.multimodal import (
     ASSET_SCHEMA,
@@ -89,3 +90,91 @@ def test_binary_near_dup_clusters_merge_mutated_payload(spark):
     got = {r["asset_id"]: r["cluster_id"] for r in binary_near_dup_clusters(df).collect()}
     assert got[1] == got[2]
     assert got[3] != got[1]
+
+
+# ---- resize / frame-sample / feature plumbing ----------------------------
+
+MKV = bytes.fromhex("1a45dfa3") + bytes(range(256)) * 8  # ~2 KB "video"
+
+
+def test_resize_nearest_math():
+    import numpy as np
+
+    from dedup_spark.operators.multimodal import resize_nearest
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    same = resize_nearest(img, 4, 4)
+    assert np.array_equal(same, img)  # identity at equal dims
+    half = resize_nearest(img, 2, 2)
+    # nearest-neighbor picks rows 0,2 and cols 0,2
+    assert np.array_equal(half, img[[0, 2]][:, [0, 2]])
+
+
+def test_resize_images(spark):
+    from dedup_spark.operators.multimodal import resize_images
+
+    rows = [(1, "blob", PNG, None), (2, "blob", MP3, None)]
+    out = resize_images(
+        spark.createDataFrame(rows, ASSET_SCHEMA), out_w=8, out_h=6
+    ).collect()
+    # only the image row survives; audio is skipped
+    assert [r["asset_id"] for r in out] == [1]
+    r = out[0]
+    assert (r["out_w"], r["out_h"]) == (8, 6)
+    assert len(r["pixels"]) == 8 * 6
+    assert r["src_w"] > 0 and r["src_h"] > 0
+    # deterministic across runs
+    again = resize_images(
+        spark.createDataFrame(rows, ASSET_SCHEMA), out_w=8, out_h=6
+    ).collect()[0]
+    assert bytes(again["pixels"]) == bytes(r["pixels"])
+
+
+def test_sample_frames(spark):
+    from dedup_spark.operators.multimodal import _fake_duration_ms, sample_frames
+
+    rows = [(1, "blob", MKV, None), (2, "blob", PNG, None)]
+    out = sample_frames(
+        spark.createDataFrame(rows, ASSET_SCHEMA), every_ms=500
+    ).collect()
+    # one-to-many: only the video row emits, one frame per 500 ms
+    assert {r["asset_id"] for r in out} == {1}
+    expect = min(64, max(1, _fake_duration_ms(MKV) // 500))
+    assert len(out) == expect
+    assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == list(
+        range(expect)
+    )
+    assert all(r["ts_ms"] == r["frame_idx"] * 500 for r in out)
+    assert all(len(r["frame"]) >= 1 for r in out)
+
+
+def test_sample_frames_max_frames_clip(spark):
+    from dedup_spark.operators.multimodal import sample_frames
+
+    rows = [(1, "blob", MKV, None)]
+    out = sample_frames(
+        spark.createDataFrame(rows, ASSET_SCHEMA), every_ms=10, max_frames=5
+    ).collect()
+    assert len(out) == 5
+    assert max(r["frame_idx"] for r in out) == 4  # clip is visible, not silent
+
+
+def test_extract_features_feeds_embedding_ops(spark):
+    """Multimodal → embedding-dedup loop: byte-histogram features from
+    binary payloads run straight through cosine_near_dup_pairs."""
+    import numpy as np
+
+    from dedup_spark.operators.multimodal import extract_features
+    from dedup_spark.operators.similarity import cosine_near_dup_pairs
+
+    twin_a = PNG + bytes(range(200)) * 10
+    twin_b = PNG + bytes(range(200)) * 10 + b"\x01\x02"  # tiny mutation
+    other = MP3 + bytes([7, 7, 7, 9]) * 500
+    rows = [(1, "blob", twin_a, None), (2, "blob", twin_b, None), (3, "blob", other, None)]
+    feats = extract_features(spark.createDataFrame(rows, ASSET_SCHEMA), dim=32)
+    vecs = {r["asset_id"]: np.array(r["embedding"]) for r in feats.collect()}
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-5 for v in vecs.values())
+    pairs = cosine_near_dup_pairs(
+        feats.select(F.col("asset_id").alias("vec_id"), "embedding"), threshold=0.9
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
