@@ -269,6 +269,10 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, max_frames: int = 64)
     last emitted frame of a clipped asset has frame_idx ==
     max_frames - 1). A real ffmpeg frame grab replaces the stubbed
     byte-slice frames."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
+    if max_frames <= 0:
+        raise ValueError(f"max_frames must be positive, got {max_frames}")
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

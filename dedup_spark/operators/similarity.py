@@ -431,6 +431,78 @@ def cosine_near_dup_pairs(
     )
 
 
+# ---- exact set-Jaccard core (shared by n-gram docs + repo spans) ---------
+
+def hot_keys(
+    exploded: DataFrame, key_col: str, max_entity_freq: int
+) -> DataFrame:
+    """(key, freq) rows a ``max_entity_freq`` cap would drop from a
+    set-Jaccard join — the queryable counted-never-silent inventory
+    (the generic form of lsh.oversize_buckets)."""
+    return (
+        exploded.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") > max_entity_freq)
+    )
+
+
+def set_jaccard_pairs(
+    exploded: DataFrame,
+    entity_col: str,
+    key_col: str,
+    threshold: float,
+    max_entity_freq: int | None = None,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+    shared_col: str | None = None,
+) -> DataFrame:
+    """Exact set Jaccard between entities, from exploded (entity, key)
+    rows — one row per DISTINCT key per entity (callers own that
+    dedup). Shared by the document-level n-gram pairs and the
+    repo-level span similarity so the join shape and the
+    quadratic-hot-key guard live in one place.
+
+    Skew guard contract: a key present in d entities emits C(d,2)
+    join rows — quadratic in the hottest key. ``max_entity_freq``
+    drops keys above the cap from the JOIN side only (per-entity
+    totals stay exact, so Jaccard is underestimated — pairs sharing
+    nothing but boilerplate fall away, the LSH-cap trade). Dropped
+    keys are queryable via ``hot_keys`` — counted, never silent.
+    Default None = exact (the DuckDB-oracle contract config).
+    """
+    counts = exploded.groupBy(entity_col).agg(F.count(F.lit(1)).alias("_n"))
+    joinable = exploded
+    if max_entity_freq is not None:
+        hot = hot_keys(exploded, key_col, max_entity_freq).select(key_col)
+        joinable = exploded.join(F.broadcast(hot), key_col, "left_anti")
+    a = joinable.select(F.col(entity_col).alias(out_a), key_col)
+    b = joinable.select(F.col(entity_col).alias(out_b), key_col)
+    shared = (
+        a.join(b, key_col)
+        .filter(F.col(out_a) < F.col(out_b))
+        .groupBy(out_a, out_b)
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    ca = counts.select(F.col(entity_col).alias(out_a), F.col("_n").alias("_na"))
+    cb = counts.select(F.col(entity_col).alias(out_b), F.col("_n").alias("_nb"))
+    out = (
+        shared.join(ca, out_a)
+        .join(cb, out_b)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_shared") / (F.col("_na") + F.col("_nb") - F.col("_shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    cols = [out_a, out_b]
+    if shared_col is not None:
+        cols.append(F.col("_shared").alias(shared_col))
+    cols.append("jaccard")
+    return out.select(*cols)
+
+
 # ---- exact n-gram Jaccard near-dup pairs ---------------------------------
 
 def ngram_shingles(tok_col: str = "t", n: int = 3) -> Column:
@@ -466,11 +538,7 @@ def ngram_hot_shingles(
     surfaced for metrics (counted, never silent; the ngram analog of
     lsh.oversize_buckets)."""
     sh = _ngram_exploded(df, n, id_col, col)
-    return (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_doc_freq)
-    )
+    return hot_keys(sh, "s", max_doc_freq).withColumnRenamed("freq", "df")
 
 
 def ngram_jaccard_pairs(
@@ -486,40 +554,12 @@ def ngram_jaccard_pairs(
     |A∩B|/(|A|+|B|-|A∩B|) ≥ threshold. Entirely JVM-side; the join key
     is the shingle string.
 
-    Skew guard: one boilerplate shingle present in d documents emits
-    C(d,2) join rows before the groupBy — quadratic in the hottest
-    key. ``max_doc_freq`` drops shingles whose document frequency
-    exceeds the cap from the JOIN SIDE only (per-doc totals stay
-    exact, so Jaccard is underestimated — pairs sharing nothing but
-    boilerplate fall away, the LSH-cap trade). Dropped shingles are
-    queryable via ``ngram_hot_shingles`` (counted, never silent).
+    Skew guard: ``max_doc_freq`` is ``set_jaccard_pairs``'
+    ``max_entity_freq`` (see its docstring for the drop contract);
+    dropped shingles are queryable via ``ngram_hot_shingles``.
     Default None = exact (the DuckDB-oracle contract config).
     """
     sh = _ngram_exploded(df, n, id_col, col)
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    joinable = sh
-    if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("s")
-        )
-        joinable = sh.join(F.broadcast(hot), "s", "left_anti")
-    a = joinable.select(F.col(id_col).alias("id_a"), "s")
-    b = joinable.select(F.col(id_col).alias("id_b"), "s")
-    shared = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    return (
-        shared.join(ca, "id_a")
-        .join(cb, "id_b")
-        .withColumn("jaccard", F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return set_jaccard_pairs(
+        sh, id_col, "s", threshold, max_entity_freq=max_doc_freq
     )

@@ -25,14 +25,18 @@ also value-verifies these operators (queries.ORACLE ``dup_spans`` /
 
 Scale posture (100 TB):
 - Exploded span rows ≈ total corpus tokens — linear in input, same
-  order as the tokenizer pass; no quadratic blowup anywhere.
-- Per-span doc counts are a groupBy with map-side partial aggregation
-  (hot boilerplate spans combine before the exchange).
-- The dup-flag membership check is a left-semi join on the 64-bit
-  span hash; boilerplate keys are skewed by nature → AQE skew-join
-  handles them, and the semi join carries only (id, hash) pairs,
-  never content.
-- Benchmark sets are small by definition → broadcast semi join, no
+  order as the tokenizer pass; no quadratic blowup anywhere, and only
+  (id, 64-bit hash) pairs ever shuffle — never content.
+- The per-doc dup profiles are single-chain plans (explode_outer →
+  window count over the hash → groupBy doc): the span UDF evaluates
+  exactly once and there are no joins. The trade: a mega-hot
+  boilerplate span lands in ONE WindowExec key group (spill-backed,
+  bounded by the hottest key's doc count — see
+  _dup_stats_from_exploded); corpora with pathological universal
+  boilerplate should pre-drop it with a max-frequency cap
+  (repo_span_similarity ships one, with the dropped keys queryable
+  via repo_hot_spans).
+- Benchmark sets are small by definition → broadcast join, no
   shuffle of the corpus side beyond the explode.
 
 Reference tie-in: the reference dedups whole files only
@@ -52,9 +56,12 @@ from pyspark.sql.types import ArrayType, LongType
 
 
 def make_span_hashes_udf(window: int = 8):
-    """Arrow-batched UDF: text → sorted distinct signed-int64 hashes of
-    every ``window``-token span (stride 1; <window tokens → one span of
-    all tokens; empty → empty array)."""
+    """Arrow-batched UDF: text → distinct signed-int64 hashes of every
+    ``window``-token span (stride 1; <window tokens → one span of all
+    tokens; empty → empty array). Array order is ascending in the
+    UNSIGNED uint64 domain — hashes with the top bit set wrap to
+    negative int64s at the end, so do not binary-search the signed
+    values."""
 
     @pandas_udf(ArrayType(LongType()))
     def span_udf(texts: pd.Series) -> pd.Series:
@@ -231,55 +238,56 @@ def repo_span_similarity(
     vendored copy of the other — the repo-granularity dedup signal a
     source-code corpus needs before file-level passes.
 
-    Same self-join shape (and the same quadratic-hot-key guard
-    contract) as similarity.ngram_jaccard_pairs, one level up: a span
-    present in r repos emits C(r,2) join rows, so ``max_repo_freq``
-    drops universal boilerplate spans from the JOIN side only
-    (per-repo totals stay exact → Jaccard underestimated, never
-    over). Default None = exact (the oracle-contract config).
+    The join shape and the quadratic-hot-key guard live in
+    ``similarity.set_jaccard_pairs`` (shared with the document-level
+    n-gram pairs): ``max_repo_freq`` drops universal boilerplate
+    spans from the JOIN side only (per-repo totals stay exact →
+    Jaccard underestimated, never over); dropped spans are queryable
+    via ``repo_hot_spans``. Default None = exact (the
+    oracle-contract config).
 
     Output: (repo_a, repo_b, n_shared_spans, jaccard) for pairs with
     jaccard >= threshold, repo_a < repo_b.
     """
-    rs = (
+    from dedup_spark.operators.similarity import set_jaccard_pairs
+
+    return set_jaccard_pairs(
+        _repo_spans(df, repo_col, col, window),
+        repo_col,
+        "span_hash",
+        threshold,
+        max_entity_freq=max_repo_freq,
+        out_a="repo_a",
+        out_b="repo_b",
+        shared_col="n_shared_spans",
+    )
+
+
+def _repo_spans(df: DataFrame, repo_col: str, col: str, window: int) -> DataFrame:
+    """Distinct (repo, span_hash) rows — each repo's span set is the
+    union over its files."""
+    return (
         with_span_hashes(df, col, window)
         .select(repo_col, F.explode("span_hashes").alias("span_hash"))
         .distinct()
     )
-    counts = rs.groupBy(repo_col).agg(F.count(F.lit(1)).alias("n_spans"))
-    joinable = rs
-    if max_repo_freq is not None:
-        hot = (
-            rs.groupBy("span_hash")
-            .agg(F.count(F.lit(1)).alias("rf"))
-            .filter(F.col("rf") > max_repo_freq)
-            .select("span_hash")
-        )
-        joinable = rs.join(F.broadcast(hot), "span_hash", "left_anti")
-    a = joinable.select(F.col(repo_col).alias("repo_a"), "span_hash")
-    b = joinable.select(F.col(repo_col).alias("repo_b"), "span_hash")
-    shared = (
-        a.join(b, "span_hash")
-        .filter(F.col("repo_a") < F.col("repo_b"))
-        .groupBy("repo_a", "repo_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
-    )
-    ca = counts.select(F.col(repo_col).alias("repo_a"), F.col("n_spans").alias("_na"))
-    cb = counts.select(F.col(repo_col).alias("repo_b"), F.col("n_spans").alias("_nb"))
-    return (
-        shared.join(ca, "repo_a")
-        .join(cb, "repo_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_shared_spans")
-                / (F.col("_na") + F.col("_nb") - F.col("n_shared_spans")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("repo_a", "repo_b", "n_shared_spans", "jaccard")
-    )
+
+
+def repo_hot_spans(
+    df: DataFrame,
+    repo_col: str = "repo",
+    col: str = "content",
+    window: int = 8,
+    max_repo_freq: int = 512,
+) -> DataFrame:
+    """The (span_hash, n_repos) rows a ``max_repo_freq`` cap would
+    drop from repo_span_similarity — the queryable counted-never-
+    silent inventory (same contract as similarity.ngram_hot_shingles)."""
+    from dedup_spark.operators.similarity import hot_keys
+
+    return hot_keys(
+        _repo_spans(df, repo_col, col, window), "span_hash", max_repo_freq
+    ).withColumnRenamed("freq", "n_repos")
 
 
 # ---- line-level boilerplate (exact, JVM-only — no UDF) -------------------
@@ -287,7 +295,7 @@ def repo_span_similarity(
 LINE_SEP = "\r?\n"
 
 
-def _doc_lines(df: DataFrame, id_col: str, col: str) -> Column:
+def _doc_lines(col: str) -> Column:
     """Distinct non-blank lines of a document (trim-filtered)."""
     return F.array_distinct(
         F.filter(F.split(F.col(col), LINE_SEP), lambda x: F.length(F.trim(x)) > 0)
@@ -303,7 +311,7 @@ def line_dup_stats(
     builtin — the whole plan stays JVM-side, no Python). Same
     single-chain window plan as span_dup_stats."""
     ex = df.select(
-        id_col, F.explode_outer(_doc_lines(df, id_col, col)).alias("line")
+        id_col, F.explode_outer(_doc_lines(col)).alias("line")
     ).select(id_col, F.sha2(F.col("line"), 256).alias("line_hash"))
     return _dup_stats_from_exploded(
         ex, id_col, "line_hash", "n_lines", "n_dup_lines", "dup_line_ratio"
@@ -317,7 +325,7 @@ def top_duplicated_lines(
     (line text kept — this is the human-readable inventory; at corpus
     scale prefer line_dup_stats + a sampled join for examples)."""
     ex = (
-        df.select(id_col, F.explode(_doc_lines(df, id_col, col)).alias("line"))
+        df.select(id_col, F.explode(_doc_lines(col)).alias("line"))
         .select(id_col, "line")
     )
     return (

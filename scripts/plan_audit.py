@@ -133,7 +133,7 @@ def main() -> None:
     summarize(
         "decontaminate (broadcast bench span set)",
         decontaminate(corp, bench),
-        "1: groupBy doc; bench side broadcast, corpus UDF eval x1",
+        "2: bench-side distinct + groupBy doc; bench set broadcast, corpus UDF eval x1",
     )
     spark.stop()
 

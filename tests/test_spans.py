@@ -256,3 +256,20 @@ def test_repo_span_similarity_hot_cap(spark):
     assert all(v >= 1 for v in shared_exact.values())
     # with the cap, the universal span (repo freq 3 > 2) is dropped
     assert capped == []
+
+
+def test_repo_hot_spans_inventory(spark):
+    from dedup_spark.operators.spans import repo_hot_spans
+
+    rows = [
+        ("r1", f"{SHARED} unique one body text"),
+        ("r2", f"{SHARED} unique two body text"),
+        ("r3", f"{SHARED} unique three body text"),
+    ]
+    hot = repo_hot_spans(_repo_df(spark, rows), window=8, max_repo_freq=2).collect()
+    # two universal spans are over the cap: SHARED itself (tokens 0-7)
+    # and tokens 1-8 ("beta..theta unique" — "unique" follows SHARED in
+    # every repo)
+    assert len(hot) == 2 and all(r["n_repos"] == 3 for r in hot)
+    # and nothing is hot at a cap of 3
+    assert repo_hot_spans(_repo_df(spark, rows), window=8, max_repo_freq=3).collect() == []
