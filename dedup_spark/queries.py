@@ -584,6 +584,20 @@ def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-session dedup (batch form of the applyInPandasWithState
+    streaming operator, streaming/sessions.py): first event of every
+    30-min-gap session per (user, type), with the 1-based session
+    index. ts stays out of the compare (events_dedup precedent —
+    cross-engine timestamp display differs; event_id pins the row)."""
+    from dedup_spark.streaming.sessions import session_dedup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_dedup(ev, gap_minutes=30).select(
+        "event_id", "user_id", "event_type", "session_seq"
+    )
+
+
 def q_asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → mapInPandas metadata
     extraction (magic sniff + deterministic fake decode). Every output
@@ -1014,6 +1028,28 @@ FROM shared
 JOIN counts ca ON ca.file_id = id_a
 JOIN counts cb ON cb.file_id = id_b
 WHERE round(shared / (ca.n_sh + cb.n_sh - shared), 6) >= 0.5
+""",
+    # lag-chain gap sessions; microsecond-exact boundary on both
+    # engines (unix_micros ↔ epoch_us), strict > like the operator
+    "session_dedup": """
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+  FROM events
+),
+m AS (
+  SELECT *,
+         (prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 30 * 60 * 1000000) AS is_new
+  FROM e
+),
+r AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM m
+)
+SELECT event_id, user_id, event_type, session_seq FROM r WHERE is_new
 """,
     "events_dedup": """
 SELECT event_id, user_id, event_type
@@ -1571,6 +1607,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "shingle_counts": q_shingle_counts,
     "events_dedup": q_events_dedup,
+    "session_dedup": q_session_dedup,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_clusters": q_embedding_near_dup_clusters,
