@@ -492,8 +492,17 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition order matters and is pinned: dedup AFTER filtering
     (cheap gates first shrink the dedup input — the order a real
     100 TB pipeline uses), redaction last (it must never perturb the
-    dedup keys). Every stage is JVM expressions + two hash windows —
-    the whole funnel is one job, no Python."""
+    dedup keys).
+
+    Physical shape (plan_audit-verified): ONE content scan. A naive
+    union-of-aggregates re-scans the corpus once per stage (6 content
+    scans at 100 TB); instead stage membership is computed as flags on
+    one frame — "survives exact dedup" ⇔ file_id == min(file_id over
+    the hash group AMONG stage-2 rows), a conditional-min window, and
+    likewise for the token-set stage — then all six stages reduce in
+    ONE conditional aggregate and unpivot via stack(). Content is
+    dropped before the two window shuffles (keys + counters ride, ~100
+    bytes/row). No Python anywhere."""
     from dedup_spark.operators.codestats import (
         code_quality_flag,
         redact_pii,
@@ -517,34 +526,50 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_q", code_quality_flag(max_line_len=2000, max_avg_line_len=2000.0))
         .withColumn("is_lic", F.col("license").isin("MIT", "Apache-2.0", "BSD"))
     )
-    s1 = df.filter(F.col("is_q"))
-    s2 = s1.filter(F.col("is_lic"))
-    wh = Window.partitionBy(F.sha2(F.col("content"), 256)).orderBy("file_id")
-    s3 = s2.withColumn("_r", F.row_number().over(wh)).filter(F.col("_r") == 1).drop("_r")
-    wt = Window.partitionBy(tokenset_hash()).orderBy("file_id")
-    s4 = s3.withColumn("_r", F.row_number().over(wt)).filter(F.col("_r") == 1).drop("_r")
-
-    def level(
-        d: DataFrame, idx: int, name: str, tok: str = "n_tok", chars: str = "n_chr"
-    ) -> DataFrame:
-        return d.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum(tok), F.lit(0)).cast("long").alias("total_tokens"),
-            F.coalesce(F.sum(chars), F.lit(0)).cast("long").alias("total_chars"),
-        ).select(
-            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"),
-            "n_docs", "total_tokens", "total_chars",
-        )
-
-    out = (
-        level(df, 0, "raw")
-        .unionByName(level(s1, 1, "quality"))
-        .unionByName(level(s2, 2, "licensed"))
-        .unionByName(level(s3, 3, "exact_dedup"))
-        .unionByName(level(s4, 4, "tokenset_dedup"))
-        .unionByName(level(s4, 5, "redacted", tok="n_tok_red", chars="n_chr_red"))
+    # narrow the frame BEFORE the window shuffles: dedup keys +
+    # counters only, content stays at the scan
+    narrow = df.select(
+        "file_id", "n_tok", "n_tok_red", "n_chr", "n_chr_red", "is_q", "is_lic",
+        F.sha2(F.col("content"), 256).alias("_hkey"),
+        tokenset_hash().alias("_tskey"),
     )
-    return out.orderBy("stage_idx")
+    is_s2 = F.col("is_q") & F.col("is_lic")
+    wh = Window.partitionBy("_hkey")
+    is_s3 = is_s2 & (
+        F.col("file_id") == F.min(F.when(is_s2, F.col("file_id"))).over(wh)
+    )
+    flagged = narrow.withColumn("_s3", is_s3)
+    wt = Window.partitionBy("_tskey")
+    flagged = flagged.withColumn(
+        "_s4",
+        F.col("_s3")
+        & (F.col("file_id") == F.min(F.when(F.col("_s3"), F.col("file_id"))).over(wt)),
+    )
+
+    stages = [
+        ("raw", F.lit(True), "n_tok", "n_chr"),
+        ("quality", F.col("is_q"), "n_tok", "n_chr"),
+        ("licensed", is_s2, "n_tok", "n_chr"),
+        ("exact_dedup", F.col("_s3"), "n_tok", "n_chr"),
+        ("tokenset_dedup", F.col("_s4"), "n_tok", "n_chr"),
+        ("redacted", F.col("_s4"), "n_tok_red", "n_chr_red"),
+    ]
+    aggs = []
+    for i, (_, flag, tok, chars) in enumerate(stages):
+        aggs += [
+            F.coalesce(F.sum(F.when(flag, 1)), F.lit(0)).cast("long").alias(f"_d{i}"),
+            F.coalesce(F.sum(F.when(flag, F.col(tok))), F.lit(0)).cast("long").alias(f"_t{i}"),
+            F.coalesce(F.sum(F.when(flag, F.col(chars))), F.lit(0)).cast("long").alias(f"_c{i}"),
+        ]
+    one = flagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{name}', _d{i}, _t{i}, _c{i}" for i, (name, *_), in enumerate(stages)
+    )
+    return one.select(
+        F.expr(
+            f"stack(6, {stack_args}) AS (stage_idx, stage, n_docs, total_tokens, total_chars)"
+        )
+    ).orderBy("stage_idx")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

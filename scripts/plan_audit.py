@@ -135,6 +135,29 @@ def main() -> None:
         decontaminate(corp, bench),
         "2: bench-side distinct + groupBy doc; bench set broadcast, corpus UDF eval x1",
     )
+
+    # code-curation surface: pure projections (regex in codegen) must
+    # show ZERO exchanges; the funnel pays exactly its two dedup
+    # windows + per-stage aggregates, no Python anywhere
+    from dedup_spark.queries import q_code_stats, q_curation_funnel, q_session_dedup
+
+    summarize(
+        "code stats + PII + license (projection only)",
+        q_code_stats(spark, sf_dir),
+        "0: scan → regex projections in codegen, no shuffle, no Python",
+    )
+    summarize(
+        "curation funnel (filters → dedup windows → aggregates)",
+        q_curation_funnel(spark, sf_dir),
+        "3: hash window + tokenset window + ONE conditional aggregate for all "
+        "6 stages (single content scan — stack() unpivot, no union rescans; "
+        "counts here double AQE's initial-plan copy)",
+    )
+    summarize(
+        "session dedup (batch lag-chain)",
+        q_session_dedup(spark, sf_dir),
+        "1: one (user,type) window chain — lag + running sum share the sort",
+    )
     spark.stop()
 
 
