@@ -439,6 +439,56 @@ aug AS (
 """
 
 
+# ---- SQL fragments GENERATED from the codestats constants (single
+# source of truth: the Python operator and every oracle interpolate the
+# same pattern strings — editing a pattern cannot drift one copy) ------
+
+from dedup_spark.operators import codestats as _CS  # noqa: E402
+
+
+def _sql_redact(col: str) -> str:
+    """The typed-placeholder redaction chain over ``col``, in
+    REDACTION_ORDER (codestats.redact_pii's SQL mirror)."""
+    from dedup_spark.operators.codestats import PII_PATTERNS, REDACTION_ORDER
+
+    expr = col
+    for name in REDACTION_ORDER:
+        pattern, placeholder = PII_PATTERNS[name]
+        expr = f"regexp_replace({expr}, '{pattern}', '{placeholder}', 'g')"
+    return expr
+
+
+def _sql_license_case(head: str, spdx: str) -> str:
+    """codestats.with_license's precedence CASE (SPDX wins, then the
+    marker list in declaration order)."""
+    from dedup_spark.operators.codestats import LICENSE_MARKERS
+
+    branches = "\n".join(
+        f"       WHEN regexp_matches({head}, '{marker}') THEN '{name}'"
+        for name, marker in LICENSE_MARKERS
+    )
+    return f"CASE WHEN {spdx} <> '' THEN {spdx}\n{branches}\n       ELSE 'unknown' END"
+
+
+def _sql_spdx_extract(col: str, head_chars: int = 2000) -> str:
+    from dedup_spark.operators.codestats import SPDX_PATTERN
+
+    return f"regexp_extract(substr({col}, 1, {head_chars}), '{SPDX_PATTERN}', 1)"
+
+
+def _sql_is_quality(max_line_len: int, max_avg_line_len: float) -> str:
+    """codestats.code_quality_flag over inline line stats of ``content``
+    (``ll`` must be the line-length list column in scope)."""
+    from dedup_spark.operators.codestats import AUTOGEN_PATTERN
+
+    return f"""(CAST(list_aggregate(ll, 'max') AS BIGINT) <= {max_line_len}
+     AND round(CAST(list_aggregate(ll, 'sum') AS BIGINT) / CAST(len(ll) AS BIGINT), 6) <= {max_avg_line_len}
+     AND round((length(content)
+                - length(regexp_replace(content, '[A-Za-z0-9]', '', 'g')))
+               / greatest(length(content), 1), 6) >= 0.25
+     AND NOT regexp_matches(substr(content, 1, 1000), '{AUTOGEN_PATTERN}'))"""
+
+
 def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-corpus line-shape quality filters (The-Stack-style): line
     count, max/avg line length, alnum ratio, autogenerated flag, and
@@ -878,8 +928,9 @@ SELECT file_id,
 FROM s
 """,
     # Code-corpus curation trio: augmentation (SQL_AUG) mirrors
-    # _augmented_code step by step; every regex is Java∩RE2 dialect so
-    # both engines run the identical pattern (codestats.py docstring).
+    # _augmented_code step by step; every regex string is INTERPOLATED
+    # from the codestats constants (see the _sql_* fragment builders) so
+    # the Python operator and all oracles share one pattern source.
     "code_stats": rf"""
 WITH {SQL_FILES}, {SQL_AUG},
 lens AS (
@@ -896,9 +947,7 @@ st AS (
          round((length(content)
                 - length(regexp_replace(content, '[A-Za-z0-9]', '', 'g')))
                / greatest(length(content), 1), 6) AS alnum_ratio,
-         regexp_matches(substr(content, 1, 1000),
-                        '(?i)(auto[- ]?generated|generated by|do not edit|@generated)')
-           AS is_autogen
+         regexp_matches(substr(content, 1, 1000), '{_CS.AUTOGEN_PATTERN}') AS is_autogen
   FROM lens
 )
 SELECT file_id, n_lines, max_line_len, avg_line_len, alnum_ratio, is_autogen,
@@ -909,43 +958,27 @@ FROM st
     "pii_redact": rf"""
 WITH {SQL_FILES}, {SQL_AUG}
 SELECT file_id,
-  CAST(len(regexp_extract_all(content,
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', 0)) AS BIGINT) AS n_email,
-  CAST(len(regexp_extract_all(content, 'AKIA[0-9A-Z]{{16}}', 0)) AS BIGINT) AS n_aws_key,
-  CAST(len(regexp_extract_all(content, '\b[0-9a-fA-F]{{32,}}\b', 0)) AS BIGINT)
+  CAST(len(regexp_extract_all(content, '{_CS.PII_PATTERNS["email"][0]}', 0)) AS BIGINT)
+    AS n_email,
+  CAST(len(regexp_extract_all(content, '{_CS.PII_PATTERNS["aws_key"][0]}', 0)) AS BIGINT)
+    AS n_aws_key,
+  CAST(len(regexp_extract_all(content, '{_CS.PII_PATTERNS["hex_secret"][0]}', 0)) AS BIGINT)
     AS n_hex_secret,
-  CAST(len(regexp_extract_all(content,
-    '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b', 0)) AS BIGINT) AS n_ipv4,
-  regexp_matches(content, '-----BEGIN [A-Z ]*PRIVATE KEY-----') AS has_private_key,
-  sha256(
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(content,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-          'AKIA[0-9A-Z]{{16}}', '<AWS_KEY>', 'g'),
-        '\b[0-9a-fA-F]{{32,}}\b', '<HEX_SECRET>', 'g'),
-      '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b', '<IP>', 'g')
-  ) AS redacted_sha
+  CAST(len(regexp_extract_all(content, '{_CS.PII_PATTERNS["ipv4"][0]}', 0)) AS BIGINT)
+    AS n_ipv4,
+  regexp_matches(content, '{_CS.PRIVATE_KEY_PATTERN}') AS has_private_key,
+  sha256({_sql_redact("content")}) AS redacted_sha
 FROM aug
 """,
     "license_detect": rf"""
 WITH {SQL_FILES}, {SQL_AUG},
 h AS (
   SELECT file_id, substr(content, 1, 2000) AS head,
-         regexp_extract(substr(content, 1, 2000),
-                        'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1) AS spdx
+         {_sql_spdx_extract("content")} AS spdx
   FROM aug
 )
 SELECT file_id,
-  CASE WHEN spdx <> '' THEN spdx
-       WHEN regexp_matches(head, '(?i)Apache License') THEN 'Apache-2.0'
-       WHEN regexp_matches(head, '(?i)(MIT License|Permission is hereby granted, free of charge)')
-         THEN 'MIT'
-       WHEN regexp_matches(head, '(?i)GNU General Public License') THEN 'GPL'
-       WHEN regexp_matches(head, '(?i)Redistribution and use in source and binary forms')
-         THEN 'BSD'
-       ELSE 'unknown' END AS license
+  {_sql_license_case("head", "spdx")} AS license
 FROM h
 """,
     # The whole curation pipeline as one funnel; stage predicates and
@@ -955,19 +988,10 @@ FROM h
 WITH {SQL_FILES}, {SQL_AUG},
 feat AS (
   SELECT file_id, content,
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(content,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-          'AKIA[0-9A-Z]{{16}}', '<AWS_KEY>', 'g'),
-        '\b[0-9a-fA-F]{{32,}}\b', '<HEX_SECRET>', 'g'),
-      '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b', '<IP>', 'g')
-      AS content_red,
+    {_sql_redact("content")} AS content_red,
     list_transform(regexp_split_to_array(content, '\r?\n'), x -> length(x)) AS ll,
     substr(content, 1, 2000) AS head,
-    regexp_extract(substr(content, 1, 2000),
-                   'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1) AS spdx
+    {_sql_spdx_extract("content")} AS spdx
   FROM aug
 ),
 flags AS (
@@ -978,21 +1002,8 @@ flags AS (
          ELSE len(regexp_split_to_array(trim(content_red), '\s+')) END AS n_tok_red,
     CAST(length(content) AS BIGINT) AS n_chr,
     CAST(length(content_red) AS BIGINT) AS n_chr_red,
-    (CAST(list_aggregate(ll, 'max') AS BIGINT) <= 2000
-     AND round(CAST(list_aggregate(ll, 'sum') AS BIGINT) / CAST(len(ll) AS BIGINT), 6) <= 2000.0
-     AND round((length(content)
-                - length(regexp_replace(content, '[A-Za-z0-9]', '', 'g')))
-               / greatest(length(content), 1), 6) >= 0.25
-     AND NOT regexp_matches(substr(content, 1, 1000),
-               '(?i)(auto[- ]?generated|generated by|do not edit|@generated)')) AS is_q,
-    (CASE WHEN spdx <> '' THEN spdx
-          WHEN regexp_matches(head, '(?i)Apache License') THEN 'Apache-2.0'
-          WHEN regexp_matches(head, '(?i)(MIT License|Permission is hereby granted, free of charge)')
-            THEN 'MIT'
-          WHEN regexp_matches(head, '(?i)GNU General Public License') THEN 'GPL'
-          WHEN regexp_matches(head, '(?i)Redistribution and use in source and binary forms')
-            THEN 'BSD'
-          ELSE 'unknown' END) IN ('MIT', 'Apache-2.0', 'BSD') AS is_lic
+    {_sql_is_quality(2000, 2000.0)} AS is_q,
+    ({_sql_license_case("head", "spdx")}) IN ('MIT', 'Apache-2.0', 'BSD') AS is_lic
   FROM feat
 ),
 s1 AS (SELECT * FROM flags WHERE is_q),

@@ -78,9 +78,7 @@ def session_dedup(
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev_us = F.lag(us).over(w)
     is_new = prev_us.isNull() | ((us - prev_us) > gap_us)
-    run = Window.partitionBy(user_col, type_col).orderBy(ts_col, id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         events.withColumn("_new", is_new)
         .withColumn("session_seq", F.sum(F.col("_new").cast("long")).over(run))
@@ -116,9 +114,6 @@ def streaming_session_dedup(
             # session); exact seq continuity needs durable state à la
             # SignatureStore, out of scope for the in-memory operator
             state.remove()
-            yield pd.DataFrame(
-                columns=["event_id", "user_id", "event_type", "ts", "session_seq"]
-            )
             return
         user_id, event_type = key
         pdf = pd.concat(list(pdfs), ignore_index=True)
