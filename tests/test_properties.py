@@ -159,3 +159,64 @@ def test_span_hashes_whitespace_run_invariant(tokens, window):
     a = doc_span_hashes(" ".join(tokens), window)
     b = doc_span_hashes("\t \n".join(tokens) + " \n", window)
     assert np.array_equal(a, b)
+
+
+# ---- PII redaction invariants (third-engine re proxy) ---------------------
+# The Spark/Java and DuckDB/RE2 engines are pinned equal by the
+# pii_redact value oracle; Python re is a third engine over the SAME
+# pattern constants, letting hypothesis drive generated inputs cheaply.
+
+import re
+
+from dedup_spark.operators.codestats import PII_PATTERNS, REDACTION_ORDER
+
+
+def _redact_py(text: str) -> str:
+    for name in REDACTION_ORDER:
+        pattern, placeholder = PII_PATTERNS[name]
+        text = re.sub(pattern, placeholder, text)
+    return text
+
+
+_WORD = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8)
+_EMAIL = st.builds(
+    lambda a, b, c: f"{a}@{b}.{c}",
+    _WORD, _WORD, st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=2, max_size=4),
+)
+_IP = st.builds(
+    lambda a, b, c, d: f"{a}.{b}.{c}.{d}", *[st.integers(0, 255)] * 4
+)
+_AWS = st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789", min_size=16, max_size=16).map(
+    lambda s: "AKIA" + s
+)
+_HEX = st.text(alphabet="0123456789abcdef", min_size=32, max_size=40)
+_TOKEN = st.one_of(_WORD, _EMAIL, _IP, _AWS, _HEX)
+
+
+@SETTINGS
+@given(st.lists(_TOKEN, min_size=0, max_size=30))
+def test_redaction_preserves_token_positions(tokens):
+    """Patterns never match whitespace and placeholders contain none,
+    so redaction is a per-token map: same token count, and every
+    generated PII token becomes exactly its typed placeholder."""
+    text = " ".join(tokens)
+    out = _redact_py(text)
+    out_tokens = out.split(" ") if text else []
+    assert len(out_tokens) == len(tokens)
+    for i, tok in enumerate(tokens):
+        for name in REDACTION_ORDER:
+            pattern, placeholder = PII_PATTERNS[name]
+            if re.fullmatch(pattern, tok):
+                assert out_tokens[i] == placeholder
+                break
+        else:
+            assert out_tokens[i] == tok
+
+
+@SETTINGS
+@given(st.lists(_TOKEN, min_size=0, max_size=30))
+def test_redaction_removes_all_standalone_pii(tokens):
+    out = _redact_py(" ".join(tokens))
+    for probe in ("aws_key", "hex_secret", "ipv4"):
+        pattern, _ = PII_PATTERNS[probe]
+        assert not any(re.fullmatch(pattern, t) for t in out.split(" ") if t)
