@@ -684,6 +684,23 @@ def q_asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_asset_meta(documents_as_assets(spark, sf_dir))
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode at scale: every document rendered into an
+    actual PNG (engine's own stdlib encoder), then hashed through the
+    real zlib-inflate + unfilter decoder and the 32×32 DCT pHash —
+    ``fake=False``, so a silent fall-back to the stub is impossible
+    (decoder == 'png' on every row, visible in the output). Rows-only
+    contract by nature (a 2-D DCT has no DuckDB mirror); bit-level
+    determinism and the Hamming-gate semantics are pytest-gated in
+    tests/test_imagecodec.py."""
+    from dedup_spark.operators.multimodal import (
+        documents_as_png_assets,
+        image_phash,
+    )
+
+    return image_phash(documents_as_png_assets(spark, sf_dir)).orderBy("asset_id")
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for the first 20 query vectors."""
     from dedup_spark.operators.similarity import cosine_topk
@@ -1648,6 +1665,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_clusters": q_embedding_near_dup_clusters,
     "asset_meta": q_asset_meta,
+    "image_phash": q_image_phash,
     "exact_hash_clusters": q_exact_hash_clusters,
     "exact_dup_sets": q_exact_dup_sets,
     "tokenset_clusters": q_tokenset_clusters,

@@ -1,0 +1,230 @@
+"""Real image decode (PNG/BMP, stdlib-only) + DCT pHash + the image
+near-dup path built on them.
+
+The codec tests need no Spark: round-trips are bit-exact by
+construction, and the PNG filter coverage decodes scanlines encoded
+with every filter type (1-4) by an independent per-byte reference
+encoder written inline here."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from dedup_spark.functions.imagecodec import (
+    ImageDecodeError,
+    _png_wrap,
+    decode_bmp,
+    decode_png,
+    encode_bmp_gray8,
+    encode_png_gray8,
+    encode_png_rgb8,
+    phash64,
+)
+
+
+def _gradient(h: int = 64, w: int = 64) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((yy * 2 + xx * 3) % 256).astype(np.uint8)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# ---------------------------------------------------------------- codecs --
+
+def test_png_gray_roundtrip_bit_exact():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    gray, w, h = decode_png(encode_png_gray8(img))
+    assert (w, h) == (56, 40)
+    assert (gray == img).all()
+
+
+def test_png_rgb_integer_luma():
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    gray, w, h = decode_png(encode_png_rgb8(rgb))
+    c = rgb.astype(np.uint32)
+    expected = ((77 * c[:, :, 0] + 150 * c[:, :, 1] + 29 * c[:, :, 2]) >> 8).astype(
+        np.uint8
+    )
+    assert (gray == expected).all()
+
+
+def test_png_all_filter_types_decode():
+    """Scanlines filtered with Sub/Up/Average/Paeth/None by an
+    independent per-byte reference encoder must decode back exactly."""
+    rng = np.random.default_rng(3)
+    w, h = 9, 5
+    src = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    lines = []
+    prev = np.zeros(w, dtype=np.int32)
+    for y, f in enumerate([1, 2, 3, 4, 0]):
+        row = src[y].astype(np.int32)
+        enc = np.zeros(w, dtype=np.int32)
+        for x in range(w):
+            left = int(row[x - 1]) if x >= 1 else 0
+            up_left = int(prev[x - 1]) if x >= 1 else 0
+            if f == 0:
+                enc[x] = row[x]
+            elif f == 1:
+                enc[x] = (row[x] - left) & 0xFF
+            elif f == 2:
+                enc[x] = (row[x] - prev[x]) & 0xFF
+            elif f == 3:
+                enc[x] = (row[x] - ((left + int(prev[x])) >> 1)) & 0xFF
+            else:
+                enc[x] = (row[x] - paeth(left, int(prev[x]), up_left)) & 0xFF
+        lines.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = row
+    payload = _png_wrap(w, h, 0, zlib.compress(b"".join(lines)))
+    gray, _, _ = decode_png(payload)
+    assert (gray == src).all()
+
+
+def test_png_palette_decodes_via_plte():
+    # 2-entry palette: index 0 → black, 1 → pure red (luma 77*255>>8 = 76)
+    w, h = 4, 2
+    idx = np.array([[0, 1, 0, 1], [1, 1, 0, 0]], dtype=np.uint8)
+    scan = np.zeros((h, w + 1), dtype=np.uint8)
+    scan[:, 1:] = idx
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([0, 0, 0, 255, 0, 0]))
+        + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    gray, _, _ = decode_png(payload)
+    assert (gray == np.where(idx == 1, 76, 0)).all()
+
+
+def test_bmp_roundtrip_bit_exact():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(33, 47), dtype=np.uint8)  # odd width → padding
+    gray, w, h = decode_bmp(encode_bmp_gray8(img))
+    assert (w, h) == (47, 33)
+    assert (gray == img).all()
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ImageDecodeError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot-actually-chunks")
+    with pytest.raises(ImageDecodeError):
+        decode_bmp(b"BMxxxx")
+    with pytest.raises(ImageDecodeError):
+        decode_png(b"hello world, definitely text")
+
+
+# ----------------------------------------------------------------- phash --
+
+def test_phash_deterministic_and_noise_tolerant():
+    img = _gradient()
+    rng = np.random.default_rng(5)
+    noisy = np.clip(
+        img.astype(np.int16) + rng.integers(-4, 5, size=img.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    h0 = phash64(img)
+    assert h0 == phash64(img)
+    assert _ham(h0, phash64(noisy)) <= 6          # reference ≥90% gate
+    assert _ham(h0, phash64(other)) > 10
+
+
+def test_phash_scale_invariant():
+    """pHash works on the low-frequency DCT block — the same image at
+    2× resolution must land within the Hamming gate."""
+    img = _gradient(64, 64)
+    big = np.kron(img, np.ones((2, 2), dtype=np.uint8))
+    assert _ham(phash64(img), phash64(big)) <= 6
+
+
+def test_phash_format_invariant():
+    """The same pixels through the PNG and BMP decode paths must give
+    the IDENTICAL hash (both decode to the same grayscale array)."""
+    img = _gradient()
+    g_png, _, _ = decode_png(encode_png_gray8(img))
+    g_bmp, _, _ = decode_bmp(encode_bmp_gray8(img))
+    assert (g_png == g_bmp).all()
+    assert phash64(g_png) == phash64(g_bmp)
+
+
+# ---------------------------------------------------------- spark wiring --
+
+def _asset_rows():
+    """Planted set: gradient PNG, its noisy PNG copy, the SAME gradient
+    as BMP (cross-format dup), and an unrelated random PNG."""
+    rng = np.random.default_rng(5)
+    img = _gradient()
+    noisy = np.clip(
+        img.astype(np.int16) + rng.integers(-4, 5, size=img.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    return [
+        (1, "image", bytearray(encode_png_gray8(img)), "image/png"),
+        (2, "image", bytearray(encode_png_gray8(noisy)), "image/png"),
+        (3, "image", bytearray(encode_bmp_gray8(img)), "image/bmp"),
+        (4, "image", bytearray(encode_png_gray8(other)), "image/png"),
+        (5, "audio", bytearray(b"ID3\x03 not an image"), "audio/mpeg"),
+    ]
+
+
+def test_image_phash_real_decoders(spark):
+    from dedup_spark.operators.multimodal import image_phash
+
+    df = spark.createDataFrame(
+        _asset_rows(), "asset_id long, kind string, payload binary, mime string"
+    )
+    rows = {r["asset_id"]: r for r in image_phash(df).collect()}
+    assert set(rows) == {1, 2, 3, 4}  # audio row dropped
+    assert rows[1]["decoder"] == "png" and rows[3]["decoder"] == "bmp"
+    assert rows[1]["phash"] == rows[3]["phash"]  # cross-format identical pixels
+    assert _ham(rows[1]["phash"], rows[2]["phash"]) <= 6
+    assert _ham(rows[1]["phash"], rows[4]["phash"]) > 6
+
+
+def test_image_phash_honest_without_fake(spark):
+    """A non-decodable image payload (JPEG magic) must fail loudly when
+    fake=False — never silently fake-decode."""
+    from dedup_spark.operators.multimodal import decode_pixels
+
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"\xff\xd8\xff\xe0 jpeg-ish bytes", fake=False)
+    img, _w, _h, dec = decode_pixels(b"\xff\xd8\xff\xe0 jpeg-ish bytes", fake=True)
+    assert dec == "fake" and img.size > 0
+
+
+def test_image_near_dup_clusters_end_to_end(spark):
+    from dedup_spark.operators.multimodal import image_near_dup_clusters
+
+    df = spark.createDataFrame(
+        _asset_rows(), "asset_id long, kind string, payload binary, mime string"
+    )
+    out = {r["asset_id"]: r for r in image_near_dup_clusters(df).collect()}
+    # gradient PNG + noisy copy + gradient BMP merge; random PNG is a singleton
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
+    assert out[1]["cluster_size"] == 3
+    assert out[4]["cluster_id"] != out[1]["cluster_id"]
+    assert out[4]["cluster_size"] == 1
+    # deterministic min-id labels
+    assert out[1]["cluster_id"] == 1 and out[4]["cluster_id"] == 4
