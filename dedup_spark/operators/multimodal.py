@@ -69,6 +69,12 @@ def detect_kind_from_magic(payload: bytes | None) -> str:
         return "image"
     if payload[:2] == b"BM":  # BMP's signature is 2 bytes, not 4
         return "image"
+    if payload[:4] == b"RIFF" and len(payload) >= 12:
+        # RIFF is a container: the kind lives at bytes 8-12
+        if payload[8:12] == b"WAVE":
+            return "audio"
+        if payload[8:12] == b"AVI ":
+            return "video"
     return _MAGIC_KINDS.get(payload[:4].hex(), "blob")
 
 
@@ -409,38 +415,134 @@ def image_phash(assets: DataFrame, fake: bool = False) -> DataFrame:
     return assets.mapInPandas(_ph, PHASH_SCHEMA)
 
 
+def _signature_near_dup_clusters(sigs: DataFrame, sig_col: str, cfg) -> DataFrame:
+    """Shared assembly for 64-bit perceptual signatures (image pHash,
+    audio fingerprint): Hamming block-pair probing join → connected
+    components → min-id cluster labels, singletons keeping their own
+    id. Identical covering-design recall and bucket caps as the text
+    SimHash path — one scale machinery for every modality."""
+    from pyspark.sql import Window
+
+    from dedup_spark.operators.cc import connected_components
+    from dedup_spark.operators.simhash_join import simhash_candidate_pairs
+
+    pairs = simhash_candidate_pairs(
+        sigs.withColumnRenamed(sig_col, "simhash"), cfg, id_col="asset_id"
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, config=cfg)
+    labeled = sigs.join(
+        comp.withColumnRenamed("node", "asset_id"), "asset_id", "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col("asset_id")))
+    return labeled.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )
+
+
 def image_near_dup_clusters(
     assets: DataFrame, config=None, fake: bool = False
 ) -> DataFrame:
     """Image near-dup end-to-end: real decode (PNG/BMP) → DCT pHash →
     Hamming block-pair probing join → connected components — the
     reference's image similarity path (media_dedup.rs:354-377, d ≤ 6
-    of 64 ⇔ ≥90%) on the engine's existing scale machinery:
-    ``simhash_candidate_pairs`` treats the pHash as the 64-bit
-    signature (identical covering-design recall and bucket caps), and
-    every image keeps a row (singletons get their own cluster).
+    of 64 ⇔ ≥90%) on the engine's existing scale machinery.
 
     Returns (asset_id, phash, decoder, cluster_id, cluster_size)."""
     from dedup_spark.config import DedupConfig
-    from dedup_spark.operators.cc import connected_components
-    from dedup_spark.operators.simhash_join import simhash_candidate_pairs
 
     cfg = config or DedupConfig()
-    sigs = image_phash(assets, fake=fake)
-    pairs = simhash_candidate_pairs(
-        sigs.withColumnRenamed("phash", "simhash"), cfg, id_col="asset_id"
-    ).select("id_a", "id_b")
-    comp = connected_components(pairs, config=cfg)
-    labeled = (
-        sigs.join(
-            comp.withColumnRenamed("node", "asset_id"), "asset_id", "left"
-        )
-        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("asset_id")))
-    )
-    from pyspark.sql import Window
+    return _signature_near_dup_clusters(image_phash(assets, fake=fake), "phash", cfg)
 
-    return labeled.withColumn(
-        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+
+def _fake_samples(payload: bytes):
+    """DECODE STUB (deterministic fake): derive a mono sample stream
+    from the payload bytes (centered, [-1, 1]). A real audio decoder
+    replaces exactly this function."""
+    import numpy as np
+
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if buf.shape[0] < 16:
+        buf = np.zeros(16, dtype=np.uint8)
+    return (buf.astype(np.float64) - 128.0) / 128.0, 8000
+
+
+def decode_samples(payload: bytes, fake: bool = False) -> tuple:
+    """bytes → (mono float64 samples, sample_rate, decoder).
+
+    REAL decode for WAV/RIFF PCM (stdlib struct + numpy —
+    ``functions/audiocodec.py``); MP3/AAC/OGG keep the honest-stub
+    policy: ``fake=True`` falls back to the deterministic fake (also
+    for corrupt WAVs), ``fake=False`` raises."""
+    from dedup_spark.functions.audiocodec import AudioDecodeError, decode_wav
+
+    raw = payload or b""
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        try:
+            x, rate = decode_wav(raw)
+            return x, rate, "wav"
+        except AudioDecodeError:
+            pass  # corrupt or unsupported variant → stub policy below
+    if fake:
+        x, rate = _fake_samples(raw)
+        return x, rate, "fake"
+    raise NotImplementedError(
+        "payload is not a stdlib-decodable audio format (WAV/PCM); "
+        "compressed codecs need libs not present in this environment — "
+        "pass fake=True for the deterministic fake decoder"
+    )
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("afp", LongType(), False),      # 64-bit band-energy fingerprint
+        StructField("decoder", StringType(), False),  # wav | fake
+    ]
+)
+
+
+def audio_fingerprint(assets: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-clip 64-bit band-energy fingerprint over the REAL WAV
+    decoder (``functions/audiocodec.py``), deterministic fake for
+    non-WAV kinds when ``fake=True`` (reference audio fingerprint,
+    /root/reference/src/audio_fingerprint.rs:9-121). Non-audio rows
+    are dropped; ``decoder`` marks which decode path produced each
+    row. mapInPandas Arrow batches; LongType output bit-compatible
+    with the SimHash Hamming machinery."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dedup_spark.functions.audiocodec import audio_fingerprint64
+
+        for pdf in batches:
+            rows = []
+            for aid, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if detect_kind_from_magic(raw) != "audio" and kind != "audio":
+                    continue
+                x, rate, dec = decode_samples(raw, fake=fake)
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "afp": audio_fingerprint64(x, rate),
+                        "decoder": dec,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields])
+
+    return assets.mapInPandas(_fp, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_clusters(
+    assets: DataFrame, config=None, fake: bool = False
+) -> DataFrame:
+    """Audio near-dup end-to-end: real WAV decode → band-energy
+    fingerprint → the same Hamming block-pair join + CC as every other
+    64-bit signature. Returns (asset_id, afp, decoder, cluster_id,
+    cluster_size)."""
+    from dedup_spark.config import DedupConfig
+
+    cfg = config or DedupConfig()
+    return _signature_near_dup_clusters(
+        audio_fingerprint(assets, fake=fake), "afp", cfg
     )
 
 
@@ -471,6 +573,35 @@ def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return d.mapInPandas(_to_png, ASSET_SCHEMA)
+
+
+def documents_as_wav_assets(spark, sf_dir: str) -> DataFrame:
+    """Fixture adapter for the REAL audio decode path: each document's
+    bytes become a mono sample stream (deterministic byte-derived fake
+    samples) re-encoded as an actual 16-bit PCM WAV, so
+    ``audio_fingerprint(fake=False)`` runs the real RIFF parser on
+    every row — decoder == 'wav' throughout, no fake."""
+
+    def _to_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dedup_spark.functions.audiocodec import encode_wav_pcm16
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                x, rate = _fake_samples(raw)
+                rows.append(
+                    {
+                        "asset_id": int(did),
+                        "kind": "audio",
+                        "payload": encode_wav_pcm16(x, rate),
+                        "mime": "audio/wav",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in ASSET_SCHEMA.fields])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return d.mapInPandas(_to_wav, ASSET_SCHEMA)
 
 
 def documents_as_assets(spark, sf_dir: str) -> DataFrame:

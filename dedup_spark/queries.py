@@ -701,6 +701,25 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash(documents_as_png_assets(spark, sf_dir)).orderBy("asset_id")
 
 
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode at scale: every document rendered into an
+    actual 16-bit PCM WAV (engine's own stdlib encoder), then decoded
+    through the real RIFF parser and fingerprinted (65-band log-energy
+    envelope, Haitsma-Kalker-style) — ``fake=False``, so a silent
+    fall-back to the stub is impossible (decoder == 'wav' on every
+    row). Rows-only contract by nature (a windowed FFT has no DuckDB
+    mirror); determinism and the Hamming-gate semantics are
+    pytest-gated in tests/test_audiocodec.py."""
+    from dedup_spark.operators.multimodal import (
+        audio_fingerprint,
+        documents_as_wav_assets,
+    )
+
+    return audio_fingerprint(documents_as_wav_assets(spark, sf_dir)).orderBy(
+        "asset_id"
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for the first 20 query vectors."""
     from dedup_spark.operators.similarity import cosine_topk
@@ -1666,6 +1685,7 @@ QUERIES = {
     "embedding_near_dup_clusters": q_embedding_near_dup_clusters,
     "asset_meta": q_asset_meta,
     "image_phash": q_image_phash,
+    "audio_fingerprint": q_audio_fingerprint,
     "exact_hash_clusters": q_exact_hash_clusters,
     "exact_dup_sets": q_exact_dup_sets,
     "tokenset_clusters": q_tokenset_clusters,
