@@ -1,0 +1,141 @@
+"""Stdlib-only Y4M (YUV4MPEG2) video decoding + 64-bit clip fingerprint.
+
+Third modality of the real-decode family (``imagecodec.py``,
+``audiocodec.py``): the YUV4MPEG2 container is a public plain-text
+header followed by raw uncompressed planes — fully parseable with
+bytes ops + numpy, no codec library. It is the interchange format
+ffmpeg pipelines use for raw video, so real-world raw clips exist.
+Compressed containers (Matroska/MP4/AVI with coded streams) stay
+honestly stubbed in ``operators/multimodal`` — entropy decoders need
+libs this container doesn't have.
+
+Only the Y (luma) plane is read: it IS the grayscale frame, which is
+all the perceptual fingerprint needs; chroma planes are skipped by
+size (colorspace-dependent, see _CHROMA_FRACTION).
+
+``video_fingerprint64`` follows the reference's frame-hash design
+(/root/reference/src/video_fingerprint.rs:11-103: sample frames, hash
+each, compare sequences): sample up to ``max_frames`` frames evenly
+across the clip, pHash each (the same 32×32 DCT hash as still images),
+then majority-vote each of the 64 bits across sampled frames into one
+clip signature. Near-identical clips agree frame-by-frame within the
+image gate, so the majority bits agree too; the result rides the
+engine's Hamming block-pair join unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dedup_spark.functions.imagecodec import phash64
+
+
+class VideoDecodeError(ValueError):
+    """Payload is not a decodable Y4M stream."""
+
+
+_MAGIC = b"YUV4MPEG2"
+
+# chroma-plane size as a fraction of the luma plane, per colorspace tag
+_CHROMA_FRACTION = {
+    "420": 0.5,       # 2 quarter-size planes (incl. 420jpeg/420mpeg2/420paldv)
+    "422": 1.0,       # 2 half-size planes
+    "444": 2.0,       # 2 full-size planes
+    "mono": 0.0,
+}
+
+
+def _chroma_fraction(cs: str) -> float:
+    for prefix, frac in _CHROMA_FRACTION.items():
+        if cs.startswith(prefix):
+            return frac
+    raise VideoDecodeError(f"unsupported Y4M colorspace C{cs}")
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
+    """Decode a YUV4MPEG2 payload to (Y-plane frames uint8 (n, h, w),
+    fps). 8-bit colorspaces 420*/422/444/mono; anything else raises
+    VideoDecodeError."""
+    if not payload.startswith(_MAGIC):
+        raise VideoDecodeError("not a YUV4MPEG2 stream")
+    eol = payload.find(b"\n")
+    if eol < 0:
+        raise VideoDecodeError("Y4M header unterminated")
+    w = h = None
+    fps = 25.0
+    cs = "420"
+    for tok in payload[len(_MAGIC) : eol].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps = int(num) / max(1, int(den))
+        elif tag == "C":
+            cs = val
+    if not w or not h or w <= 0 or h <= 0:
+        raise VideoDecodeError("Y4M header missing W/H")
+    y_size = w * h
+    frame_size = y_size + int(y_size * _chroma_fraction(cs))
+    frames = []
+    pos = eol + 1
+    n = len(payload)
+    while pos < n:
+        feol = payload.find(b"\n", pos)
+        if feol < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise VideoDecodeError("malformed Y4M FRAME marker")
+        start = feol + 1
+        if start + frame_size > n:
+            raise VideoDecodeError("Y4M frame data truncated")
+        y = np.frombuffer(payload, dtype=np.uint8, count=y_size, offset=start)
+        frames.append(y.reshape(h, w))
+        pos = start + frame_size
+    if not frames:
+        raise VideoDecodeError("Y4M stream has no frames")
+    return np.stack(frames), fps
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Minimal Y4M encoder for tests/fixtures: (n, h, w) uint8 luma
+    frames, C420 with neutral (128) chroma planes."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    if h % 2 or w % 2:
+        raise ValueError("C420 needs even dimensions")
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    chroma = bytes([128]) * ((w * h) // 2)
+    out = [header]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[i].tobytes())
+        out.append(chroma)
+    return b"".join(out)
+
+
+def video_fingerprint64(
+    frames: np.ndarray, max_frames: int = 16
+) -> tuple[int, int]:
+    """(64-bit clip fingerprint, n_frames_sampled): sample up to
+    ``max_frames`` frames at even strides, pHash each, majority-vote
+    every bit position across the sampled hashes. Deterministic; ties
+    (exact half/half, only possible for even sample counts) resolve
+    to 0."""
+    n = frames.shape[0]
+    if n == 0:
+        raise ValueError("video_fingerprint64 needs at least one frame")
+    take = min(max_frames, n)
+    idx = (np.arange(take) * n) // take
+    hashes = [phash64(frames[i]) for i in idx]
+    bits = np.zeros(64, dtype=np.int64)
+    for hv in hashes:
+        u = hv & ((1 << 64) - 1)
+        bits += np.array([(u >> (63 - b)) & 1 for b in range(64)], dtype=np.int64)
+    maj = bits * 2 > take
+    acc = 0
+    for bit in maj:
+        acc = (acc << 1) | int(bit)
+    return (acc - (1 << 64) if acc >= (1 << 63) else acc), int(take)

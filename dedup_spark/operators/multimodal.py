@@ -54,6 +54,7 @@ _MAGIC_KINDS = {
     "ffd8ffe0": "image",  # JPEG/JFIF (see 3-byte prefix rule below)
     "49443303": "audio",  # MP3/ID3
     "1a45dfa3": "video",  # Matroska/WebM
+    "59555634": "video",  # "YUV4" — YUV4MPEG2 raw video
 }
 
 
@@ -573,6 +574,134 @@ def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return d.mapInPandas(_to_png, ASSET_SCHEMA)
+
+
+def decode_frames(payload: bytes, fake: bool = False) -> tuple:
+    """bytes → (luma frames uint8 (n, h, w), fps, decoder).
+
+    REAL decode for Y4M/YUV4MPEG2 raw video (public plain-text header
+    + raw planes — ``functions/videocodec.py``); compressed containers
+    (Matroska/MP4/AVI) keep the honest-stub policy: ``fake=True``
+    falls back to a deterministic fake frame stack (byte-derived
+    pixels, length-derived duration), ``fake=False`` raises."""
+    import numpy as np
+
+    from dedup_spark.functions.videocodec import VideoDecodeError, decode_y4m
+
+    raw = payload or b""
+    if raw[:9] == b"YUV4MPEG2":
+        try:
+            frames, fps = decode_y4m(raw)
+            return frames, fps, "y4m"
+        except VideoDecodeError:
+            pass  # corrupt or unsupported variant → stub policy below
+    if fake:
+        img, w, h = _fake_pixels(raw)
+        n = max(1, min(16, _fake_duration_ms(raw) // 1000))
+        frames = np.stack(
+            [np.roll(img, 7 * i, axis=1) for i in range(n)]
+        )
+        return frames, 1.0, "fake"
+    raise NotImplementedError(
+        "payload is not a stdlib-decodable video (Y4M raw); compressed "
+        "containers need codec libs not present in this environment — "
+        "pass fake=True for the deterministic fake decoder"
+    )
+
+
+VIDEO_FP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("vfp", LongType(), False),        # 64-bit clip fingerprint
+        StructField("n_frames_sampled", LongType(), False),
+        StructField("decoder", StringType(), False),  # y4m | fake
+    ]
+)
+
+
+def video_fingerprint(
+    assets: DataFrame, max_frames: int = 16, fake: bool = False
+) -> DataFrame:
+    """Per-clip 64-bit fingerprint over the REAL Y4M decoder: evenly
+    sampled frames → per-frame DCT pHash → bitwise majority vote
+    (reference frame-hash design,
+    /root/reference/src/video_fingerprint.rs:11-103). Non-video rows
+    are dropped; ``decoder`` marks the decode path. Robust to
+    per-frame noise/re-encode of the SAME frame sequence; a trimmed
+    clip samples a different grid and is a different sequence by this
+    scheme (documented, matching the reference's sequence compare)."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dedup_spark.functions.videocodec import video_fingerprint64
+
+        for pdf in batches:
+            rows = []
+            for aid, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if detect_kind_from_magic(raw) != "video" and kind != "video":
+                    continue
+                frames, _fps, dec = decode_frames(raw, fake=fake)
+                fp, taken = video_fingerprint64(frames, max_frames=max_frames)
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "vfp": fp,
+                        "n_frames_sampled": taken,
+                        "decoder": dec,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FP_SCHEMA.fields])
+
+    return assets.mapInPandas(_fp, VIDEO_FP_SCHEMA)
+
+
+def video_near_dup_clusters(
+    assets: DataFrame, config=None, fake: bool = False
+) -> DataFrame:
+    """Video near-dup end-to-end: real Y4M decode → majority frame
+    pHash → the same Hamming block-pair join + CC as every other
+    64-bit signature. Returns (asset_id, vfp, n_frames_sampled,
+    decoder, cluster_id, cluster_size)."""
+    from dedup_spark.config import DedupConfig
+
+    cfg = config or DedupConfig()
+    return _signature_near_dup_clusters(
+        video_fingerprint(assets, fake=fake), "vfp", cfg
+    )
+
+
+def documents_as_y4m_assets(spark, sf_dir: str, n_frames: int = 8) -> DataFrame:
+    """Fixture adapter for the REAL video decode path: each document's
+    bytes become a short luma frame stack (byte-derived fake pixels,
+    rolled per frame) re-encoded as an actual Y4M stream, so
+    ``video_fingerprint(fake=False)`` runs the real parser on every
+    row — decoder == 'y4m' throughout, no fake."""
+    import numpy as np
+
+    def _to_y4m(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dedup_spark.functions.videocodec import encode_y4m
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                img, w, h = _fake_pixels(raw)
+                img = img[: h - h % 2, : w - w % 2]  # C420 needs even dims
+                frames = np.stack(
+                    [np.roll(img, 7 * i, axis=1) for i in range(n_frames)]
+                )
+                rows.append(
+                    {
+                        "asset_id": int(did),
+                        "kind": "video",
+                        "payload": encode_y4m(frames),
+                        "mime": "video/x-yuv4mpeg",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in ASSET_SCHEMA.fields])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return d.mapInPandas(_to_y4m, ASSET_SCHEMA)
 
 
 def documents_as_wav_assets(spark, sf_dir: str) -> DataFrame:

@@ -720,6 +720,25 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode at scale: every document rendered into an
+    actual Y4M raw-video stream (engine's own encoder), then parsed by
+    the real YUV4MPEG2 decoder, frame-sampled, per-frame pHashed and
+    majority-voted into one clip fingerprint — ``fake=False``, so a
+    silent fall-back to the stub is impossible (decoder == 'y4m' on
+    every row). Rows-only contract by nature (frame DCTs have no
+    DuckDB mirror); determinism and the Hamming-gate semantics are
+    pytest-gated in tests/test_videocodec.py."""
+    from dedup_spark.operators.multimodal import (
+        documents_as_y4m_assets,
+        video_fingerprint,
+    )
+
+    return video_fingerprint(documents_as_y4m_assets(spark, sf_dir)).orderBy(
+        "asset_id"
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for the first 20 query vectors."""
     from dedup_spark.operators.similarity import cosine_topk
@@ -1686,6 +1705,7 @@ QUERIES = {
     "asset_meta": q_asset_meta,
     "image_phash": q_image_phash,
     "audio_fingerprint": q_audio_fingerprint,
+    "video_fingerprint": q_video_fingerprint,
     "exact_hash_clusters": q_exact_hash_clusters,
     "exact_dup_sets": q_exact_dup_sets,
     "tokenset_clusters": q_tokenset_clusters,

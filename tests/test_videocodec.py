@@ -1,0 +1,144 @@
+"""Real Y4M video decode (stdlib-only) + majority frame-pHash clip
+fingerprint + the video near-dup path built on them."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dedup_spark.functions.videocodec import (
+    VideoDecodeError,
+    decode_y4m,
+    encode_y4m,
+    video_fingerprint64,
+)
+
+
+def _moving_gradient(seed: int, n: int = 30, h: int = 64, w: int = 64) -> np.ndarray:
+    r = np.random.default_rng(seed)
+    dy, dx, ph = int(r.integers(1, 4)), int(r.integers(1, 4)), int(r.integers(0, 256))
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            ((yy * 2 + xx * 3 + dy * t * 4 + dx * t * 2 + ph) % 256).astype(np.uint8)
+            for t in range(n)
+        ]
+    )
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# ----------------------------------------------------------------- codec --
+
+def test_y4m_roundtrip_bit_exact():
+    frames = _moving_gradient(1)
+    dec, fps = decode_y4m(encode_y4m(frames, fps=30))
+    assert fps == 30.0
+    assert dec.shape == frames.shape
+    assert (dec == frames).all()
+
+
+def test_y4m_header_variants():
+    frames = _moving_gradient(2, n=3, h=32, w=32)
+    base = encode_y4m(frames)
+    # C444: same luma, full-size chroma — rebuild payload manually
+    hdr = b"YUV4MPEG2 W32 H32 F25:1 C444\n"
+    chroma = bytes([128]) * (32 * 32 * 2)
+    body = b"".join(b"FRAME\n" + f.tobytes() + chroma for f in frames)
+    dec444, _ = decode_y4m(hdr + body)
+    dec420, _ = decode_y4m(base)
+    assert (dec444 == dec420).all()
+    # mono: no chroma at all
+    hdr_m = b"YUV4MPEG2 W32 H32 F25:1 Cmono\n"
+    body_m = b"".join(b"FRAME\n" + f.tobytes() for f in frames)
+    dec_m, _ = decode_y4m(hdr_m + body_m)
+    assert (dec_m == frames).all()
+
+
+def test_y4m_rejects_garbage():
+    with pytest.raises(VideoDecodeError):
+        decode_y4m(b"\x1aE\xdf\xa3 matroska bytes")
+    with pytest.raises(VideoDecodeError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\nxx")  # truncated
+    with pytest.raises(VideoDecodeError):
+        decode_y4m(b"YUV4MPEG2 F25:1 C420\nFRAME\n")  # missing W/H
+
+
+# ----------------------------------------------------------- fingerprint --
+
+def test_video_fingerprint_noise_tolerant_and_separating():
+    a = _moving_gradient(1)
+    b = _moving_gradient(2)
+    rng = np.random.default_rng(3)
+    noisy = np.clip(
+        a.astype(np.int16) + rng.integers(-4, 5, size=a.shape), 0, 255
+    ).astype(np.uint8)
+    fa, taken = video_fingerprint64(a)
+    assert taken == 16
+    assert fa == video_fingerprint64(a)[0]                   # deterministic
+    assert _ham(fa, video_fingerprint64(noisy)[0]) <= 6      # re-encode/noise merge
+    assert _ham(fa, video_fingerprint64(b)[0]) > 10          # distinct stay apart
+
+
+def test_video_fingerprint_short_clip():
+    one = _moving_gradient(4, n=1)
+    fp, taken = video_fingerprint64(one)
+    assert taken == 1
+    from dedup_spark.functions.imagecodec import phash64
+
+    assert fp == phash64(one[0])  # single frame → its own pHash
+
+
+# ---------------------------------------------------------- spark wiring --
+
+def _asset_rows():
+    a = _moving_gradient(1)
+    rng = np.random.default_rng(7)
+    noisy = np.clip(
+        a.astype(np.int16) + rng.integers(-4, 5, size=a.shape), 0, 255
+    ).astype(np.uint8)
+    other = _moving_gradient(5)
+    return [
+        (1, "video", bytearray(encode_y4m(a)), "video/x-yuv4mpeg"),
+        (2, "video", bytearray(encode_y4m(noisy)), "video/x-yuv4mpeg"),
+        (3, "video", bytearray(encode_y4m(other)), "video/x-yuv4mpeg"),
+        (4, "audio", bytearray(b"ID3\x03 not video"), "audio/mpeg"),
+    ]
+
+
+def test_video_fingerprint_real_decoder(spark):
+    from dedup_spark.operators.multimodal import video_fingerprint
+
+    df = spark.createDataFrame(
+        _asset_rows(), "asset_id long, kind string, payload binary, mime string"
+    )
+    rows = {r["asset_id"]: r for r in video_fingerprint(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(r["decoder"] == "y4m" for r in rows.values())
+    assert all(r["n_frames_sampled"] == 16 for r in rows.values())
+    assert _ham(rows[1]["vfp"], rows[2]["vfp"]) <= 6
+    assert _ham(rows[1]["vfp"], rows[3]["vfp"]) > 6
+
+
+def test_decode_frames_honest_without_fake():
+    from dedup_spark.operators.multimodal import decode_frames
+
+    mkv = b"\x1aE\xdf\xa3 compressed video"
+    with pytest.raises(NotImplementedError):
+        decode_frames(mkv, fake=False)
+    frames, fps, dec = decode_frames(mkv, fake=True)
+    assert dec == "fake" and frames.ndim == 3 and frames.shape[0] >= 1
+
+
+def test_video_near_dup_clusters_end_to_end(spark):
+    from dedup_spark.operators.multimodal import video_near_dup_clusters
+
+    df = spark.createDataFrame(
+        _asset_rows(), "asset_id long, kind string, payload binary, mime string"
+    )
+    out = {r["asset_id"]: r for r in video_near_dup_clusters(df).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[1]["cluster_size"] == 2
+    assert out[3]["cluster_id"] == 3 and out[3]["cluster_size"] == 1
