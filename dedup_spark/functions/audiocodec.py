@@ -50,7 +50,18 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE payload to (mono float64 samples in [-1, 1],
     sample_rate). Supports PCM (format tag 1) at 8/16/24/32 bits and
     IEEE float (tag 3) at 32 bits; multi-channel input is averaged to
-    mono. Anything else raises AudioDecodeError."""
+    mono. Anything else — including ANY parse failure on a corrupt
+    stream (e.g. a 16-bit data chunk truncated to an odd byte count) —
+    raises AudioDecodeError, so callers' stub-policy catch is airtight."""
+    try:
+        return _decode_wav(payload)
+    except AudioDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise AudioDecodeError(f"corrupt WAV: {exc}") from exc
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise AudioDecodeError("not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
@@ -121,24 +132,35 @@ _FRAME = 2048
 _HOP = 1024
 
 
+_FRAME_CHUNK = 1024  # frames FFT'd at once — bounds peak memory
+
+
 def _band_energies(x: np.ndarray, rate: int) -> np.ndarray:
     """(n_frames, 65) band energies: Hann-windowed frames, rFFT power,
     summed into 65 log-spaced bands across [0.01, 0.45] of the sample
     rate (rate-relative edges keep the same signal fingerprint-stable
-    across containers that resample)."""
+    across containers that resample).
+
+    Frames are processed in chunks of ``_FRAME_CHUNK``: the output is
+    tiny ((n_frames, 65)), but a single-shot overlapped frame matrix +
+    complex FFT would hold ~40 bytes per input sample at once — ~6 GB
+    for a 1-hour 44.1 kHz clip inside one mapInPandas row. Chunking
+    caps the intermediates at ~50 MB regardless of clip length."""
     if x.shape[0] < _FRAME:
         x = np.pad(x, (0, _FRAME - x.shape[0]))
     n_frames = 1 + (x.shape[0] - _FRAME) // _HOP
-    idx = np.arange(_FRAME)[None, :] + _HOP * np.arange(n_frames)[:, None]
-    frames = x[idx] * np.hanning(_FRAME)[None, :]
-    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    window = np.hanning(_FRAME)
     freqs = np.fft.rfftfreq(_FRAME, d=1.0 / rate)
     edges = np.geomspace(0.01 * rate, 0.45 * rate, _N_BANDS + 1)
     bins = np.searchsorted(freqs, edges)
     e = np.empty((n_frames, _N_BANDS), dtype=np.float64)
-    for m in range(_N_BANDS):
-        lo, hi = bins[m], max(bins[m] + 1, bins[m + 1])
-        e[:, m] = power[:, lo:hi].sum(axis=1)
+    for c0 in range(0, n_frames, _FRAME_CHUNK):
+        c1 = min(c0 + _FRAME_CHUNK, n_frames)
+        idx = np.arange(_FRAME)[None, :] + _HOP * np.arange(c0, c1)[:, None]
+        power = np.abs(np.fft.rfft(x[idx] * window[None, :], axis=1)) ** 2
+        for m in range(_N_BANDS):
+            lo, hi = bins[m], max(bins[m] + 1, bins[m + 1])
+            e[c0:c1, m] = power[:, lo:hi].sum(axis=1)
     return e
 
 

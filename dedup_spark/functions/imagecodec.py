@@ -118,8 +118,19 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     """Decode a PNG to (grayscale uint8 (h, w), width, height).
 
     Supports bit depth 8, color types 0/2/3/4/6, non-interlaced —
-    the overwhelmingly common variants. Anything else raises
-    ImageDecodeError (callers fall back to the honest stub)."""
+    the overwhelmingly common variants. Anything else — including ANY
+    parse failure on a corrupt stream — raises ImageDecodeError, so
+    callers' stub-policy catch is airtight (one malformed asset must
+    degrade to the fake path, never kill a Spark task)."""
+    try:
+        return _decode_png(payload)
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise ImageDecodeError(f"corrupt PNG: {exc}") from exc
+
+
+def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ImageDecodeError("not a PNG (bad signature)")
     pos = len(_PNG_SIG)
@@ -147,6 +158,8 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
         pos += 12 + clen  # len + tag + body + crc
     if w is None or not idat:
         raise ImageDecodeError("PNG missing IHDR or IDAT")
+    if w <= 0 or h <= 0:  # a 0×N image would 'decode' to an empty array
+        raise ImageDecodeError(f"degenerate PNG dimensions {w}x{h}")
     if depth != 8 or interlace != 0:
         raise ImageDecodeError(
             f"unsupported PNG variant (depth={depth}, interlace={interlace})"
@@ -214,7 +227,18 @@ def _png_wrap(w: int, h: int, ctype: int, zdata: bytes) -> bytes:
 def decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int]:
     """Decode an uncompressed BMP to (grayscale uint8 (h, w), w, h).
     Supports BITMAPINFOHEADER(+) with BI_RGB at 8 (palette), 24 (BGR)
-    and 32 (BGRX) bits; positive height = bottom-up per spec."""
+    and 32 (BGRX) bits; positive height = bottom-up per spec. Any
+    parse failure on a corrupt stream raises ImageDecodeError (same
+    airtight-stub contract as decode_png)."""
+    try:
+        return _decode_bmp(payload)
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise ImageDecodeError(f"corrupt BMP: {exc}") from exc
+
+
+def _decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int]:
     if payload[:2] != b"BM" or len(payload) < 54:
         raise ImageDecodeError("not a BMP")
     (data_off,) = struct.unpack("<I", payload[10:14])
@@ -227,6 +251,8 @@ def decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ImageDecodeError(f"unsupported BMP compression {comp}")
     if bpp not in (8, 24, 32):
         raise ImageDecodeError(f"unsupported BMP bpp {bpp}")
+    if w <= 0 or h_signed == 0:
+        raise ImageDecodeError(f"degenerate BMP dimensions {w}x{h_signed}")
     h = abs(h_signed)
     stride = ((w * bpp + 31) // 32) * 4
     data = np.frombuffer(payload, dtype=np.uint8, offset=data_off)

@@ -54,8 +54,19 @@ def _chroma_fraction(cs: str) -> float:
 
 def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
     """Decode a YUV4MPEG2 payload to (Y-plane frames uint8 (n, h, w),
-    fps). 8-bit colorspaces 420*/422/444/mono; anything else raises
-    VideoDecodeError."""
+    fps). 8-bit colorspaces 420*/422/444/mono; anything else —
+    including ANY parse failure on a corrupt header/stream (non-numeric
+    W/H, malformed F token) — raises VideoDecodeError, so callers'
+    stub-policy catch is airtight."""
+    try:
+        return _decode_y4m(payload)
+    except VideoDecodeError:
+        raise
+    except (ValueError, IndexError, OverflowError, MemoryError) as exc:
+        raise VideoDecodeError(f"corrupt Y4M: {exc}") from exc
+
+
+def _decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
     if not payload.startswith(_MAGIC):
         raise VideoDecodeError("not a YUV4MPEG2 stream")
     eol = payload.find(b"\n")

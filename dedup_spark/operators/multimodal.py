@@ -68,7 +68,10 @@ def detect_kind_from_magic(payload: bytes | None) -> str:
         return "blob"
     if payload[:3] == b"\xff\xd8\xff":
         return "image"
-    if payload[:2] == b"BM":  # BMP's signature is 2 bytes, not 4
+    # BMP's signature is only 2 bytes ("BM") — too weak alone (any text
+    # starting "BM…" would sniff as image). Require the 4 reserved-zero
+    # header bytes at offsets 6-9 too, like the RIFF form-type check.
+    if payload[:2] == b"BM" and len(payload) >= 10 and payload[6:10] == b"\x00\x00\x00\x00":
         return "image"
     if payload[:4] == b"RIFF" and len(payload) >= 12:
         # RIFF is a container: the kind lives at bytes 8-12
@@ -424,9 +427,14 @@ def _signature_near_dup_clusters(sigs: DataFrame, sig_col: str, cfg) -> DataFram
     SimHash path — one scale machinery for every modality."""
     from pyspark.sql import Window
 
+    from dedup_spark.checkpoint import lineage_cut
     from dedup_spark.operators.cc import connected_components
     from dedup_spark.operators.simhash_join import simhash_candidate_pairs
 
+    # the signature frame feeds BOTH the candidate join and the final
+    # label join — cut lineage so the expensive decode+fingerprint
+    # mapInPandas stage runs once, not once per plan branch
+    sigs = lineage_cut(sigs, cfg, eager=False)
     pairs = simhash_candidate_pairs(
         sigs.withColumnRenamed(sig_col, "simhash"), cfg, id_col="asset_id"
     ).select("id_a", "id_b")

@@ -36,8 +36,7 @@ def _colored(seed: int) -> np.ndarray:
     return x / np.max(np.abs(x)) * 0.8
 
 
-def _ham(a: int, b: int) -> int:
-    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+from dedup_spark.functions.shingles import hamming64 as _ham
 
 
 def _fp(x: np.ndarray, rate: int = RATE) -> int:
@@ -72,6 +71,22 @@ def test_wav_rejects_non_wav():
     truncated = encode_wav_pcm16(_colored(3), RATE)[:40]
     with pytest.raises(AudioDecodeError):
         decode_wav(truncated)
+
+
+def test_corrupt_wav_raises_decode_error_never_leaks():
+    """A 16-bit data chunk truncated to an ODD byte count hits
+    np.frombuffer's element-size check — that must surface as
+    AudioDecodeError, not raw ValueError, or one corrupt WAV escapes
+    the stub-policy catch and kills the Spark task."""
+    good = encode_wav_pcm16(_colored(3)[:4096], RATE)
+    odd = bytearray(good[:-1])  # drop one byte → odd-length data chunk
+    # keep the declared data length consistent with the truncation
+    import struct as _struct
+
+    (dlen,) = _struct.unpack("<I", bytes(odd[40:44]))
+    odd[40:44] = _struct.pack("<I", dlen - 1)
+    with pytest.raises(AudioDecodeError):
+        decode_wav(bytes(odd))
 
 
 # ----------------------------------------------------------- fingerprint --

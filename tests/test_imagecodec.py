@@ -26,13 +26,12 @@ from dedup_spark.functions.imagecodec import (
 )
 
 
+from dedup_spark.functions.shingles import hamming64 as _ham
+
+
 def _gradient(h: int = 64, w: int = 64) -> np.ndarray:
     yy, xx = np.mgrid[0:h, 0:w]
     return ((yy * 2 + xx * 3) % 256).astype(np.uint8)
-
-
-def _ham(a: int, b: int) -> int:
-    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
 # ---------------------------------------------------------------- codecs --
@@ -136,7 +135,52 @@ def test_decode_rejects_garbage():
         decode_png(b"hello world, definitely text")
 
 
+def test_corrupt_streams_raise_decode_error_never_leak():
+    """Parse failures deep inside the decoders must surface as
+    ImageDecodeError — NOT raw ValueError/struct.error — or one corrupt
+    asset in a corpus escapes the stub-policy catch and kills the
+    whole Spark task."""
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # IHDR with the wrong declared length (struct.error territory)
+    with pytest.raises(ImageDecodeError):
+        decode_png(sig + chunk(b"IHDR", b"\x00\x00\x00\x04"))
+    # PLTE whose length is not a multiple of 3 (reshape ValueError)
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    scan = zlib.compress(b"\x00\x00\x00" * 2)
+    with pytest.raises(ImageDecodeError):
+        decode_png(sig + ihdr + chunk(b"PLTE", b"\x01\x02\x03\x04") + chunk(b"IDAT", scan))
+    # zero-dimension PNG must not 'succeed' into an empty array
+    ihdr0 = chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 2, 8, 0, 0, 0, 0))
+    with pytest.raises(ImageDecodeError):
+        decode_png(sig + ihdr0 + chunk(b"IDAT", zlib.compress(b"\x00\x00")))
+    # BMP with a negative width (reshape ValueError territory)
+    bad = bytearray(encode_bmp_gray8(np.zeros((4, 4), dtype=np.uint8)))
+    bad[18:22] = struct.pack("<i", -5)
+    with pytest.raises(ImageDecodeError):
+        decode_bmp(bytes(bad))
+
+
 # ----------------------------------------------------------------- phash --
+
+def test_bm_text_not_sniffed_as_image():
+    """'BM' alone is too weak a signature: text starting 'BMW …' must
+    stay 'blob' (the sniff also requires the BMP header's reserved
+    zero bytes), while a real encoded BMP sniffs as image."""
+    from dedup_spark.operators.multimodal import detect_kind_from_magic
+
+    assert detect_kind_from_magic(b"BMW makes cars, not bitmaps") == "blob"
+    real = encode_bmp_gray8(np.zeros((4, 4), dtype=np.uint8))
+    assert detect_kind_from_magic(real) == "image"
+
 
 def test_phash_deterministic_and_noise_tolerant():
     img = _gradient()

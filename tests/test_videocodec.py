@@ -26,8 +26,7 @@ def _moving_gradient(seed: int, n: int = 30, h: int = 64, w: int = 64) -> np.nda
     )
 
 
-def _ham(a: int, b: int) -> int:
-    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+from dedup_spark.functions.shingles import hamming64 as _ham
 
 
 # ----------------------------------------------------------------- codec --
@@ -64,6 +63,12 @@ def test_y4m_rejects_garbage():
         decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\nxx")  # truncated
     with pytest.raises(VideoDecodeError):
         decode_y4m(b"YUV4MPEG2 F25:1 C420\nFRAME\n")  # missing W/H
+    # corrupt header tokens must surface as VideoDecodeError, not raw
+    # ValueError (stub-policy catch must be airtight)
+    with pytest.raises(VideoDecodeError):
+        decode_y4m(b"YUV4MPEG2 Wxx H4 F25:1 C420\nFRAME\n" + b"\x00" * 24)
+    with pytest.raises(VideoDecodeError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25 C420\nFRAME\n" + b"\x00" * 24)
 
 
 # ----------------------------------------------------------- fingerprint --
