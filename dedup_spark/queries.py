@@ -720,6 +720,80 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decoded_meta_query(spark: SparkSession, sf_dir: str, modality: str) -> DataFrame:
+    """Value-verified REAL-decode round trip: the fixture adapters
+    derive pixel/sample/frame geometry from each document's byte
+    length by known integer arithmetic, encode a real file, and the
+    engine DECODES it back — so DuckDB can recompute what the real
+    decoder must output without ever touching the file format. A
+    decoder that mis-parses the header, drops a plane, or mis-strides
+    a row produces the wrong geometry and hash-mismatches. (The DSP
+    half — DCT/FFT bit patterns — stays pytest-gated; this oracles the
+    parsing half.) fake=False throughout: a stub fallback is
+    impossible."""
+    import pandas as pd
+
+    from dedup_spark.operators.multimodal import (
+        decode_frames,
+        decode_pixels,
+        decode_samples,
+        documents_as_png_assets,
+        documents_as_wav_assets,
+        documents_as_y4m_assets,
+    )
+
+    if modality == "png":
+        assets = documents_as_png_assets(spark, sf_dir)
+
+        def meta(raw: bytes) -> dict:
+            _img, w, h, dec = decode_pixels(raw, fake=False)
+            return {"width": w, "height": h, "decoder": dec}
+
+        schema = "asset_id long, width long, height long, decoder string"
+    elif modality == "wav":
+        assets = documents_as_wav_assets(spark, sf_dir)
+
+        def meta(raw: bytes) -> dict:
+            x, rate, dec = decode_samples(raw, fake=False)
+            return {"n_samples": int(x.shape[0]), "sample_rate": rate, "decoder": dec}
+
+        schema = "asset_id long, n_samples long, sample_rate long, decoder string"
+    else:
+        assets = documents_as_y4m_assets(spark, sf_dir)
+
+        def meta(raw: bytes) -> dict:
+            frames, _fps, dec = decode_frames(raw, fake=False)
+            n, h, w = frames.shape
+            return {"n_frames": n, "width": w, "height": h, "decoder": dec}
+
+        schema = "asset_id long, n_frames long, width long, height long, decoder string"
+
+    cols = [c.split(" ")[0] for c in schema.split(", ")]
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = meta(bytes(payload))
+                d["asset_id"] = int(aid)
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(_run, schema).orderBy("asset_id")
+
+
+def q_png_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decoded_meta_query(spark, sf_dir, "png")
+
+
+def q_wav_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decoded_meta_query(spark, sf_dir, "wav")
+
+
+def q_y4m_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decoded_meta_query(spark, sf_dir, "y4m")
+
+
 def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode at scale: every document rendered into an
     actual Y4M raw-video stream (engine's own encoder), then parsed by
@@ -1167,6 +1241,38 @@ SELECT file_id,
                                          FOR i IN range(1, len(toks) - 1)])) AS BIGINT)
             ELSE 0 END AS n_shingles3
 FROM t
+""",
+    # REAL-decode geometry oracles: the fixture adapters derive the
+    # encoded file's geometry from octet_length(text) by fixed integer
+    # arithmetic (multimodal._fake_pixels / _fake_samples /
+    # documents_as_y4m_assets), so DuckDB recomputes what the real
+    # PNG/WAV/Y4M parser must decode back — format-blind, independent.
+    "png_decode_meta": """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) AS width,
+       CAST(16 + (octet_length(encode(text)) // 7) % 48 AS BIGINT) AS height,
+       'png' AS decoder
+FROM documents
+""",
+    "wav_decode_meta": """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(greatest(16, octet_length(encode(text))) AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       'wav' AS decoder
+FROM documents
+""",
+    "y4m_decode_meta": """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(8 AS BIGINT) AS n_frames,
+       CAST(w - w % 2 AS BIGINT) AS width,
+       CAST(h - h % 2 AS BIGINT) AS height,
+       'y4m' AS decoder
+FROM (
+  SELECT doc_id,
+         16 + octet_length(encode(text)) % 48 AS w,
+         16 + (octet_length(encode(text)) // 7) % 48 AS h
+  FROM documents
+)
 """,
     "asset_meta": """
 WITH a AS (
@@ -1706,6 +1812,9 @@ QUERIES = {
     "image_phash": q_image_phash,
     "audio_fingerprint": q_audio_fingerprint,
     "video_fingerprint": q_video_fingerprint,
+    "png_decode_meta": q_png_decode_meta,
+    "wav_decode_meta": q_wav_decode_meta,
+    "y4m_decode_meta": q_y4m_decode_meta,
     "exact_hash_clusters": q_exact_hash_clusters,
     "exact_dup_sets": q_exact_dup_sets,
     "tokenset_clusters": q_tokenset_clusters,
