@@ -299,12 +299,18 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc line-level boilerplate profile (JVM-only plan). The
-    fixture corpus is newline-free, so values are degenerate at
-    sf<=0.1 (each doc = 1 unique line) — still a full value-check of
-    the plumbing; multiline behavior is pytest-covered."""
+    fixture corpus is newline-free, which used to degenerate the value
+    check to 1 line/doc; the query now injects '\\n' at every space
+    (a deterministic, SQL-mirrorable reshaping) so the check covers
+    REAL multi-line semantics — distinct-line counting within a doc
+    and cross-doc duplicate-line detection — with non-trivial values
+    (shared tokens become shared lines)."""
     from dedup_spark.operators.spans import line_dup_stats
 
-    return line_dup_stats(_files(spark, sf_dir)).orderBy("file_id")
+    files = _files(spark, sf_dir).withColumn(
+        "content", F.translate("content", " ", "\n")
+    )
+    return line_dup_stats(files).orderBy("file_id")
 
 
 def q_repo_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1748,11 +1754,12 @@ ORDER BY repo_a, repo_b
     # behavior is covered by tests/test_spans.py on multiline docs.
     "line_dedup": rf"""
 WITH {SQL_FILES},
+ml AS (SELECT file_id, replace(content, ' ', chr(10)) AS content FROM files),
 ln AS (
   SELECT file_id,
          UNNEST(list_distinct(list_filter(regexp_split_to_array(content, '\r?\n'),
                                           l -> length(trim(l)) > 0))) AS line
-  FROM files
+  FROM ml
 ),
 lh AS (SELECT file_id, sha256(line) AS line_hash FROM ln),
 cnt AS (SELECT line_hash, COUNT(*) AS n_docs FROM lh GROUP BY line_hash),

@@ -220,3 +220,112 @@ def test_redaction_removes_all_standalone_pii(tokens):
     for probe in ("aws_key", "hex_secret", "ipv4"):
         pattern, _ = PII_PATTERNS[probe]
         assert not any(re.fullmatch(pattern, t) for t in out.split(" ") if t)
+
+
+# ---- media codec round trips (imagecodec / audiocodec / videocodec) ------
+
+_img_arrays = st.tuples(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+).map(
+    lambda t: np.random.default_rng(t[2]).integers(
+        0, 256, size=(t[0], t[1]), dtype=np.uint8
+    )
+)
+
+
+@SETTINGS
+@given(_img_arrays)
+def test_png_roundtrip_property(img):
+    from dedup_spark.functions.imagecodec import decode_png, encode_png_gray8
+
+    gray, w, h = decode_png(encode_png_gray8(img))
+    assert (h, w) == img.shape
+    assert (gray == img).all()
+
+
+@SETTINGS
+@given(_img_arrays)
+def test_bmp_roundtrip_property(img):
+    from dedup_spark.functions.imagecodec import decode_bmp, encode_bmp_gray8
+
+    gray, w, h = decode_bmp(encode_bmp_gray8(img))
+    assert (h, w) == img.shape
+    assert (gray == img).all()
+
+
+@SETTINGS
+@given(st.binary(min_size=0, max_size=300))
+def test_image_decoders_never_leak_raw_errors(payload):
+    """Arbitrary bytes must either decode or raise the typed
+    ImageDecodeError — never ValueError/struct.error (the stub-policy
+    catch in decode_pixels depends on it)."""
+    from dedup_spark.functions.imagecodec import (
+        ImageDecodeError,
+        decode_bmp,
+        decode_png,
+    )
+
+    for dec, magic in ((decode_png, b"\x89PNG\r\n\x1a\n"), (decode_bmp, b"BM")):
+        try:
+            dec(magic + payload)
+        except ImageDecodeError:
+            pass
+
+
+@SETTINGS
+@given(
+    st.integers(min_value=1, max_value=5000),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_wav_roundtrip_property(n, channels, seed):
+    from dedup_spark.functions.audiocodec import decode_wav, encode_wav_pcm16
+
+    x = np.random.default_rng(seed).uniform(-1, 1, size=n * channels)
+    dec, rate = decode_wav(encode_wav_pcm16(x, 8000, channels=channels))
+    assert rate == 8000 and dec.shape[0] == n
+    expect = x.reshape(n, channels).mean(axis=1)
+    # per-channel quantization 2**-15 + scale mismatch |x|/32768
+    assert np.max(np.abs(dec - expect)) < 1e-4
+
+
+@SETTINGS
+@given(st.binary(min_size=0, max_size=300))
+def test_wav_decoder_never_leaks_raw_errors(payload):
+    from dedup_spark.functions.audiocodec import AudioDecodeError, decode_wav
+
+    try:
+        decode_wav(b"RIFF\x28\x00\x00\x00WAVE" + payload)
+    except AudioDecodeError:
+        pass
+
+
+@SETTINGS
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=12),   # half-dims (C420 needs even)
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_y4m_roundtrip_property(n, hw, hh, seed):
+    from dedup_spark.functions.videocodec import decode_y4m, encode_y4m
+
+    frames = np.random.default_rng(seed).integers(
+        0, 256, size=(n, 2 * hh, 2 * hw), dtype=np.uint8
+    )
+    dec, fps = decode_y4m(encode_y4m(frames, fps=30))
+    assert fps == 30.0
+    assert (dec == frames).all()
+
+
+@SETTINGS
+@given(st.binary(min_size=0, max_size=300))
+def test_y4m_decoder_never_leaks_raw_errors(payload):
+    from dedup_spark.functions.videocodec import VideoDecodeError, decode_y4m
+
+    try:
+        decode_y4m(b"YUV4MPEG2 " + payload)
+    except VideoDecodeError:
+        pass
