@@ -158,6 +158,30 @@ def main() -> None:
         q_session_dedup(spark, sf_dir),
         "1: one (user,type) window chain — lag + running sum share the sort",
     )
+
+    # media near-dup paths: decode+fingerprint is ONE mapInPandas site
+    # (lineage-cut before the fan-out so it is not re-evaluated per
+    # branch); clustering must reuse the block-pair groupBy+explode
+    # form — NO self-join, NO cross join, Python only at the decode UDF
+    from dedup_spark.operators.multimodal import (
+        documents_as_png_assets,
+        documents_as_wav_assets,
+        image_near_dup_clusters,
+        audio_near_dup_clusters,
+    )
+
+    summarize(
+        "image near-dup (real PNG decode → pHash → block-pair join)",
+        image_near_dup_clusters(documents_as_png_assets(spark, sf_dir)),
+        "block-pair groupBy + CC + label join + size window; decode UDF "
+        "evaluated once behind a lineage cut",
+    )
+    summarize(
+        "audio near-dup (real WAV decode → band fingerprint → block-pair join)",
+        audio_near_dup_clusters(documents_as_wav_assets(spark, sf_dir)),
+        "same machinery as image/text SimHash — one join family for every "
+        "modality",
+    )
     spark.stop()
 
 
