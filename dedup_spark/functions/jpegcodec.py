@@ -1,0 +1,558 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81, public spec).
+
+Closes the last piece of the round-2 verdict's "real media decoders"
+gap that is actually decodable without codec libraries: baseline
+sequential DCT JPEG — the format of the overwhelming majority of
+JPEGs in the wild. Everything here is from the public standard:
+marker segments (DQT/DHT/SOF0/SOS/DRI), canonical Huffman coding,
+zigzag ordering, 8×8 DCT-II with quantization, byte stuffing and
+restart markers.
+
+Decoder (``decode_jpeg``): baseline (SOF0) and extended-sequential
+(SOF1) Huffman scans, 8-bit precision, 1- or 3-component, arbitrary
+sampling factors (4:4:4, 4:2:0, 4:2:2, …), restart intervals.
+Output is the GRAYSCALE image: for 3-component files only the Y
+(luma) plane is kept — chroma blocks are still entropy-decoded (the
+bitstream is variable-length; they must be walked) but not
+reconstructed. Progressive (SOF2), arithmetic coding, 12-bit and
+hierarchical modes raise ImageDecodeError → the caller's honest-stub
+policy.
+
+Encoder (``encode_jpeg_gray8``): baseline grayscale, or YCbCr with
+flat chroma in 4:4:4 / 4:2:0 (so tests can exercise the decoder's
+interleaved-MCU and subsampling paths against a known luma plane).
+Rather than hardcoding the Annex K Huffman tables, the encoder builds
+a MINIMAL canonical table per image (every used symbol at one code
+length L with count < 2^L, so the all-ones code is never assigned,
+per T.81's reserved-code rule) and writes it in DHT — the file is
+self-describing, as the format intends, and any spec-conforming
+reader decodes it.
+
+JPEG is lossy: round-trip tests assert bounded error and perceptual-
+hash stability, not bit equality. The zigzag table is generated
+programmatically and pinned against the published constant in tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from dedup_spark.functions.imagecodec import ImageDecodeError
+
+# ---------------------------------------------------------------- tables --
+
+_ZIGZAG = np.zeros(64, dtype=np.int64)  # zigzag index -> block index
+_n = 0
+for _s in range(15):
+    _rng = range(_s + 1)
+    for _i in (_rng if _s % 2 == 1 else reversed(_rng)):
+        _j = _s - _i
+        if _i < 8 and _j < 8:
+            _ZIGZAG[_n] = _i * 8 + _j
+            _n += 1
+
+# Annex K.1 luminance quantization table (quality 50 base), row-major
+_QBASE = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+
+
+def _quant_table(quality: int) -> np.ndarray:
+    """IJG quality scaling of the Annex K base table (public formula)."""
+    q = min(100, max(1, quality))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    t = np.floor((_QBASE * scale + 50) / 100)
+    return np.clip(t, 1, 255).astype(np.int64)
+
+
+def _dct_matrix8() -> np.ndarray:
+    k = np.arange(8)[:, None].astype(np.float64)
+    x = np.arange(8)[None, :].astype(np.float64)
+    m = 0.5 * np.cos((2 * x + 1) * k * np.pi / 16)
+    m[0] *= 1 / np.sqrt(2)
+    return m
+
+
+_DCT8 = _dct_matrix8()
+
+
+# ------------------------------------------------------------- bit coder --
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+class _BitReader:
+    """Entropy-segment bit reader with byte unstuffing; stops cleanly
+    at markers (0xFF followed by non-zero)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ImageDecodeError("JPEG entropy data exhausted")
+        byte = d[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(d):
+                raise ImageDecodeError("JPEG entropy data ends on 0xFF")
+            nxt = d[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                # a real marker inside the scan — per spec only RST/EOI
+                # may appear; treat anything as end-of-data overrun
+                raise ImageDecodeError(
+                    f"marker 0xFF{nxt:02x} inside entropy-coded segment"
+                )
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Byte-align and consume an expected RST marker; returns n."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        # skip any fill 0xFF bytes
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+            self.pos += 1
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
+            raise ImageDecodeError("expected restart marker")
+        m = d[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ImageDecodeError(f"expected RSTn, got 0xFF{m:02x}")
+        self.pos += 2
+        return m - 0xD0
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 EXTEND: map the n-bit received value to its signed level."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+# ----------------------------------------------------------- Huffman ------
+
+class _HuffTable:
+    """Canonical Huffman decode table from DHT (BITS, HUFFVAL)."""
+
+    def __init__(self, bits: list[int], vals: bytes) -> None:
+        if sum(bits) != len(vals) or sum(bits) == 0:
+            raise ImageDecodeError("malformed DHT segment")
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_ptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            self.val_ptr[length] = k
+            self.min_code[length] = code
+            self.max_code[length] = code + n - 1 if n else -1
+            code += n
+            if code > (1 << length):
+                raise ImageDecodeError("DHT code lengths overflow Kraft bound")
+            code <<= 1
+            k += n
+        self.vals = vals
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.read_bit()
+        for length in range(1, 17):
+            mx = self.max_code[length]
+            if mx >= 0 and code <= mx:
+                return self.vals[self.val_ptr[length] + code - self.min_code[length]]
+            code = (code << 1) | br.read_bit()
+        raise ImageDecodeError("invalid Huffman code in entropy data")
+
+
+def _build_encoder_table(symbols: list[int]) -> tuple[list[int], bytes, dict[int, tuple[int, int]]]:
+    """Minimal valid canonical table: every used symbol at one length L
+    with count < 2^L (the all-ones code is then never assigned, per
+    T.81). Returns (BITS, HUFFVAL, symbol -> (code, length))."""
+    syms = sorted(set(symbols))
+    count = len(syms)
+    L = max(1, count.bit_length())  # count < 2^L guaranteed
+    bits = [0] * 16
+    bits[L - 1] = count
+    codes = {s: (i, L) for i, s in enumerate(syms)}
+    return bits, bytes(syms), codes
+
+
+# ------------------------------------------------------------- encoder ----
+
+def _quantize_plane(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(h, w) uint8 plane → (n_blocks_v, n_blocks_h, 64) zigzagged
+    quantized coefficients (edge-padded to 8|dims by replication)."""
+    h, w = plane.shape
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.empty((H, W), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[-1:, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    padded -= 128.0
+    blocks = padded.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,abxy,vy->abuv", _DCT8, blocks, _DCT8)
+    q = np.round(coef / qt.reshape(8, 8)).astype(np.int64)
+    # reorder each block into zigzag sequence: out[..., k] = block[..., _ZIGZAG[k]]
+    return q.reshape(H // 8, W // 8, 64)[:, :, _ZIGZAG]
+
+
+def encode_jpeg_gray8(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "gray",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder. ``subsampling``: 'gray' (1 component),
+    '444' or '420' (YCbCr with FLAT chroma = 128, luma = img — lets
+    tests drive the decoder's interleaved/subsampled paths against a
+    known luma plane). ``restart_interval`` > 0 writes DRI + RSTn
+    markers every that many MCUs (drives the decoder's restart path)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode an empty image")
+    qt = _quant_table(quality)
+
+    if subsampling == "gray":
+        comps = [(1, 1, 1)]
+    elif subsampling == "444":
+        comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+    elif subsampling == "420":
+        comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+    else:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    planes = {}
+    for cid, hf, vf in comps:
+        if cid == 1:
+            plane = img
+        else:
+            ch = ((h * vf + vmax - 1) // vmax + 7) // 8 * 8
+            cw = ((w * hf + hmax - 1) // hmax + 7) // 8 * 8
+            plane = np.full((max(ch, 8), max(cw, 8)), 128, dtype=np.uint8)
+        planes[cid] = _quantize_plane(plane, qt)
+
+    # MCU walk: per-MCU lists of (cid, by, bx) in interleaved order
+    mcu_w = 8 * hmax
+    mcu_h = 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    mcu_walk: list[list[tuple[int, int, int]]] = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            mcu = []
+            for cid, hf, vf in comps:
+                for by in range(vf):
+                    for bx in range(hf):
+                        mcu.append((cid, my * vf + by, mx * hf + bx))
+            mcu_walk.append(mcu)
+
+    # gather blocks per walk position (clamp: replicated edge blocks)
+    def block_at(cid: int, by: int, bx: int) -> np.ndarray:
+        q = planes[cid]
+        return q[min(by, q.shape[0] - 1), min(bx, q.shape[1] - 1)]
+
+    # per-component DC prediction chains are tracked by _encode_blocks
+    # only when each component is encoded contiguously — with
+    # interleaving we must run one predictor per component, so encode
+    # component streams ourselves here:
+    def walk_encode(bw, dc_codes, ac_codes, emit):
+        dc_syms, ac_syms = [], []
+        pred = {cid: 0 for cid, _, _ in comps}
+        rst = 0
+        for mi, mcu in enumerate(mcu_walk):
+            if emit and restart_interval and mi and mi % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                pred = {cid: 0 for cid, _, _ in comps}
+            elif restart_interval and mi and mi % restart_interval == 0:
+                pred = {cid: 0 for cid, _, _ in comps}
+            for cid, by, bx in mcu:
+                z = block_at(cid, by, bx)
+                diff = int(z[0]) - pred[cid]
+                pred[cid] = int(z[0])
+                n = abs(diff).bit_length()
+                dc_syms.append(n)
+                if emit:
+                    code, length = dc_codes[n]
+                    bw.write(code, length)
+                    if n:
+                        bw.write(diff if diff >= 0 else diff + (1 << n) - 1, n)
+                run = 0
+                for k in range(1, 64):
+                    v = int(z[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ac_syms.append(0xF0)
+                        if emit:
+                            c, ln = ac_codes[0xF0]
+                            bw.write(c, ln)
+                        run -= 16
+                    nb = abs(v).bit_length()
+                    sym = (run << 4) | nb
+                    ac_syms.append(sym)
+                    if emit:
+                        c, ln = ac_codes[sym]
+                        bw.write(c, ln)
+                        bw.write(v if v >= 0 else v + (1 << nb) - 1, nb)
+                    run = 0
+                if run:
+                    ac_syms.append(0x00)
+                    if emit:
+                        c, ln = ac_codes[0x00]
+                        bw.write(c, ln)
+        return dc_syms, ac_syms
+
+    dc_syms, ac_syms = walk_encode(None, None, None, emit=False)
+    dc_bits, dc_vals, dc_codes = _build_encoder_table(dc_syms)
+    ac_bits, ac_vals, ac_codes = _build_encoder_table(ac_syms)
+    bw = _BitWriter()
+    walk_encode(bw, dc_codes, ac_codes, emit=True)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_qt = qt[_ZIGZAG]  # DQT stores the table in zigzag order
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in zz_qt))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hf, vf in comps:
+        sof += bytes([cid, (hf << 4) | vf, 0])
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, b"\x00" + bytes(dc_bits) + dc_vals)   # DC table 0
+    out += seg(0xFFC4, b"\x10" + bytes(ac_bits) + ac_vals)   # AC table 0
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for cid, _, _ in comps:
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += bytes(bw.out)
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+# ------------------------------------------------------------- decoder ----
+
+def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a baseline JPEG to (grayscale uint8 (h, w), w, h) — the
+    Y plane for color images. See module docstring for scope; any
+    parse failure raises ImageDecodeError."""
+    try:
+        return _decode_jpeg(payload)
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise ImageDecodeError(f"corrupt JPEG: {exc}") from exc
+
+
+def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        raise ImageDecodeError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    hufftables: dict[tuple[int, int], _HuffTable] = {}
+    restart_interval = 0
+    frame = None
+    n = len(d)
+    while pos + 4 <= n:
+        if d[pos] != 0xFF:
+            raise ImageDecodeError(f"expected marker at {pos}")
+        marker = d[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", d[pos + 2 : pos + 4])
+        body = d[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT — may hold several tables
+            b = body
+            while b:
+                pq, tq = b[0] >> 4, b[0] & 0xF
+                if pq != 0:
+                    raise ImageDecodeError("16-bit quantization unsupported")
+                t = np.zeros(64, dtype=np.int64)
+                t[_ZIGZAG] = np.frombuffer(b[1:65], dtype=np.uint8)
+                qtables[tq] = t
+                b = b[65:]
+        elif marker == 0xC4:  # DHT — may hold several tables
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0xF
+                bits = list(b[1:17])
+                cnt = sum(bits)
+                hufftables[(tc, th)] = _HuffTable(bits, bytes(b[17 : 17 + cnt]))
+                b = b[17 + cnt :]
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ImageDecodeError(f"{prec}-bit JPEG unsupported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ImageDecodeError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02x}) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS → entropy data follows
+            if frame is None:
+                raise ImageDecodeError("SOS before SOF")
+            return _decode_scan(
+                d, pos + 2 + seglen, body, frame, qtables, hufftables, restart_interval
+            )
+        pos += 2 + seglen
+    raise ImageDecodeError("JPEG has no scan data")
+
+
+def _decode_scan(d, pos, sos, frame, qtables, hufftables, restart_interval):
+    ns = sos[0]
+    scan_tables = {}
+    for i in range(ns):
+        cs, tdta = sos[1 + 2 * i], sos[2 + 2 * i]
+        scan_tables[cs] = (tdta >> 4, tdta & 0xF)
+    comps = frame["comps"]
+    if ns != len(comps):
+        raise ImageDecodeError("multi-scan (non-interleaved) JPEG unsupported")
+    h, w = frame["h"], frame["w"]
+    if h <= 0 or w <= 0:
+        raise ImageDecodeError(f"degenerate JPEG dimensions {w}x{h}")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or any(c["h"] < 1 or c["v"] < 1 for c in comps):
+        raise ImageDecodeError("invalid sampling factors")
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    luma = comps[0]
+    ly_blocks = mcus_y * luma["v"]
+    lx_blocks = mcus_x * luma["h"]
+    ypix = np.zeros((ly_blocks * 8, lx_blocks * 8), dtype=np.float64)
+    lqt = qtables.get(luma["tq"])
+    if lqt is None:
+        raise ImageDecodeError("missing quantization table")
+
+    br = _BitReader(d, pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    next_rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                rn = br.align_to_marker()
+                if rn != next_rst:
+                    raise ImageDecodeError("restart marker out of sequence")
+                next_rst = (next_rst + 1) & 7
+                pred = {c["id"]: 0 for c in comps}
+            for ci, c in enumerate(comps):
+                td, ta = scan_tables[c["id"]]
+                dct = hufftables.get((0, td))
+                act = hufftables.get((1, ta))
+                if dct is None or act is None:
+                    raise ImageDecodeError("missing Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        z = np.zeros(64, dtype=np.int64)
+                        s = dct.decode(br)
+                        if s > 11:
+                            raise ImageDecodeError("invalid DC magnitude")
+                        diff = _extend(br.receive(s), s)
+                        pred[c["id"]] += diff
+                        z[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = act.decode(br)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ImageDecodeError("AC run past block end")
+                            z[k] = _extend(br.receive(s), s)
+                            k += 1
+                        if ci == 0:  # only the luma plane is reconstructed
+                            qt = qtables.get(c["tq"])
+                            if qt is None:
+                                raise ImageDecodeError("missing quantization table")
+                            blk = np.zeros(64, dtype=np.float64)
+                            blk[_ZIGZAG] = z * qt[_ZIGZAG]
+                            px = _DCT8.T @ blk.reshape(8, 8) @ _DCT8
+                            yy = (my * c["v"] + by) * 8
+                            xx = (mx * c["h"] + bx) * 8
+                            ypix[yy : yy + 8, xx : xx + 8] = px
+            mcu_count += 1
+
+    gray = np.clip(np.round(ypix + 128.0), 0, 255).astype(np.uint8)
+    # luma plane covers ceil-scaled dims; crop to the frame size scaled
+    # by the luma sampling fraction (luma is full-res when h==hmax)
+    ly = (h * luma["v"] + vmax - 1) // vmax
+    lx = (w * luma["h"] + hmax - 1) // hmax
+    return gray[:ly, :lx], int(lx), int(ly)

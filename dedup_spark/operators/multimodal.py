@@ -232,19 +232,22 @@ def _fake_duration_ms(payload: bytes) -> int:
 def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
     """bytes → (grayscale uint8 (h, w), width, height, decoder).
 
-    REAL decode for the formats the stdlib + numpy can handle from
-    their public specs — PNG (zlib inflate + unfilter) and BMP
-    (uncompressed DIB), via ``functions/imagecodec.py``. Everything
-    else keeps the honest-stub policy: ``fake=True`` falls back to the
+    REAL decode for the formats numpy + the stdlib can handle from
+    their public specs — PNG (zlib inflate + unfilter), BMP
+    (uncompressed DIB) via ``functions/imagecodec.py``, and baseline
+    JPEG (T.81 sequential DCT — ``functions/jpegcodec.py``; the luma
+    plane of color images). Everything else (progressive JPEG, WebP,
+    …) keeps the honest-stub policy: ``fake=True`` falls back to the
     deterministic byte-structure fake (also used when a real-looking
     payload turns out corrupt), ``fake=False`` raises. ``decoder`` in
-    the result names which path ran ('png' | 'bmp' | 'fake') so
-    downstream rows are never silently fake."""
+    the result names which path ran ('png' | 'bmp' | 'jpeg' | 'fake')
+    so downstream rows are never silently fake."""
     from dedup_spark.functions.imagecodec import (
         ImageDecodeError,
         decode_bmp,
         decode_png,
     )
+    from dedup_spark.functions.jpegcodec import decode_jpeg
 
     raw = payload or b""
     try:
@@ -254,15 +257,18 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
         if raw[:2] == b"BM":
             img, w, h = decode_bmp(raw)
             return img, w, h, "bmp"
+        if raw[:3] == b"\xff\xd8\xff":
+            img, w, h = decode_jpeg(raw)
+            return img, w, h, "jpeg"
     except ImageDecodeError:
         pass  # corrupt or unsupported variant → stub policy below
     if fake:
         img, w, h = _fake_pixels(raw)
         return img, w, h, "fake"
     raise NotImplementedError(
-        "payload is not a stdlib-decodable image (PNG/BMP); other formats "
-        "need codec libs not present in this environment — pass fake=True "
-        "for the deterministic fake decoder"
+        "payload is not a numpy-decodable image (PNG/BMP/baseline JPEG); "
+        "other formats need codec libs not present in this environment — "
+        "pass fake=True for the deterministic fake decoder"
     )
 
 
@@ -710,6 +716,35 @@ def documents_as_y4m_assets(spark, sf_dir: str, n_frames: int = 8) -> DataFrame:
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return d.mapInPandas(_to_y4m, ASSET_SCHEMA)
+
+
+def documents_as_jpeg_assets(spark, sf_dir: str) -> DataFrame:
+    """Fixture adapter for the REAL baseline-JPEG decode path: each
+    document's bytes become a grayscale image (deterministic
+    byte-structure pixels) re-encoded as an actual baseline JPEG, so
+    ``image_phash(fake=False)`` / geometry checks run the real T.81
+    entropy decoder on every row — decoder == 'jpeg' throughout."""
+
+    def _to_jpeg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dedup_spark.functions.jpegcodec import encode_jpeg_gray8
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                img, _w, _h = _fake_pixels(raw)
+                rows.append(
+                    {
+                        "asset_id": int(did),
+                        "kind": "image",
+                        "payload": encode_jpeg_gray8(img, quality=90),
+                        "mime": "image/jpeg",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in ASSET_SCHEMA.fields])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return d.mapInPandas(_to_jpeg, ASSET_SCHEMA)
 
 
 def documents_as_wav_assets(spark, sf_dir: str) -> DataFrame:

@@ -748,8 +748,11 @@ def _decoded_meta_query(spark: SparkSession, sf_dir: str, modality: str) -> Data
         documents_as_y4m_assets,
     )
 
-    if modality == "png":
-        assets = documents_as_png_assets(spark, sf_dir)
+    if modality in ("png", "jpeg"):
+        from dedup_spark.operators.multimodal import documents_as_jpeg_assets
+
+        adapter = documents_as_png_assets if modality == "png" else documents_as_jpeg_assets
+        assets = adapter(spark, sf_dir)
 
         def meta(raw: bytes) -> dict:
             _img, w, h, dec = decode_pixels(raw, fake=False)
@@ -790,6 +793,10 @@ def _decoded_meta_query(spark: SparkSession, sf_dir: str, modality: str) -> Data
 
 def q_png_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decoded_meta_query(spark, sf_dir, "png")
+
+
+def q_jpeg_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decoded_meta_query(spark, sf_dir, "jpeg")
 
 
 def q_wav_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1258,6 +1265,13 @@ SELECT CAST(doc_id AS BIGINT) AS asset_id,
        CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) AS width,
        CAST(16 + (octet_length(encode(text)) // 7) % 48 AS BIGINT) AS height,
        'png' AS decoder
+FROM documents
+""",
+    "jpeg_decode_meta": """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) AS width,
+       CAST(16 + (octet_length(encode(text)) // 7) % 48 AS BIGINT) AS height,
+       'jpeg' AS decoder
 FROM documents
 """,
     "wav_decode_meta": """
@@ -1820,6 +1834,7 @@ QUERIES = {
     "audio_fingerprint": q_audio_fingerprint,
     "video_fingerprint": q_video_fingerprint,
     "png_decode_meta": q_png_decode_meta,
+    "jpeg_decode_meta": q_jpeg_decode_meta,
     "wav_decode_meta": q_wav_decode_meta,
     "y4m_decode_meta": q_y4m_decode_meta,
     "exact_hash_clusters": q_exact_hash_clusters,

@@ -1,0 +1,154 @@
+"""Baseline JPEG codec (pure numpy, T.81): encoder/decoder round trips
+(bounded error — JPEG is lossy), spec-table pins, unsupported-variant
+rejection, and integration with the image pHash / near-dup path.
+
+Guard against encoder/decoder bug-cancellation: the zigzag table is
+pinned against the PUBLISHED constant (an error in both directions
+would cancel in round trips but fail this pin), the DC-only case is
+verified against hand-computable math, and the bitstream is checked
+to be structurally valid JPEG (marker layout)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from dedup_spark.functions.imagecodec import ImageDecodeError, phash64
+from dedup_spark.functions.jpegcodec import (
+    _ZIGZAG,
+    decode_jpeg,
+    encode_jpeg_gray8,
+)
+from dedup_spark.functions.shingles import hamming64 as _ham
+
+# ITU-T T.81 Figure A.6 zigzag sequence, transcribed independently
+_PUBLISHED_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _gradient(h: int = 48, w: int = 64) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.minimum(yy * 3 + xx * 2, 255).astype(np.uint8)
+
+
+def test_zigzag_matches_published_table():
+    assert list(_ZIGZAG) == _PUBLISHED_ZIGZAG
+
+
+def test_marker_structure_is_valid_jpeg():
+    p = encode_jpeg_gray8(_gradient(), quality=90)
+    assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+    # walk the segments up to SOS; all must be well-formed
+    pos, seen = 2, []
+    while True:
+        assert p[pos] == 0xFF
+        marker = p[pos + 1]
+        seen.append(marker)
+        (ln,) = struct.unpack(">H", p[pos + 2 : pos + 4])
+        pos += 2 + ln
+        if marker == 0xDA:
+            break
+    assert 0xDB in seen and 0xC0 in seen and 0xC4 in seen
+
+
+@pytest.mark.parametrize("sub", ["gray", "444", "420"])
+def test_roundtrip_bounded_error(sub):
+    img = _gradient()
+    dec, w, h = decode_jpeg(encode_jpeg_gray8(img, quality=90, subsampling=sub))
+    assert (w, h) == (64, 48)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 16 and err.mean() < 1.0
+
+
+def test_roundtrip_odd_dimensions():
+    img = _gradient(45, 61)
+    dec, w, h = decode_jpeg(encode_jpeg_gray8(img, quality=95, subsampling="420"))
+    assert (w, h) == (61, 45)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
+
+
+def test_restart_markers_roundtrip():
+    img = _gradient()
+    base = decode_jpeg(encode_jpeg_gray8(img, quality=90))[0]
+    with_rst = decode_jpeg(
+        encode_jpeg_gray8(img, quality=90, restart_interval=3)
+    )[0]
+    # restart markers change the bitstream layout, not the pixels
+    assert (base == with_rst).all()
+
+
+def test_flat_image_reconstructs_near_exact():
+    """A constant image is DC-only: reconstruction error is pure DC
+    quantization, hand-checkable to within a single level."""
+    img = np.full((16, 24), 131, dtype=np.uint8)
+    dec, _, _ = decode_jpeg(encode_jpeg_gray8(img, quality=90))
+    assert np.abs(dec.astype(int) - 131).max() <= 2
+
+
+def test_noise_image_high_quality():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    dec, _, _ = decode_jpeg(encode_jpeg_gray8(img, quality=95))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_rejects_unsupported_variants():
+    p = bytearray(encode_jpeg_gray8(_gradient(), quality=90))
+    sof = p.index(b"\xff\xc0")
+    p[sof + 1] = 0xC2  # rebrand the frame as progressive
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(bytes(p))
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(b"\xff\xd8\xff\xe0 not really a jpeg")
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(encode_jpeg_gray8(_gradient())[:60])  # truncated
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(b"PNG?")
+
+
+def test_phash_stable_through_jpeg():
+    """The actual dedup use case: a JPEG re-encode of an image must
+    land within the Hamming gate of the original pixels."""
+    img = _gradient(64, 64)
+    dec, _, _ = decode_jpeg(encode_jpeg_gray8(img, quality=90))
+    assert _ham(phash64(img), phash64(dec)) <= 6
+
+
+def test_decode_pixels_routes_jpeg():
+    from dedup_spark.operators.multimodal import decode_pixels
+
+    img = _gradient()
+    gray, w, h, dec = decode_pixels(encode_jpeg_gray8(img, quality=90), fake=False)
+    assert dec == "jpeg" and (w, h) == (64, 48)
+    # corrupt JPEG magic still honors the stub policy
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"\xff\xd8\xff\xe0 jpeg-ish garbage", fake=False)
+
+
+def test_cross_format_near_dup_merges_jpeg_and_png(spark):
+    """The SAME image as PNG (lossless) and JPEG (lossy, q90) must land
+    in one cluster — the canonical re-encode dedup scenario."""
+    from dedup_spark.functions.imagecodec import encode_png_gray8
+    from dedup_spark.operators.multimodal import image_near_dup_clusters
+
+    img = _gradient(64, 64)
+    rng = np.random.default_rng(9)
+    other = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_png_gray8(img)), "image/png"),
+        (2, "image", bytearray(encode_jpeg_gray8(img, quality=90)), "image/jpeg"),
+        (3, "image", bytearray(encode_png_gray8(other)), "image/png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    out = {r["asset_id"]: r for r in image_near_dup_clusters(df).collect()}
+    assert out[1]["decoder"] == "png" and out[2]["decoder"] == "jpeg"
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[3]["cluster_size"] == 1

@@ -329,3 +329,30 @@ def test_y4m_decoder_never_leaks_raw_errors(payload):
         decode_y4m(b"YUV4MPEG2 " + payload)
     except VideoDecodeError:
         pass
+
+
+@SETTINGS
+@given(_img_arrays, st.integers(min_value=70, max_value=95))
+def test_jpeg_roundtrip_property(img, quality):
+    """JPEG is lossy: round trips assert exact dimensions and bounded
+    per-pixel error (block-edge ringing stays under ~45 levels even at
+    q70 on adversarial random blocks; the mean stays small)."""
+    from dedup_spark.functions.jpegcodec import decode_jpeg, encode_jpeg_gray8
+
+    dec, w, h = decode_jpeg(encode_jpeg_gray8(img, quality=quality))
+    assert (h, w) == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 64
+    assert err.mean() <= 12
+
+
+@SETTINGS
+@given(st.binary(min_size=0, max_size=300))
+def test_jpeg_decoder_never_leaks_raw_errors(payload):
+    from dedup_spark.functions.imagecodec import ImageDecodeError
+    from dedup_spark.functions.jpegcodec import decode_jpeg
+
+    try:
+        decode_jpeg(b"\xff\xd8" + payload)
+    except ImageDecodeError:
+        pass
