@@ -135,6 +135,9 @@ class _BitReader:
                     cur.append(0xFF)
                     i += 2
                     continue
+                if nxt == 0xFF:  # T.81 B.1.1.2 fill byte before a marker
+                    i += 1
+                    continue
                 if nxt is not None and 0xD0 <= nxt <= 0xD7:
                     segs.append(bytes(cur))
                     markers.append(nxt - 0xD0)
@@ -416,8 +419,15 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
         return _decode_jpeg(payload)
     except ImageDecodeError:
         raise
-    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
-        raise ImageDecodeError(f"corrupt JPEG: {exc}") from exc
+    except (
+        ValueError,
+        struct.error,
+        IndexError,
+        KeyError,
+        OverflowError,
+        MemoryError,
+    ) as exc:
+        raise ImageDecodeError(f"corrupt JPEG: {exc!r}") from exc
 
 
 def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
@@ -433,6 +443,9 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
     while pos + 4 <= n:
         if d[pos] != 0xFF:
             raise ImageDecodeError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < n and d[pos + 1] == 0xFF:
+            pos += 1
         marker = d[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -493,6 +506,8 @@ def _decode_scan(d, pos, sos, frame, qtables, hufftables, restart_interval):
     comps = frame["comps"]
     if ns != len(comps):
         raise ImageDecodeError("multi-scan (non-interleaved) JPEG unsupported")
+    if set(scan_tables) != {c["id"] for c in comps}:
+        raise ImageDecodeError("SOS component ids do not match SOF")
     h, w = frame["h"], frame["w"]
     if h <= 0 or w <= 0:
         raise ImageDecodeError(f"degenerate JPEG dimensions {w}x{h}")

@@ -561,33 +561,42 @@ def audio_near_dup_clusters(
     )
 
 
-def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
-    """Fixture adapter for the REAL decode path: each document's bytes
-    are rendered into an actual PNG file (deterministic byte-structure
-    pixels re-encoded with the engine's own stdlib encoder), so
-    ``image_phash(fake=False)`` runs the real zlib-inflate + unfilter
-    decoder on every row — decoder == 'png' throughout, no fake."""
+def _documents_as_media_assets(
+    spark, sf_dir: str, kind: str, mime: str, make_payload
+) -> DataFrame:
+    """Shared fixture-adapter skeleton for the REAL decode paths: each
+    document's utf-8 bytes pass through ``make_payload`` (deterministic
+    byte-structure content re-encoded with the engine's own encoders)
+    so the real parsers run with fake=False on every row. One body for
+    all four formats — the encode call is the only variation."""
 
-    def _to_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from dedup_spark.functions.imagecodec import encode_png_gray8
-
+    def _to_assets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = (text or "").encode("utf-8")
-                img, _w, _h = _fake_pixels(raw)
-                rows.append(
-                    {
-                        "asset_id": int(did),
-                        "kind": "image",
-                        "payload": encode_png_gray8(img),
-                        "mime": "image/png",
-                    }
-                )
+            rows = [
+                {
+                    "asset_id": int(did),
+                    "kind": kind,
+                    "payload": make_payload((text or "").encode("utf-8")),
+                    "mime": mime,
+                }
+                for did, text in zip(pdf["doc_id"], pdf["text"])
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in ASSET_SCHEMA.fields])
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return d.mapInPandas(_to_png, ASSET_SCHEMA)
+    return d.mapInPandas(_to_assets, ASSET_SCHEMA)
+
+
+def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
+    """Fixture adapter for the REAL PNG decode path (decoder == 'png'
+    on every row — no fake)."""
+
+    def make(raw: bytes) -> bytes:
+        from dedup_spark.functions.imagecodec import encode_png_gray8
+
+        return encode_png_gray8(_fake_pixels(raw)[0])
+
+    return _documents_as_media_assets(spark, sf_dir, "image", "image/png", make)
 
 
 def decode_frames(payload: bytes, fake: bool = False) -> tuple:
@@ -685,95 +694,49 @@ def video_near_dup_clusters(
 
 
 def documents_as_y4m_assets(spark, sf_dir: str, n_frames: int = 8) -> DataFrame:
-    """Fixture adapter for the REAL video decode path: each document's
-    bytes become a short luma frame stack (byte-derived fake pixels,
-    rolled per frame) re-encoded as an actual Y4M stream, so
-    ``video_fingerprint(fake=False)`` runs the real parser on every
-    row — decoder == 'y4m' throughout, no fake."""
+    """Fixture adapter for the REAL video decode path (decoder ==
+    'y4m' on every row): byte-derived pixels, rolled per frame, as an
+    actual Y4M stream."""
     import numpy as np
 
-    def _to_y4m(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def make(raw: bytes) -> bytes:
         from dedup_spark.functions.videocodec import encode_y4m
 
-        for pdf in batches:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = (text or "").encode("utf-8")
-                img, w, h = _fake_pixels(raw)
-                img = img[: h - h % 2, : w - w % 2]  # C420 needs even dims
-                frames = np.stack(
-                    [np.roll(img, 7 * i, axis=1) for i in range(n_frames)]
-                )
-                rows.append(
-                    {
-                        "asset_id": int(did),
-                        "kind": "video",
-                        "payload": encode_y4m(frames),
-                        "mime": "video/x-yuv4mpeg",
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in ASSET_SCHEMA.fields])
+        img, w, h = _fake_pixels(raw)
+        img = img[: h - h % 2, : w - w % 2]  # C420 needs even dims
+        return encode_y4m(
+            np.stack([np.roll(img, 7 * i, axis=1) for i in range(n_frames)])
+        )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return d.mapInPandas(_to_y4m, ASSET_SCHEMA)
+    return _documents_as_media_assets(
+        spark, sf_dir, "video", "video/x-yuv4mpeg", make
+    )
 
 
 def documents_as_jpeg_assets(spark, sf_dir: str) -> DataFrame:
-    """Fixture adapter for the REAL baseline-JPEG decode path: each
-    document's bytes become a grayscale image (deterministic
-    byte-structure pixels) re-encoded as an actual baseline JPEG, so
-    ``image_phash(fake=False)`` / geometry checks run the real T.81
-    entropy decoder on every row — decoder == 'jpeg' throughout."""
+    """Fixture adapter for the REAL baseline-JPEG decode path
+    (decoder == 'jpeg' on every row — the T.81 entropy decoder runs
+    on every document)."""
 
-    def _to_jpeg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def make(raw: bytes) -> bytes:
         from dedup_spark.functions.jpegcodec import encode_jpeg_gray8
 
-        for pdf in batches:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = (text or "").encode("utf-8")
-                img, _w, _h = _fake_pixels(raw)
-                rows.append(
-                    {
-                        "asset_id": int(did),
-                        "kind": "image",
-                        "payload": encode_jpeg_gray8(img, quality=90),
-                        "mime": "image/jpeg",
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in ASSET_SCHEMA.fields])
+        return encode_jpeg_gray8(_fake_pixels(raw)[0], quality=90)
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return d.mapInPandas(_to_jpeg, ASSET_SCHEMA)
+    return _documents_as_media_assets(spark, sf_dir, "image", "image/jpeg", make)
 
 
 def documents_as_wav_assets(spark, sf_dir: str) -> DataFrame:
-    """Fixture adapter for the REAL audio decode path: each document's
-    bytes become a mono sample stream (deterministic byte-derived fake
-    samples) re-encoded as an actual 16-bit PCM WAV, so
-    ``audio_fingerprint(fake=False)`` runs the real RIFF parser on
-    every row — decoder == 'wav' throughout, no fake."""
+    """Fixture adapter for the REAL audio decode path (decoder ==
+    'wav' on every row): byte-derived samples as an actual 16-bit PCM
+    WAV."""
 
-    def _to_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def make(raw: bytes) -> bytes:
         from dedup_spark.functions.audiocodec import encode_wav_pcm16
 
-        for pdf in batches:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = (text or "").encode("utf-8")
-                x, rate = _fake_samples(raw)
-                rows.append(
-                    {
-                        "asset_id": int(did),
-                        "kind": "audio",
-                        "payload": encode_wav_pcm16(x, rate),
-                        "mime": "audio/wav",
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in ASSET_SCHEMA.fields])
+        return encode_wav_pcm16(*_fake_samples(raw))
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return d.mapInPandas(_to_wav, ASSET_SCHEMA)
+    return _documents_as_media_assets(spark, sf_dir, "audio", "audio/wav", make)
 
 
 def documents_as_assets(spark, sf_dir: str) -> DataFrame:

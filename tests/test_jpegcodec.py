@@ -112,6 +112,41 @@ def test_rejects_unsupported_variants():
         decode_jpeg(b"PNG?")
 
 
+def test_fill_bytes_before_markers_are_tolerated():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker — real encoders emit them; decoding must not derail."""
+    p = encode_jpeg_gray8(_gradient(), quality=90)
+    base, _, _ = decode_jpeg(p)
+    # fill before a header marker (DQT)
+    dqt = p.index(b"\xff\xdb")
+    padded = p[:dqt] + b"\xff" + p[dqt:]
+    dec, _, _ = decode_jpeg(padded)
+    assert (dec == base).all()
+    # fill before a restart marker inside the entropy stream
+    pr = encode_jpeg_gray8(_gradient(), quality=90, restart_interval=2)
+    base_r, _, _ = decode_jpeg(pr)
+    rst = pr.index(b"\xff\xd0")
+    padded_r = pr[:rst] + b"\xff" + pr[rst:]
+    dec_r, _, _ = decode_jpeg(padded_r)
+    assert (dec_r == base_r).all()
+
+
+def test_sos_sof_component_mismatch_is_decode_error():
+    """A scan whose component selectors don't match the frame must
+    raise the typed error (a raw KeyError would escape the stub-policy
+    catch and kill a Spark task)."""
+    p = bytearray(encode_jpeg_gray8(_gradient(), quality=90))
+    sos = p.index(b"\xff\xda")
+    # SOS layout: FF DA len(2) ns cs1 tdta ... — corrupt cs1
+    p[sos + 5] = 9
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(bytes(p))
+    from dedup_spark.operators.multimodal import decode_pixels
+
+    img, _w, _h, dec = decode_pixels(bytes(p), fake=True)
+    assert dec == "fake"  # degraded, not crashed
+
+
 def test_phash_stable_through_jpeg():
     """The actual dedup use case: a JPEG re-encode of an image must
     land within the Hamming gate of the original pixels."""
