@@ -150,3 +150,105 @@ def video_fingerprint64(
     for bit in maj:
         acc = (acc << 1) | int(bit)
     return (acc - (1 << 64) if acc >= (1 << 63) else acc), int(take)
+
+
+# --------------------------------------------------------------------------
+# MJPEG-in-AVI: a genuinely COMPRESSED video format decodable here,
+# because each frame is a baseline JPEG (functions/jpegcodec.py) and
+# the AVI/RIFF container is plain public structure (chunks + LISTs).
+# --------------------------------------------------------------------------
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, float]:
+    """Decode an AVI whose video stream is Motion-JPEG to (luma frames
+    uint8 (n, h, w), fps). Walks the RIFF tree for 'avih' (frame
+    period) and the 'movi' LIST's '##dc'/'##db' chunks, decoding each
+    as a baseline JPEG. Frames must share one geometry (MJPEG streams
+    do by construction). Non-MJPEG codecs fail JPEG decode → typed
+    error → the caller's honest-stub policy; like every decoder here,
+    ANY parse failure surfaces as the typed error."""
+    import struct as _struct
+
+    try:
+        return _decode_avi_mjpeg(payload)
+    except VideoDecodeError:
+        raise
+    except (ValueError, _struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise VideoDecodeError(f"corrupt AVI: {exc!r}") from exc
+
+
+def _decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, float]:
+    import struct as _struct
+
+    from dedup_spark.functions.imagecodec import ImageDecodeError
+    from dedup_spark.functions.jpegcodec import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise VideoDecodeError("not a RIFF/AVI payload")
+    fps = 25.0
+    frames: list[np.ndarray] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal fps
+        pos = lo
+        while pos + 8 <= hi:
+            tag = payload[pos : pos + 4]
+            (clen,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body_lo, body_hi = pos + 8, min(pos + 8 + clen, hi)
+            if tag == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the list type fourcc
+            elif tag == b"avih" and clen >= 4:
+                (us_per_frame,) = _struct.unpack(
+                    "<I", payload[body_lo : body_lo + 4]
+                )
+                if us_per_frame > 0:
+                    fps = 1e6 / us_per_frame
+            elif len(tag) == 4 and tag[2:4] in (b"dc", b"db"):
+                try:
+                    gray, _w, _h = decode_jpeg(payload[body_lo:body_hi])
+                except ImageDecodeError as exc:
+                    raise VideoDecodeError(f"AVI frame is not MJPEG: {exc}") from exc
+                frames.append(gray)
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    if not frames:
+        raise VideoDecodeError("AVI has no video frames")
+    if any(f.shape != frames[0].shape for f in frames):
+        raise VideoDecodeError("AVI MJPEG frames disagree on geometry")
+    return np.stack(frames), fps
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 25, quality: int = 90) -> bytes:
+    """Minimal MJPEG-AVI writer for tests/fixtures: avih + a 'vids'/
+    'MJPG' stream header pair + one '00dc' baseline-JPEG chunk per
+    frame."""
+    import struct as _struct
+
+    from dedup_spark.functions.jpegcodec import encode_jpeg_gray8
+
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + _struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = _struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = _struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = _struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(
+        b"movi",
+        b"".join(chunk(b"00dc", encode_jpeg_gray8(frames[i], quality=quality)) for i in range(n)),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _struct.pack("<I", len(body)) + body

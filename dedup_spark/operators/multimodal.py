@@ -603,21 +603,30 @@ def decode_frames(payload: bytes, fake: bool = False) -> tuple:
     """bytes → (luma frames uint8 (n, h, w), fps, decoder).
 
     REAL decode for Y4M/YUV4MPEG2 raw video (public plain-text header
-    + raw planes — ``functions/videocodec.py``); compressed containers
-    (Matroska/MP4/AVI) keep the honest-stub policy: ``fake=True``
-    falls back to a deterministic fake frame stack (byte-derived
-    pixels, length-derived duration), ``fake=False`` raises."""
+    + raw planes) AND for MJPEG-in-AVI (RIFF container walk + the
+    baseline-JPEG codec per frame) — ``functions/videocodec.py``.
+    Other compressed containers (Matroska/MP4, non-MJPEG AVI) keep the
+    honest-stub policy: ``fake=True`` falls back to a deterministic
+    fake frame stack (byte-derived pixels, length-derived duration),
+    ``fake=False`` raises."""
     import numpy as np
 
-    from dedup_spark.functions.videocodec import VideoDecodeError, decode_y4m
+    from dedup_spark.functions.videocodec import (
+        VideoDecodeError,
+        decode_avi_mjpeg,
+        decode_y4m,
+    )
 
     raw = payload or b""
-    if raw[:9] == b"YUV4MPEG2":
-        try:
+    try:
+        if raw[:9] == b"YUV4MPEG2":
             frames, fps = decode_y4m(raw)
             return frames, fps, "y4m"
-        except VideoDecodeError:
-            pass  # corrupt or unsupported variant → stub policy below
+        if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+            frames, fps = decode_avi_mjpeg(raw)
+            return frames, fps, "avi-mjpeg"
+    except VideoDecodeError:
+        pass  # corrupt or unsupported variant → stub policy below
     if fake:
         img, w, h = _fake_pixels(raw)
         n = max(1, min(16, _fake_duration_ms(raw) // 1000))

@@ -397,3 +397,14 @@ def test_jpeg_decoder_never_leaks_raw_errors(payload):
         decode_jpeg(b"\xff\xd8" + payload)
     except ImageDecodeError:
         pass
+
+
+@SETTINGS
+@given(st.binary(min_size=0, max_size=300))
+def test_avi_decoder_never_leaks_raw_errors(payload):
+    from dedup_spark.functions.videocodec import VideoDecodeError, decode_avi_mjpeg
+
+    try:
+        decode_avi_mjpeg(b"RIFF\x00\x01\x00\x00AVI " + payload)
+    except VideoDecodeError:
+        pass

@@ -96,6 +96,48 @@ def test_video_fingerprint_short_clip():
     assert fp == phash64(one[0])  # single frame → its own pHash
 
 
+# ------------------------------------------------------------ MJPEG-AVI --
+
+def test_avi_mjpeg_roundtrip_and_fingerprint():
+    from dedup_spark.functions.videocodec import decode_avi_mjpeg, encode_avi_mjpeg
+
+    frames = _moving_gradient(1, n=10, h=48, w=64)
+    dec, fps = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=30, quality=90))
+    assert abs(fps - 30.0) < 0.1
+    assert dec.shape == frames.shape
+    # MJPEG is lossy per frame — bounded error, fingerprint within gate
+    assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 16
+    fa, _ = video_fingerprint64(frames)
+    fd, _ = video_fingerprint64(dec)
+    assert _ham(fa, fd) <= 6
+
+
+def test_avi_mjpeg_rejects_garbage():
+    from dedup_spark.functions.videocodec import decode_avi_mjpeg, encode_avi_mjpeg
+
+    with pytest.raises(VideoDecodeError):
+        decode_avi_mjpeg(b"RIFF\x10\x00\x00\x00AVI junkjunk")
+    with pytest.raises(VideoDecodeError):
+        decode_avi_mjpeg(b"RIFF\x08\x00\x00\x00WAVEdata")  # not an AVI
+    # an AVI whose frames aren't JPEG must fail typed, not leak
+    good = encode_avi_mjpeg(_moving_gradient(2, n=2, h=16, w=16))
+    broken = good.replace(b"\xff\xd8", b"\x00\x00", 1)  # corrupt first frame
+    with pytest.raises(VideoDecodeError):
+        decode_avi_mjpeg(broken)
+
+
+def test_decode_frames_routes_avi():
+    from dedup_spark.functions.videocodec import encode_avi_mjpeg
+    from dedup_spark.operators.multimodal import decode_frames
+
+    clip = _moving_gradient(3, n=4, h=32, w=32)
+    frames, fps, dec = decode_frames(encode_avi_mjpeg(clip), fake=False)
+    assert dec == "avi-mjpeg" and frames.shape == clip.shape
+    # non-MJPEG AVI degrades to the stub policy
+    with pytest.raises(NotImplementedError):
+        decode_frames(b"RIFF\x20\x00\x00\x00AVI LIST\x04\x00\x00\x00movi", fake=False)
+
+
 # ---------------------------------------------------------- spark wiring --
 
 def _asset_rows():
@@ -135,6 +177,33 @@ def test_decode_frames_honest_without_fake():
         decode_frames(mkv, fake=False)
     frames, fps, dec = decode_frames(mkv, fake=True)
     assert dec == "fake" and frames.ndim == 3 and frames.shape[0] >= 1
+
+
+def test_cross_container_near_dup_merges_y4m_and_avi(spark):
+    """The SAME clip as raw Y4M and as MJPEG-AVI (lossy q90) must land
+    in one cluster — the video re-encode dedup scenario."""
+    from dedup_spark.functions.videocodec import encode_avi_mjpeg
+    from dedup_spark.operators.multimodal import video_near_dup_clusters
+
+    # smooth (saturating) content: the wrap-around gradient's hard
+    # edges ring under JPEG and push marginal pHash bits past the gate
+    yy, xx = np.mgrid[0:64, 0:64]
+    a = np.stack(
+        [np.minimum(yy * 2 + xx * 3 + 5 * t, 255).astype(np.uint8) for t in range(20)]
+    )
+    other = _moving_gradient(5)
+    rows = [
+        (1, "video", bytearray(encode_y4m(a)), "video/x-yuv4mpeg"),
+        (2, "video", bytearray(encode_avi_mjpeg(a, quality=90)), "video/x-msvideo"),
+        (3, "video", bytearray(encode_y4m(other)), "video/x-yuv4mpeg"),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    out = {r["asset_id"]: r for r in video_near_dup_clusters(df).collect()}
+    assert out[1]["decoder"] == "y4m" and out[2]["decoder"] == "avi-mjpeg"
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[3]["cluster_size"] == 1
 
 
 def test_video_near_dup_clusters_end_to_end(spark):
