@@ -82,6 +82,36 @@ def detect_kind_from_magic(payload: bytes | None) -> str:
     return _MAGIC_KINDS.get(payload[:4].hex(), "blob")
 
 
+def kind_from_magic_col(payload: "F.Column") -> "F.Column":
+    """``detect_kind_from_magic`` as a pure COLUMN expression (JVM
+    codegen — no Python UDF in the routing hot path): sniff the hex of
+    the first 12 payload bytes. Kept bit-for-bit in sync with the
+    Python function; ``test_kind_column_matches_python`` pins the
+    equivalence over every magic family and garbage."""
+    hx = F.lower(F.hex(F.substring(payload, 1, 12)))
+    return (
+        F.when(F.length(hx) < 8, "blob")
+        .when(hx.startswith("ffd8ff"), "image")                       # JPEG (3-byte SOI)
+        .when(
+            hx.startswith("424d") & (F.substring(hx, 13, 8) == "00000000"),
+            "image",                                                  # BMP + reserved zeros
+        )
+        .when(hx.startswith("89504e47"), "image")                     # PNG
+        .when(
+            hx.startswith("52494646") & (F.substring(hx, 17, 8) == "57415645"),
+            "audio",                                                  # RIFF/WAVE
+        )
+        .when(
+            hx.startswith("52494646") & (F.substring(hx, 17, 8) == "41564920"),
+            "video",                                                  # RIFF/AVI
+        )
+        .when(hx.startswith("59555634"), "video")                     # "YUV4" Y4M
+        .when(hx.startswith("49443303"), "audio")                     # MP3/ID3
+        .when(hx.startswith("1a45dfa3"), "video")                     # Matroska/WebM
+        .otherwise("blob")
+    )
+
+
 def decode_asset(payload: bytes, kind: str, fake: bool = False) -> dict:
     """Decode stub. Real decoders (PIL/ffmpeg/librosa) are not in this
     container; ``fake=True`` runs the deterministic byte-structure fake
@@ -559,6 +589,64 @@ def audio_near_dup_clusters(
     return _signature_near_dup_clusters(
         audio_fingerprint(assets, fake=fake), "afp", cfg
     )
+
+
+def media_near_dup_clusters(
+    assets: DataFrame, config=None, fake: bool = False
+) -> DataFrame:
+    """Unified media dedup orchestrator — the reference's same-kind
+    comparison gate (F7, /root/reference/src/media_dedup.rs:556-587:
+    images compare with images, audio with audio) as ONE API: detect
+    each asset's kind from its payload magic, route it to its
+    modality's signature path (image → DCT pHash, audio → band-energy
+    fingerprint, video → frame-hash majority, anything else →
+    byte-shingle binary near-dup), and return a single cluster table.
+
+    Returns (asset_id, modality, cluster_id, cluster_size). Cluster
+    ids are disjoint across modalities by construction (each modality
+    clusters independently — a namespaced label keeps them distinct),
+    so cross-kind pairs can never merge, exactly the reference's gate.
+    """
+    from dedup_spark.config import DedupConfig
+
+    cfg = config or DedupConfig()
+    tagged = assets.withColumn("_m", kind_from_magic_col(F.col("payload")))
+
+    def labeled(df: DataFrame, modality: str) -> DataFrame:
+        return df.select(
+            "asset_id",
+            F.lit(modality).alias("modality"),
+            F.concat(F.lit(modality + ":"), F.col("cluster_id").cast("string")).alias(
+                "cluster_id"
+            ),
+            "cluster_size",
+        )
+
+    parts = [
+        labeled(
+            image_near_dup_clusters(tagged.filter(F.col("_m") == "image"), cfg, fake),
+            "image",
+        ),
+        labeled(
+            audio_near_dup_clusters(tagged.filter(F.col("_m") == "audio"), cfg, fake),
+            "audio",
+        ),
+        labeled(
+            video_near_dup_clusters(tagged.filter(F.col("_m") == "video"), cfg, fake),
+            "video",
+        ),
+        labeled(
+            binary_near_dup_clusters(
+                tagged.filter(F.col("_m") == "blob").withColumn("kind", F.col("_m")),
+                cfg,
+            ),
+            "blob",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _documents_as_media_assets(

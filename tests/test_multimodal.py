@@ -178,3 +178,102 @@ def test_extract_features_feeds_embedding_ops(spark):
         feats.select(F.col("asset_id").alias("vec_id"), "embedding"), threshold=0.9
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_kind_column_matches_python(spark):
+    """kind_from_magic_col (JVM codegen) must agree byte-for-byte with
+    detect_kind_from_magic (Python) over every magic family, short
+    payloads, and garbage."""
+    import numpy as np
+
+    from dedup_spark.functions.audiocodec import encode_wav_pcm16
+    from dedup_spark.functions.imagecodec import encode_bmp_gray8, encode_png_gray8
+    from dedup_spark.functions.jpegcodec import encode_jpeg_gray8
+    from dedup_spark.functions.videocodec import encode_avi_mjpeg, encode_y4m
+    from dedup_spark.operators.multimodal import (
+        detect_kind_from_magic,
+        kind_from_magic_col,
+    )
+    from pyspark.sql import functions as F
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    frames = np.zeros((2, 8, 8), dtype=np.uint8)
+    payloads = [
+        encode_png_gray8(img),
+        encode_bmp_gray8(img),
+        encode_jpeg_gray8(img),
+        encode_wav_pcm16(np.zeros(64), 8000),
+        encode_y4m(frames),
+        encode_avi_mjpeg(frames),
+        b"ID3\x03 mp3 bytes",
+        b"\x1a\x45\xdf\xa3 matroska",
+        b"BMW text, not a bitmap",
+        b"RIFF\x00\x00\x00\x00XXXX",  # RIFF but unknown form type
+        b"",
+        b"ab",
+        b"plain text payload",
+        b"\xff\xd8\xff",  # 3-byte JPEG SOI only (len < 4 -> blob)
+    ]
+    rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "i long, payload binary")
+    got = {
+        r["i"]: r["k"]
+        for r in df.select("i", kind_from_magic_col(F.col("payload")).alias("k")).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == detect_kind_from_magic(p), (i, p[:12], got[i])
+
+
+def test_media_near_dup_clusters_routes_by_kind(spark):
+    """The unified orchestrator: one near-dup copy per modality must
+    merge within its kind and NEVER across kinds (the reference's
+    same-kind gate), blobs falling through to byte-shingle dedup."""
+    import numpy as np
+
+    from dedup_spark.functions.imagecodec import encode_png_gray8
+    from dedup_spark.functions.audiocodec import encode_wav_pcm16
+    from dedup_spark.functions.videocodec import encode_y4m
+    from dedup_spark.operators.multimodal import media_near_dup_clusters
+
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = np.minimum(yy * 2 + xx * 3, 255).astype(np.uint8)
+    img_noisy = np.clip(
+        img.astype(np.int16) + rng.integers(-3, 4, img.shape), 0, 255
+    ).astype(np.uint8)
+    # broadband audio clip + noisy copy
+    n = 16000
+    spec = np.fft.rfft(rng.standard_normal(n))
+    f = np.fft.rfftfreq(n, 1 / 8000.0)
+    clip = np.fft.irfft(spec / (1.0 + f / 500.0), n)
+    clip = clip / np.max(np.abs(clip)) * 0.8
+    clip_noisy = np.clip(clip + 0.02 * rng.standard_normal(n), -1, 1)
+    frames = np.stack([np.minimum(yy * 2 + xx + 4 * t, 255).astype(np.uint8) for t in range(8)])
+    blob = bytes(range(256)) * 16
+    blob_noisy = bytearray(blob)
+    blob_noisy[100] ^= 0xFF
+
+    rows = [
+        (1, "", bytearray(encode_png_gray8(img)), ""),
+        (2, "", bytearray(encode_png_gray8(img_noisy)), ""),
+        (3, "", bytearray(encode_wav_pcm16(clip, 8000)), ""),
+        (4, "", bytearray(encode_wav_pcm16(clip_noisy, 8000)), ""),
+        (5, "", bytearray(encode_y4m(frames)), ""),
+        (6, "", bytearray(blob), ""),
+        (7, "", bytes(blob_noisy), ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    out = {r["asset_id"]: r for r in media_near_dup_clusters(df).collect()}
+    assert {out[i]["modality"] for i in (1, 2)} == {"image"}
+    assert {out[i]["modality"] for i in (3, 4)} == {"audio"}
+    assert out[5]["modality"] == "video"
+    assert {out[i]["modality"] for i in (6, 7)} == {"blob"}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"]      # image pair merges
+    assert out[3]["cluster_id"] == out[4]["cluster_id"]      # audio pair merges
+    assert out[6]["cluster_id"] == out[7]["cluster_id"]      # blob pair merges
+    # cross-kind labels can never collide (namespaced)
+    ids = {out[i]["cluster_id"] for i in (1, 3, 5, 6)}
+    assert len(ids) == 4
+    assert out[5]["cluster_size"] == 1
