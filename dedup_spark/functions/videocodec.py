@@ -158,25 +158,45 @@ def video_fingerprint64(
 # the AVI/RIFF container is plain public structure (chunks + LISTs).
 # --------------------------------------------------------------------------
 
-def decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, float]:
-    """Decode an AVI whose video stream is Motion-JPEG to (luma frames
-    uint8 (n, h, w), fps). Walks the RIFF tree for 'avih' (frame
-    period) and the 'movi' LIST's '##dc'/'##db' chunks, decoding each
-    as a baseline JPEG. Frames must share one geometry (MJPEG streams
-    do by construction). Non-MJPEG codecs fail JPEG decode → typed
-    error → the caller's honest-stub policy; like every decoder here,
-    ANY parse failure surfaces as the typed error."""
+def decode_avi_mjpeg(
+    payload: bytes, max_frames: int | None = None
+) -> tuple[np.ndarray, float]:
+    """Decode an AVI whose FIRST video stream is Motion-JPEG to (luma
+    frames uint8 (n, h, w), fps). Walks the RIFF tree (iteratively —
+    a crafted deep LIST nest must not raise RecursionError past the
+    typed-error contract) for 'avih' (frame period) and stream 00's
+    '00dc'/'00db' chunks; other streams (thumbnails, second angles)
+    are ignored rather than interleaved into the wrong sequence.
+
+    The walk first collects chunk OFFSETS (cheap); with ``max_frames``
+    only the evenly-sampled indices are JPEG-decoded — the same
+    ``(arange(k) * n) // k`` grid ``video_fingerprint64`` uses, so a
+    sampled decode is bit-identical to decode-all-then-sample while
+    doing 1/50th of the entropy-decode work on a long clip.
+
+    Non-MJPEG codecs fail JPEG decode → typed error → the caller's
+    honest-stub policy; like every decoder here, ANY parse failure
+    surfaces as the typed error."""
     import struct as _struct
 
     try:
-        return _decode_avi_mjpeg(payload)
+        return _decode_avi_mjpeg(payload, max_frames)
     except VideoDecodeError:
         raise
-    except (ValueError, _struct.error, IndexError, OverflowError, MemoryError) as exc:
+    except (
+        ValueError,
+        _struct.error,
+        IndexError,
+        OverflowError,
+        MemoryError,
+        RecursionError,
+    ) as exc:
         raise VideoDecodeError(f"corrupt AVI: {exc!r}") from exc
 
 
-def _decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, float]:
+def _decode_avi_mjpeg(
+    payload: bytes, max_frames: int | None
+) -> tuple[np.ndarray, float]:
     import struct as _struct
 
     from dedup_spark.functions.imagecodec import ImageDecodeError
@@ -185,34 +205,44 @@ def _decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, float]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise VideoDecodeError("not a RIFF/AVI payload")
     fps = 25.0
-    frames: list[np.ndarray] = []
+    spans: list[tuple[int, int]] = []
 
-    def walk(lo: int, hi: int) -> None:
-        nonlocal fps
-        pos = lo
+    # iterative RIFF walk (explicit stack of (lo, hi) ranges)
+    stack: list[tuple[int, int]] = [(12, len(payload))]
+    while stack:
+        pos, hi = stack.pop()
         while pos + 8 <= hi:
             tag = payload[pos : pos + 4]
             (clen,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
             body_lo, body_hi = pos + 8, min(pos + 8 + clen, hi)
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
             if tag == b"LIST":
-                walk(body_lo + 4, body_hi)  # skip the list type fourcc
+                stack.append((pos, hi))      # resume the parent after
+                pos, hi = body_lo + 4, body_hi  # descend (skip fourcc)
             elif tag == b"avih" and clen >= 4:
                 (us_per_frame,) = _struct.unpack(
                     "<I", payload[body_lo : body_lo + 4]
                 )
                 if us_per_frame > 0:
                     fps = 1e6 / us_per_frame
-            elif len(tag) == 4 and tag[2:4] in (b"dc", b"db"):
-                try:
-                    gray, _w, _h = decode_jpeg(payload[body_lo:body_hi])
-                except ImageDecodeError as exc:
-                    raise VideoDecodeError(f"AVI frame is not MJPEG: {exc}") from exc
-                frames.append(gray)
-            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+            elif tag[:2] == b"00" and tag[2:4] in (b"dc", b"db"):
+                spans.append((body_lo, body_hi))
 
-    walk(12, len(payload))
-    if not frames:
-        raise VideoDecodeError("AVI has no video frames")
+    if not spans:
+        raise VideoDecodeError("AVI has no video frames in stream 00")
+    n = len(spans)
+    if max_frames is not None and 0 < max_frames < n:
+        take = [int(i * n) // max_frames for i in range(max_frames)]
+    else:
+        take = list(range(n))
+    frames: list[np.ndarray] = []
+    for i in take:
+        lo, hi = spans[i]
+        try:
+            gray, _w, _h = decode_jpeg(payload[lo:hi])
+        except ImageDecodeError as exc:
+            raise VideoDecodeError(f"AVI frame is not MJPEG: {exc}") from exc
+        frames.append(gray)
     if any(f.shape != frames[0].shape for f in frames):
         raise VideoDecodeError("AVI MJPEG frames disagree on geometry")
     return np.stack(frames), fps

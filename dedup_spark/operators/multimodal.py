@@ -426,12 +426,19 @@ PHASH_SCHEMA = StructType(
 )
 
 
-def image_phash(assets: DataFrame, fake: bool = False) -> DataFrame:
+def image_phash(
+    assets: DataFrame, fake: bool = False, on_undecodable: str = "error"
+) -> DataFrame:
     """Per-image 64-bit DCT perceptual hash over REAL decoders where
-    the stdlib suffices (PNG/BMP — ``functions/imagecodec.py``), the
+    numpy + the stdlib suffice (PNG/BMP/baseline JPEG), the
     deterministic fake elsewhere when ``fake=True`` (reference image
     pHash, /root/reference/src/media_dedup.rs:182-202). Non-image rows
     are dropped; ``decoder`` says which decode path produced each row.
+
+    ``on_undecodable='skip'`` drops rows the real decoders cannot
+    handle instead of raising — for callers (the unified orchestrator)
+    that reroute skipped assets to the byte-shingle path, so a skip is
+    observable downstream, never a silent fake.
 
     mapInPandas Arrow batches; the hash lands in a LongType column
     bit-compatible with the engine's SimHash machinery, so image
@@ -446,7 +453,12 @@ def image_phash(assets: DataFrame, fake: bool = False) -> DataFrame:
                 raw = bytes(payload) if payload is not None else b""
                 if detect_kind_from_magic(raw) != "image" and kind != "image":
                     continue
-                img, _w, _h, dec = decode_pixels(raw, fake=fake)
+                try:
+                    img, _w, _h, dec = decode_pixels(raw, fake=fake)
+                except NotImplementedError:
+                    if on_undecodable == "skip":
+                        continue
+                    raise
                 rows.append(
                     {"asset_id": int(aid), "phash": phash64(img), "decoder": dec}
                 )
@@ -545,14 +557,18 @@ AUDIO_FP_SCHEMA = StructType(
 )
 
 
-def audio_fingerprint(assets: DataFrame, fake: bool = False) -> DataFrame:
+def audio_fingerprint(
+    assets: DataFrame, fake: bool = False, on_undecodable: str = "error"
+) -> DataFrame:
     """Per-clip 64-bit band-energy fingerprint over the REAL WAV
     decoder (``functions/audiocodec.py``), deterministic fake for
     non-WAV kinds when ``fake=True`` (reference audio fingerprint,
     /root/reference/src/audio_fingerprint.rs:9-121). Non-audio rows
     are dropped; ``decoder`` marks which decode path produced each
-    row. mapInPandas Arrow batches; LongType output bit-compatible
-    with the SimHash Hamming machinery."""
+    row; ``on_undecodable='skip'`` drops undecodable rows for callers
+    that reroute them (see ``image_phash``). mapInPandas Arrow
+    batches; LongType output bit-compatible with the SimHash Hamming
+    machinery."""
 
     def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from dedup_spark.functions.audiocodec import audio_fingerprint64
@@ -563,7 +579,12 @@ def audio_fingerprint(assets: DataFrame, fake: bool = False) -> DataFrame:
                 raw = bytes(payload) if payload is not None else b""
                 if detect_kind_from_magic(raw) != "audio" and kind != "audio":
                     continue
-                x, rate, dec = decode_samples(raw, fake=fake)
+                try:
+                    x, rate, dec = decode_samples(raw, fake=fake)
+                except NotImplementedError:
+                    if on_undecodable == "skip":
+                        continue
+                    raise
                 rows.append(
                     {
                         "asset_id": int(aid),
@@ -599,50 +620,72 @@ def media_near_dup_clusters(
     images compare with images, audio with audio) as ONE API: detect
     each asset's kind from its payload magic, route it to its
     modality's signature path (image → DCT pHash, audio → band-energy
-    fingerprint, video → frame-hash majority, anything else →
-    byte-shingle binary near-dup), and return a single cluster table.
+    fingerprint, video → frame-hash majority), and cluster EVERYTHING
+    the signature paths could not fingerprint — unknown magics AND
+    recognized-but-undecodable formats (MP3, Matroska, progressive
+    JPEG, corrupt files) — with the decode-free byte-shingle path, so
+    one bad file can never kill the job and every asset lands in
+    exactly one cluster table row.
 
-    Returns (asset_id, modality, cluster_id, cluster_size). Cluster
-    ids are disjoint across modalities by construction (each modality
-    clusters independently — a namespaced label keeps them distinct),
-    so cross-kind pairs can never merge, exactly the reference's gate.
+    Returns (asset_id, modality, decoder, cluster_id, cluster_size):
+    ``decoder`` says which real decoder fingerprinted the row ('bytes'
+    for the byte-shingle fallback — nothing is ever silently fake).
+    Cluster ids are namespaced by modality, so cross-kind pairs can
+    never merge, exactly the reference's gate.
     """
+    from dedup_spark.checkpoint import lineage_cut
     from dedup_spark.config import DedupConfig
 
     cfg = config or DedupConfig()
-    tagged = assets.withColumn("_m", kind_from_magic_col(F.col("payload")))
+    # four downstream branches consume this frame — cut lineage so the
+    # upstream scan + magic sniff run once, not once per branch
+    tagged = lineage_cut(
+        assets.withColumn("_m", kind_from_magic_col(F.col("payload"))),
+        cfg,
+        eager=False,
+    )
 
     def labeled(df: DataFrame, modality: str) -> DataFrame:
         return df.select(
             "asset_id",
             F.lit(modality).alias("modality"),
+            F.col("decoder"),
             F.concat(F.lit(modality + ":"), F.col("cluster_id").cast("string")).alias(
                 "cluster_id"
             ),
             "cluster_size",
         )
 
+    sigs = {
+        "image": image_phash(
+            tagged.filter(F.col("_m") == "image"), fake, on_undecodable="skip"
+        ).withColumnRenamed("phash", "sig"),
+        "audio": audio_fingerprint(
+            tagged.filter(F.col("_m") == "audio"), fake, on_undecodable="skip"
+        ).withColumnRenamed("afp", "sig"),
+        "video": video_fingerprint(
+            tagged.filter(F.col("_m") == "video"), fake=fake, on_undecodable="skip"
+        )
+        .withColumnRenamed("vfp", "sig")
+        .drop("n_frames_sampled"),
+    }
     parts = [
+        labeled(_signature_near_dup_clusters(s, "sig", cfg), modality)
+        for modality, s in sigs.items()
+    ]
+
+    fingerprinted = sigs["image"].select("asset_id")
+    for s in (sigs["audio"], sigs["video"]):
+        fingerprinted = fingerprinted.unionByName(s.select("asset_id"))
+    leftover = tagged.join(fingerprinted, "asset_id", "left_anti")
+    parts.append(
         labeled(
-            image_near_dup_clusters(tagged.filter(F.col("_m") == "image"), cfg, fake),
-            "image",
-        ),
-        labeled(
-            audio_near_dup_clusters(tagged.filter(F.col("_m") == "audio"), cfg, fake),
-            "audio",
-        ),
-        labeled(
-            video_near_dup_clusters(tagged.filter(F.col("_m") == "video"), cfg, fake),
-            "video",
-        ),
-        labeled(
-            binary_near_dup_clusters(
-                tagged.filter(F.col("_m") == "blob").withColumn("kind", F.col("_m")),
-                cfg,
+            binary_near_dup_clusters(leftover, cfg).withColumn(
+                "decoder", F.lit("bytes")
             ),
             "blob",
-        ),
-    ]
+        )
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -687,8 +730,13 @@ def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
     return _documents_as_media_assets(spark, sf_dir, "image", "image/png", make)
 
 
-def decode_frames(payload: bytes, fake: bool = False) -> tuple:
+def decode_frames(
+    payload: bytes, fake: bool = False, max_frames: int | None = None
+) -> tuple:
     """bytes → (luma frames uint8 (n, h, w), fps, decoder).
+    ``max_frames`` lets compressed containers decode only the
+    evenly-sampled frames the fingerprint will use (same grid as
+    ``video_fingerprint64``, bit-identical result).
 
     REAL decode for Y4M/YUV4MPEG2 raw video (public plain-text header
     + raw planes) AND for MJPEG-in-AVI (RIFF container walk + the
@@ -711,7 +759,7 @@ def decode_frames(payload: bytes, fake: bool = False) -> tuple:
             frames, fps = decode_y4m(raw)
             return frames, fps, "y4m"
         if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
-            frames, fps = decode_avi_mjpeg(raw)
+            frames, fps = decode_avi_mjpeg(raw, max_frames=max_frames)
             return frames, fps, "avi-mjpeg"
     except VideoDecodeError:
         pass  # corrupt or unsupported variant → stub policy below
@@ -723,9 +771,9 @@ def decode_frames(payload: bytes, fake: bool = False) -> tuple:
         )
         return frames, 1.0, "fake"
     raise NotImplementedError(
-        "payload is not a stdlib-decodable video (Y4M raw); compressed "
-        "containers need codec libs not present in this environment — "
-        "pass fake=True for the deterministic fake decoder"
+        "payload is not a numpy-decodable video (Y4M raw, MJPEG-AVI); other "
+        "compressed containers need codec libs not present in this "
+        "environment — pass fake=True for the deterministic fake decoder"
     )
 
 
@@ -734,20 +782,26 @@ VIDEO_FP_SCHEMA = StructType(
         StructField("asset_id", LongType(), False),
         StructField("vfp", LongType(), False),        # 64-bit clip fingerprint
         StructField("n_frames_sampled", LongType(), False),
-        StructField("decoder", StringType(), False),  # y4m | fake
+        StructField("decoder", StringType(), False),  # y4m | avi-mjpeg | fake
     ]
 )
 
 
 def video_fingerprint(
-    assets: DataFrame, max_frames: int = 16, fake: bool = False
+    assets: DataFrame,
+    max_frames: int = 16,
+    fake: bool = False,
+    on_undecodable: str = "error",
 ) -> DataFrame:
-    """Per-clip 64-bit fingerprint over the REAL Y4M decoder: evenly
-    sampled frames → per-frame DCT pHash → bitwise majority vote
-    (reference frame-hash design,
+    """Per-clip 64-bit fingerprint over the REAL video decoders (Y4M,
+    MJPEG-AVI): evenly sampled frames → per-frame DCT pHash → bitwise
+    majority vote (reference frame-hash design,
     /root/reference/src/video_fingerprint.rs:11-103). Non-video rows
-    are dropped; ``decoder`` marks the decode path. Robust to
-    per-frame noise/re-encode of the SAME frame sequence; a trimmed
+    are dropped; ``decoder`` marks the decode path;
+    ``on_undecodable='skip'`` drops undecodable rows for callers that
+    reroute them (see ``image_phash``). Compressed containers decode
+    ONLY the sampled frames (``decode_frames(max_frames=…)``). Robust
+    to per-frame noise/re-encode of the SAME frame sequence; a trimmed
     clip samples a different grid and is a different sequence by this
     scheme (documented, matching the reference's sequence compare)."""
 
@@ -760,7 +814,14 @@ def video_fingerprint(
                 raw = bytes(payload) if payload is not None else b""
                 if detect_kind_from_magic(raw) != "video" and kind != "video":
                     continue
-                frames, _fps, dec = decode_frames(raw, fake=fake)
+                try:
+                    frames, _fps, dec = decode_frames(
+                        raw, fake=fake, max_frames=max_frames
+                    )
+                except NotImplementedError:
+                    if on_undecodable == "skip":
+                        continue
+                    raise
                 fp, taken = video_fingerprint64(frames, max_frames=max_frames)
                 rows.append(
                     {

@@ -261,18 +261,31 @@ def test_media_near_dup_clusters_routes_by_kind(spark):
         (5, "", bytearray(encode_y4m(frames)), ""),
         (6, "", bytearray(blob), ""),
         (7, "", bytes(blob_noisy), ""),
+        # recognized-but-undecodable kinds (MP3 magic -> audio, MKV ->
+        # video): with fake=False these must NOT kill the job — they
+        # reroute to the byte-shingle blob path, visibly decoder='bytes'
+        (8, "", bytearray(b"ID3\x03" + bytes(blob)), ""),
+        (9, "", bytearray(b"\x1a\x45\xdf\xa3" + bytes(blob)), ""),
     ]
     df = spark.createDataFrame(
         rows, "asset_id long, kind string, payload binary, mime string"
     )
     out = {r["asset_id"]: r for r in media_near_dup_clusters(df).collect()}
+    assert len(out) == 9  # every asset lands in exactly one row
     assert {out[i]["modality"] for i in (1, 2)} == {"image"}
     assert {out[i]["modality"] for i in (3, 4)} == {"audio"}
     assert out[5]["modality"] == "video"
-    assert {out[i]["modality"] for i in (6, 7)} == {"blob"}
+    assert {out[i]["modality"] for i in (6, 7, 8, 9)} == {"blob"}
+    assert out[1]["decoder"] == "png" and out[3]["decoder"] == "wav"
+    assert out[5]["decoder"] == "y4m"
+    assert all(out[i]["decoder"] == "bytes" for i in (6, 7, 8, 9))
     assert out[1]["cluster_id"] == out[2]["cluster_id"]      # image pair merges
     assert out[3]["cluster_id"] == out[4]["cluster_id"]      # audio pair merges
     assert out[6]["cluster_id"] == out[7]["cluster_id"]      # blob pair merges
+    # the ID3/MKV payloads share blob's byte content after their magic
+    # prefixes -- near-dup byte shingles merge all four
+    assert out[8]["cluster_id"] == out[6]["cluster_id"]
+    assert out[9]["cluster_id"] == out[6]["cluster_id"]
     # cross-kind labels can never collide (namespaced)
     ids = {out[i]["cluster_id"] for i in (1, 3, 5, 6)}
     assert len(ids) == 4

@@ -216,3 +216,63 @@ def test_video_near_dup_clusters_end_to_end(spark):
     assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
     assert out[1]["cluster_size"] == 2
     assert out[3]["cluster_id"] == 3 and out[3]["cluster_size"] == 1
+
+
+def test_avi_sampled_decode_bit_identical():
+    """decode_avi_mjpeg(max_frames=k) must return exactly the frames
+    video_fingerprint64 would sample from a full decode — same grid,
+    bit-identical fingerprint, 1/Nth of the entropy-decode work."""
+    from dedup_spark.functions.videocodec import decode_avi_mjpeg, encode_avi_mjpeg
+
+    frames = _moving_gradient(7, n=40, h=32, w=32)
+    avi = encode_avi_mjpeg(frames, quality=90)
+    full, _ = decode_avi_mjpeg(avi)
+    sampled, _ = decode_avi_mjpeg(avi, max_frames=16)
+    assert sampled.shape[0] == 16
+    idx = (np.arange(16) * 40) // 16
+    assert (sampled == full[idx]).all()
+    f_full, _ = video_fingerprint64(full, max_frames=16)
+    f_samp, _ = video_fingerprint64(sampled, max_frames=16)
+    assert f_full == f_samp
+
+
+def test_avi_multistream_ignores_secondary_stream():
+    """'01dc' chunks (a second video stream) must not interleave into
+    stream 00's frame sequence."""
+    import struct
+
+    from dedup_spark.functions.videocodec import decode_avi_mjpeg, encode_avi_mjpeg
+    from dedup_spark.functions.jpegcodec import encode_jpeg_gray8
+
+    frames = _moving_gradient(8, n=4, h=16, w=16)
+    avi = bytearray(encode_avi_mjpeg(frames, quality=90))
+    # append a '01dc' chunk with a DIFFERENT geometry to the movi list
+    thumb = encode_jpeg_gray8(np.zeros((8, 8), dtype=np.uint8))
+    extra = b"01dc" + struct.pack("<I", len(thumb)) + thumb + (b"\x00" if len(thumb) & 1 else b"")
+    movi = bytes(avi).index(b"LIST", 12)
+    # easiest structurally-valid injection: extend the RIFF body and the
+    # movi LIST by the extra chunk appended at the very end
+    (riff_len,) = struct.unpack("<I", avi[4:8])
+    avi[4:8] = struct.pack("<I", riff_len + len(extra))
+    movi_list_pos = bytes(avi).rindex(b"LIST")
+    (movi_len,) = struct.unpack("<I", avi[movi_list_pos + 4 : movi_list_pos + 8])
+    avi[movi_list_pos + 4 : movi_list_pos + 8] = struct.pack("<I", movi_len + len(extra))
+    avi += extra
+    dec, _ = decode_avi_mjpeg(bytes(avi))
+    assert dec.shape == frames.shape  # 4 frames of 16x16 — thumb ignored
+
+
+def test_avi_deep_list_nest_is_typed_error():
+    """A crafted deeply nested LIST tree must raise the typed error,
+    not RecursionError (iterative walk)."""
+    import struct
+
+    from dedup_spark.functions.videocodec import decode_avi_mjpeg
+
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"xxxx" + inner
+    payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(VideoDecodeError):
+        decode_avi_mjpeg(payload)
