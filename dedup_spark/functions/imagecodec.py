@@ -36,6 +36,14 @@ import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Hard cap on pixels accepted from untrusted headers (PNG IHDR, JPEG
+# SOF): bounds every decode-side allocation so a crafted tiny file
+# claiming 65535x65535 raises a catchable ImageDecodeError instead of
+# driving the executor into an un-catchable OS OOM-kill. 64M pixels
+# (e.g. 8192x8192 RGBA ≈ 256 MB inflated) is far beyond any asset a
+# dedup fingerprint needs at full resolution.
+MAX_PIXELS = 1 << 26
+
 # integer BT.601 luma, n/256 fixed point — deterministic across hosts
 _LUMA_R, _LUMA_G, _LUMA_B = 77, 150, 29
 
@@ -167,8 +175,20 @@ def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ImageDecodeError(f"unsupported PNG color type {ctype}")
+    if w * h > MAX_PIXELS:
+        # untrusted IHDR dims bound every allocation below; a crafted
+        # 65535x65535 header must die here, not in a 17 GB allocation
+        raise ImageDecodeError(f"PNG dimensions {w}x{h} exceed pixel cap")
+    # exact raw size is known from IHDR (one filter byte per scanline);
+    # inflate AT MOST that many bytes so a decompression bomb can never
+    # outgrow the header's own claim (OS OOM-kill is not catchable)
+    expected = h * (w * channels + 1)
     try:
-        raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+        dec = zlib.decompressobj()
+        raw_b = dec.decompress(b"".join(idat), expected + 1)
+        if len(raw_b) > expected:
+            raise ImageDecodeError("PNG IDAT inflates past IHDR-implied size")
+        raw = np.frombuffer(raw_b, dtype=np.uint8)
     except zlib.error as exc:
         raise ImageDecodeError(f"PNG inflate failed: {exc}") from exc
     px = _unfilter(raw, h, w * channels, channels)

@@ -39,7 +39,7 @@ import struct
 
 import numpy as np
 
-from dedup_spark.functions.imagecodec import ImageDecodeError
+from dedup_spark.functions.imagecodec import MAX_PIXELS, ImageDecodeError
 
 # ---------------------------------------------------------------- tables --
 
@@ -521,6 +521,19 @@ def _decode_scan(d, pos, sos, frame, qtables, hufftables, restart_interval):
     luma = comps[0]
     ly_blocks = mcus_y * luma["v"]
     lx_blocks = mcus_x * luma["h"]
+    # untrusted-SOF allocation guards: (a) absolute pixel cap shared
+    # with the PNG decoder; (b) every 8x8 block costs >= 2 Huffman
+    # codes >= 2 entropy bits, so the scan byte count bounds how many
+    # blocks the header may legitimately claim — a 200-byte file
+    # declaring 65535x65535 dies here as a catchable ImageDecodeError
+    # instead of a ~34 GB plane allocation the OS OOM-kills
+    if ly_blocks * lx_blocks * 64 > MAX_PIXELS:
+        raise ImageDecodeError(f"JPEG dimensions {w}x{h} exceed pixel cap")
+    total_blocks = mcus_x * mcus_y * sum(c["h"] * c["v"] for c in comps)
+    if total_blocks > max(0, len(d) - pos) * 8:
+        raise ImageDecodeError(
+            "SOF-implied block count exceeds scan entropy capacity"
+        )
     ypix = np.zeros((ly_blocks * 8, lx_blocks * 8), dtype=np.float64)
     lqt = qtables.get(luma["tq"])
     if lqt is None:

@@ -467,12 +467,18 @@ def image_phash(
     return assets.mapInPandas(_ph, PHASH_SCHEMA)
 
 
-def _signature_near_dup_clusters(sigs: DataFrame, sig_col: str, cfg) -> DataFrame:
+def _signature_near_dup_clusters(
+    sigs: DataFrame, sig_col: str, cfg, precut: bool = False
+) -> DataFrame:
     """Shared assembly for 64-bit perceptual signatures (image pHash,
     audio fingerprint): Hamming block-pair probing join → connected
     components → min-id cluster labels, singletons keeping their own
     id. Identical covering-design recall and bucket caps as the text
-    SimHash path — one scale machinery for every modality."""
+    SimHash path — one scale machinery for every modality.
+
+    ``precut=True`` promises the caller already lineage_cut ``sigs``
+    (so an orchestrator that also consumes the frame elsewhere shares
+    ONE materialization of the decode+fingerprint stage)."""
     from pyspark.sql import Window
 
     from dedup_spark.checkpoint import lineage_cut
@@ -482,7 +488,8 @@ def _signature_near_dup_clusters(sigs: DataFrame, sig_col: str, cfg) -> DataFram
     # the signature frame feeds BOTH the candidate join and the final
     # label join — cut lineage so the expensive decode+fingerprint
     # mapInPandas stage runs once, not once per plan branch
-    sigs = lineage_cut(sigs, cfg, eager=False)
+    if not precut:
+        sigs = lineage_cut(sigs, cfg, eager=False)
     pairs = simhash_candidate_pairs(
         sigs.withColumnRenamed(sig_col, "simhash"), cfg, id_col="asset_id"
     ).select("id_a", "id_b")
@@ -656,21 +663,38 @@ def media_near_dup_clusters(
             "cluster_size",
         )
 
+    # each modality's decode+fingerprint mapInPandas frame feeds BOTH
+    # the clustering branch and the leftover anti-join — cut it ONCE
+    # here so both consumers share a single materialization (the cut
+    # inside _signature_near_dup_clusters is skipped via precut=True;
+    # without this the ~100 ms/asset JPEG decode would run twice)
     sigs = {
-        "image": image_phash(
-            tagged.filter(F.col("_m") == "image"), fake, on_undecodable="skip"
-        ).withColumnRenamed("phash", "sig"),
-        "audio": audio_fingerprint(
-            tagged.filter(F.col("_m") == "audio"), fake, on_undecodable="skip"
-        ).withColumnRenamed("afp", "sig"),
-        "video": video_fingerprint(
-            tagged.filter(F.col("_m") == "video"), fake=fake, on_undecodable="skip"
-        )
-        .withColumnRenamed("vfp", "sig")
-        .drop("n_frames_sampled"),
+        "image": lineage_cut(
+            image_phash(
+                tagged.filter(F.col("_m") == "image"), fake, on_undecodable="skip"
+            ).withColumnRenamed("phash", "sig"),
+            cfg,
+            eager=False,
+        ),
+        "audio": lineage_cut(
+            audio_fingerprint(
+                tagged.filter(F.col("_m") == "audio"), fake, on_undecodable="skip"
+            ).withColumnRenamed("afp", "sig"),
+            cfg,
+            eager=False,
+        ),
+        "video": lineage_cut(
+            video_fingerprint(
+                tagged.filter(F.col("_m") == "video"), fake=fake, on_undecodable="skip"
+            )
+            .withColumnRenamed("vfp", "sig")
+            .drop("n_frames_sampled"),
+            cfg,
+            eager=False,
+        ),
     }
     parts = [
-        labeled(_signature_near_dup_clusters(s, "sig", cfg), modality)
+        labeled(_signature_near_dup_clusters(s, "sig", cfg, precut=True), modality)
         for modality, s in sigs.items()
     ]
 

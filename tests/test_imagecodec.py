@@ -169,6 +169,37 @@ def test_corrupt_streams_raise_decode_error_never_leak():
         decode_bmp(bytes(bad))
 
 
+def test_png_decompression_bomb_is_decode_error():
+    """A tiny PNG whose IDAT inflates far past the IHDR-implied raw
+    size must die as a typed ImageDecodeError at the header's own
+    byte bound — an unbounded zlib.decompress would OS-OOM-kill the
+    executor, which is not catchable by the stub-policy contract."""
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # claims 4x4 gray (raw = 4*(4+1) = 20 bytes) but inflates to 1 MB
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+    bomb = chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+    with pytest.raises(ImageDecodeError, match="inflates past"):
+        decode_png(sig + ihdr + bomb)
+    # a crafted 60000x60000 header must die at the pixel cap before
+    # any inflate-target or unfilter allocation
+    huge = chunk(b"IHDR", struct.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0))
+    with pytest.raises(ImageDecodeError, match="pixel cap"):
+        decode_png(sig + huge + chunk(b"IDAT", zlib.compress(b"\x00" * 32)))
+    # exact-size streams still decode bit-exact through the bounded path
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    dec, w, h = decode_png(encode_png_gray8(img))
+    assert (dec == img).all() and (w, h) == (4, 4)
+
+
 # ----------------------------------------------------------------- phash --
 
 def test_bm_text_not_sniffed_as_image():

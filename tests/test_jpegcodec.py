@@ -112,6 +112,31 @@ def test_rejects_unsupported_variants():
         decode_jpeg(b"PNG?")
 
 
+def test_crafted_sof_dimensions_are_decode_error_not_oom():
+    """A few-hundred-byte JPEG whose SOF claims giant dimensions must
+    raise the typed error BEFORE the luma-plane allocation (65535^2
+    float64 ~ 34 GB would OS-OOM-kill the worker, not raise a
+    catchable MemoryError)."""
+    p = bytearray(encode_jpeg_gray8(_gradient(), quality=90))
+    sof = p.index(b"\xff\xc0")
+    # SOF0: FF C0 len(2) prec(1) h(2) w(2) — claim 65535 x 65535
+    p[sof + 5 : sof + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ImageDecodeError, match="pixel cap"):
+        decode_jpeg(bytes(p))
+    # moderate dims that pass the pixel cap but whose block count the
+    # tiny entropy payload cannot possibly encode -> capacity bound
+    q = bytearray(encode_jpeg_gray8(_gradient(), quality=90))
+    sof = q.index(b"\xff\xc0")
+    q[sof + 5 : sof + 9] = struct.pack(">HH", 4096, 4096)
+    with pytest.raises(ImageDecodeError, match="entropy capacity"):
+        decode_jpeg(bytes(q))
+    # and the stub-policy catch still degrades, never crashes
+    from dedup_spark.operators.multimodal import decode_pixels
+
+    _img, _w, _h, dec = decode_pixels(bytes(p), fake=True)
+    assert dec == "fake"
+
+
 def test_fill_bytes_before_markers_are_tolerated():
     """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
     marker — real encoders emit them; decoding must not derail."""

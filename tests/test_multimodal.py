@@ -224,6 +224,34 @@ def test_kind_column_matches_python(spark):
         assert got[i] == detect_kind_from_magic(p), (i, p[:12], got[i])
 
 
+def test_media_orchestrator_decodes_once_per_modality(spark):
+    """The decode+fingerprint mapInPandas frames feed BOTH the
+    clustering branch and the leftover anti-join; the orchestrator
+    must lineage_cut each ONE time so both consumers share a single
+    materialization. Regression: the final plan must not contain the
+    decode UDFs at all (they live behind the cut's LogicalRDD) — if
+    either branch re-derived them from the raw assets, `_ph`/`_fp`
+    would reappear in the optimized plan and JPEG-heavy corpora
+    (~116 ms/asset) would pay decode twice."""
+    import numpy as np
+
+    from dedup_spark.functions.imagecodec import encode_png_gray8
+    from dedup_spark.operators.multimodal import media_near_dup_clusters
+
+    img = (np.arange(64 * 64, dtype=np.uint8).reshape(64, 64)) % 251
+    rows = [
+        (1, "", bytearray(encode_png_gray8(img)), ""),
+        (2, "", b"plain text blob" * 20, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    out = media_near_dup_clusters(df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_ph(" not in plan and "_fp(" not in plan, plan
+    assert out.count() == 2  # and the shared-cut plan still executes
+
+
 def test_media_near_dup_clusters_routes_by_kind(spark):
     """The unified orchestrator: one near-dup copy per modality must
     merge within its kind and NEVER across kinds (the reference's
