@@ -152,7 +152,18 @@ _PIPELINE_QUERIES = {
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dedup_spark.queries import QUERIES
 
-    return {**QUERIES, **_PIPELINE_QUERIES}
+    merged = {**QUERIES, **_PIPELINE_QUERIES}
+    # value-oracled queries first, rows-only (no ORACLE entry) last:
+    # the round-3 driver recorded exactly the first 50 entries, which
+    # silently dropped two value-verified queries while keeping
+    # weaker rows-only ones — ordering by evidence strength makes any
+    # truncation cut the weakest evidence first
+    from dedup_spark.queries import ORACLE
+
+    return {
+        **{k: v for k, v in merged.items() if k in ORACLE},
+        **{k: v for k, v in merged.items() if k not in ORACLE},
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -8,19 +8,24 @@ marker segments (DQT/DHT/SOF0/SOS/DRI), canonical Huffman coding,
 zigzag ordering, 8×8 DCT-II with quantization, byte stuffing and
 restart markers.
 
-Decoder (``decode_jpeg``): baseline (SOF0) and extended-sequential
-(SOF1) Huffman scans, 8-bit precision, 1- or 3-component, arbitrary
-sampling factors (4:4:4, 4:2:0, 4:2:2, …), restart intervals.
-Output is the GRAYSCALE image: for 3-component files only the Y
-(luma) plane is kept — chroma blocks are still entropy-decoded (the
-bitstream is variable-length; they must be walked) but not
-reconstructed. Progressive (SOF2), arithmetic coding, 12-bit and
-hierarchical modes raise ImageDecodeError → the caller's honest-stub
-policy.
+Decoder (``decode_jpeg``): baseline (SOF0), extended-sequential
+(SOF1) and PROGRESSIVE (SOF2 — spectral selection + successive
+approximation, T.81 Annex G) Huffman scans, 8-bit precision, 1- or
+3-component, arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, …),
+restart intervals. Output is the GRAYSCALE image: for 3-component
+files only the Y (luma) plane is kept — sequential chroma blocks are
+still entropy-decoded (the bitstream is variable-length; they must
+be walked) but not reconstructed, and progressive chroma AC scans
+are skipped outright (self-delimited by the next marker). Arithmetic
+coding, 12-bit and hierarchical modes raise ImageDecodeError → the
+caller's honest-stub policy.
 
-Encoder (``encode_jpeg_gray8``): baseline grayscale, or YCbCr with
-flat chroma in 4:4:4 / 4:2:0 (so tests can exercise the decoder's
-interleaved-MCU and subsampling paths against a known luma plane).
+Encoders: ``encode_jpeg_gray8`` (baseline grayscale, or YCbCr with
+flat chroma in 4:4:4 / 4:2:0 — exercising the decoder's
+interleaved-MCU and subsampling paths against a known luma plane)
+and ``encode_jpeg_progressive_gray8`` (SOF2 scan script with both
+progressive dimensions; quantized coefficients identical to the
+baseline encoder so cross-mode decode equality is bit-exact).
 Rather than hardcoding the Annex K Huffman tables, the encoder builds
 a MINIMAL canonical table per image (every used symbol at one code
 length L with count < 2^L, so the all-ones code is never assigned,
@@ -152,6 +157,7 @@ class _BitReader:
         self.segs = segs
         self.markers = markers
         self.seg_idx = 0
+        self.end_pos = i  # first byte of the terminating marker (or EOF)
         self._load(0)
 
     def _load(self, k: int) -> None:
@@ -439,6 +445,7 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
     hufftables: dict[tuple[int, int], _HuffTable] = {}
     restart_interval = 0
     frame = None
+    prog: _ProgressiveDecoder | None = None
     n = len(d)
     while pos + 4 <= n:
         if d[pos] != 0xFF:
@@ -472,7 +479,7 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
                 cnt = sum(bits)
                 hufftables[(tc, th)] = _HuffTable(bits, bytes(b[17 : 17 + cnt]))
                 b = b[17 + cnt :]
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ImageDecodeError(f"{prec}-bit JPEG unsupported")
@@ -480,20 +487,30 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": fh, "w": fw, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ImageDecodeError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02x}) unsupported"
+                f"unsupported JPEG mode (SOF marker 0xFF{marker:02x})"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS → entropy data follows
             if frame is None:
                 raise ImageDecodeError("SOS before SOF")
-            return _decode_scan(
-                d, pos + 2 + seglen, body, frame, qtables, hufftables, restart_interval
+            if not frame["progressive"]:
+                return _decode_scan(
+                    d, pos + 2 + seglen, body, frame, qtables, hufftables,
+                    restart_interval,
+                )
+            if prog is None:
+                prog = _ProgressiveDecoder(frame)
+            pos = prog.decode_scan(
+                d, pos + 2 + seglen, body, hufftables, restart_interval
             )
+            continue
         pos += 2 + seglen
+    if prog is not None and prog.n_scans:
+        return prog.reconstruct(qtables)
     raise ImageDecodeError("JPEG has no scan data")
 
 
@@ -598,3 +615,528 @@ def _decode_scan(d, pos, sos, frame, qtables, hufftables, restart_interval):
     ly = (h * luma["v"] + vmax - 1) // vmax
     lx = (w * luma["h"] + hmax - 1) // hmax
     return gray[:ly, :lx], int(lx), int(ly)
+
+
+# ------------------------------------------------- progressive (SOF2) -----
+#
+# T.81 Annex G, Huffman procedures: spectral selection (each AC scan
+# carries one [Ss, Se] coefficient band; AC scans are single-component
+# by G.1.1.1.1) and successive approximation (first scan of a band
+# carries the point-transformed coefficients at precision Al, later
+# scans with Ah == Al+1 refine one bit each). Coefficients accumulate
+# across scans in per-component arrays; dequantization + IDCT happen
+# once at EOI. Reference analog: the image crate behind
+# /root/reference/src/media_dedup.rs:182-202 decodes progressive JPEGs
+# transparently — this closes the same gap without a codec library.
+#
+# Only the luma plane is reconstructed (same contract as the baseline
+# decoder), which lets chroma AC scans be SKIPPED outright: a
+# progressive AC scan is self-delimited by the next marker, so the
+# decoder fast-forwards over chroma bands instead of entropy-decoding
+# coefficients it would throw away (chroma DC still decodes when the
+# DC scan interleaves components — the bitstream interleaves it with
+# luma DC, there is no way around it).
+
+
+def _skip_entropy(d: bytes, pos: int) -> int:
+    """Advance past an entropy-coded segment: stop at the first marker
+    that is not byte stuffing (FF 00), a fill byte (FF FF), or a
+    restart marker (FF D0-D7). Returns the offset of the 0xFF."""
+    i, n = pos, len(d)
+    while i < n:
+        if d[i] != 0xFF:
+            i += 1
+            continue
+        nxt = d[i + 1] if i + 1 < n else None
+        if nxt == 0x00:
+            i += 2
+        elif nxt == 0xFF or (nxt is not None and 0xD0 <= nxt <= 0xD7):
+            i += 1 if nxt == 0xFF else 2
+        else:
+            break
+    return i
+
+
+class _ProgressiveDecoder:
+    """Accumulates coefficients across a progressive JPEG's scans.
+
+    Storage: the luma (first) component keeps its full 64-coefficient
+    blocks in ZIGZAG order, (blocks_v, blocks_h, 64) int32 — the same
+    per-block layout the baseline decoder's ``z`` vector uses; chroma
+    components keep DC-only (blocks_v, blocks_h) arrays (their AC
+    scans are skipped, but interleaved DC scans force their DC through
+    the shared bitstream)."""
+
+    def __init__(self, frame) -> None:
+        comps = frame["comps"]
+        h, w = frame["h"], frame["w"]
+        if h <= 0 or w <= 0:
+            raise ImageDecodeError(f"degenerate JPEG dimensions {w}x{h}")
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        if hmax < 1 or vmax < 1 or any(c["h"] < 1 or c["v"] < 1 for c in comps):
+            raise ImageDecodeError("invalid sampling factors")
+        self.frame = frame
+        self.hmax, self.vmax = hmax, vmax
+        self.mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        self.mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        self.luma = comps[0]
+        ly_blocks = self.mcus_y * self.luma["v"]
+        lx_blocks = self.mcus_x * self.luma["h"]
+        # same untrusted-SOF allocation guard as the baseline scan path
+        if ly_blocks * lx_blocks * 64 > MAX_PIXELS:
+            raise ImageDecodeError(f"JPEG dimensions {w}x{h} exceed pixel cap")
+        self.byid = {c["id"]: c for c in comps}
+        if len(self.byid) != len(comps):
+            raise ImageDecodeError("duplicate component ids in SOF")
+        # interleaved-padded dims per component (superset of the
+        # non-interleaved dims a single-component scan covers)
+        self.bdims = {
+            c["id"]: (self.mcus_y * c["v"], self.mcus_x * c["h"]) for c in comps
+        }
+        self.coef = np.zeros((ly_blocks, lx_blocks, 64), dtype=np.int32)
+        self.dc = {
+            c["id"]: np.zeros(self.bdims[c["id"]], dtype=np.int32)
+            for c in comps[1:]
+        }
+        self.n_scans = 0
+
+    # ---- per-scan walks ---------------------------------------------------
+
+    def _noninterleaved_blocks(self, c) -> tuple[int, int]:
+        """TRUE block dims of one component (T.81 A.2.2): ceil of the
+        component's sampled pixel dims, NOT the MCU-padded dims."""
+        h, w = self.frame["h"], self.frame["w"]
+        cw = (w * c["h"] + self.hmax - 1) // self.hmax
+        ch = (h * c["v"] + self.vmax - 1) // self.vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    def _dc_slot(self, c, by: int, bx: int):
+        """(array, index) holding component c's DC term for block (by, bx)."""
+        if c["id"] == self.luma["id"]:
+            return self.coef, (by, bx, 0)
+        return self.dc[c["id"]], (by, bx)
+
+    def decode_scan(
+        self, d: bytes, pos: int, sos: bytes, hufftables, restart_interval: int
+    ) -> int:
+        ns = sos[0]
+        if len(sos) < 4 + 2 * ns:
+            raise ImageDecodeError("truncated SOS header")
+        scomps = []
+        for i in range(ns):
+            cs, tdta = sos[1 + 2 * i], sos[2 + 2 * i]
+            c = self.byid.get(cs)
+            if c is None:
+                raise ImageDecodeError("SOS names unknown component")
+            scomps.append((c, tdta >> 4, tdta & 0xF))
+        ss, se, ahal = sos[1 + 2 * ns], sos[2 + 2 * ns], sos[3 + 2 * ns]
+        ah, al = ahal >> 4, ahal & 0xF
+        if ss == 0 and se != 0:
+            raise ImageDecodeError("progressive DC scan must have Se == 0")
+        if ss > 0 and ns != 1:
+            raise ImageDecodeError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ImageDecodeError(f"invalid spectral band [{ss}, {se}]")
+        if al > 13 or (ah != 0 and ah != al + 1):
+            raise ImageDecodeError(f"invalid successive approximation {ah}/{al}")
+        self.n_scans += 1
+        if ss > 0 and scomps[0][0]["id"] != self.luma["id"]:
+            return _skip_entropy(d, pos)  # chroma AC: never reconstructed
+        br = _BitReader(d, pos)
+        if ss == 0:
+            self._decode_dc_scan(br, scomps, ah, al, hufftables, restart_interval)
+        else:
+            self._decode_ac_scan(
+                br, scomps[0][0], scomps[0][2], ss, se, ah, al, hufftables,
+                restart_interval,
+            )
+        return br.end_pos
+
+    def _decode_dc_scan(self, br, scomps, ah, al, hufftables, restart_interval):
+        """DC scan walk: interleaved MCU order when Ns > 1 (G.1.1.1.1),
+        raster block order of the single component otherwise. First
+        pass (Ah == 0) decodes point-transformed DC differences; a
+        refinement appends one magnitude bit per block (T.81 G.1.2.1 —
+        OR-ing bit<<Al is exact for negative values too, because the
+        first pass stored floor-shifted multiples of 2^Al)."""
+        tables = {}
+        for c, td, _ta in scomps:
+            if ah == 0:  # refinement scans use no Huffman table
+                t = hufftables.get((0, td))
+                if t is None:
+                    raise ImageDecodeError("missing DC Huffman table")
+                tables[c["id"]] = t
+        pred = {c["id"]: 0 for c, _, _ in scomps}
+        if len(scomps) > 1:
+            walk_units = [
+                [
+                    (c, my * c["v"] + by, mx * c["h"] + bx)
+                    for c, _td, _ta in scomps
+                    for by in range(c["v"])
+                    for bx in range(c["h"])
+                ]
+                for my in range(self.mcus_y)
+                for mx in range(self.mcus_x)
+            ]
+        else:
+            c = scomps[0][0]
+            bh, bw = self._noninterleaved_blocks(c)
+            walk_units = [[(c, by, bx)] for by in range(bh) for bx in range(bw)]
+        next_rst = 0
+        for ui, unit in enumerate(walk_units):
+            if restart_interval and ui and ui % restart_interval == 0:
+                if br.align_to_marker() != next_rst:
+                    raise ImageDecodeError("restart marker out of sequence")
+                next_rst = (next_rst + 1) & 7
+                pred = {k: 0 for k in pred}
+            for c, by, bx in unit:
+                arr, idx = self._dc_slot(c, by, bx)
+                if ah == 0:
+                    s = tables[c["id"]].decode(br)
+                    if s > 11:
+                        raise ImageDecodeError("invalid DC magnitude")
+                    pred[c["id"]] += _extend(br.receive(s), s)
+                    arr[idx] = pred[c["id"]] << al
+                elif br.receive(1):
+                    arr[idx] |= 1 << al
+
+    def _decode_ac_scan(self, br, c, ta, ss, se, ah, al, hufftables, restart_interval):
+        """Luma AC scan: EOB-run first pass (G.1.2.2) or one-bit
+        refinement with correction bits (G.1.2.3). Non-interleaved by
+        spec — the restart interval counts BLOCKS here, and both the
+        DC predictor-equivalent (EOBRUN) and the walk reset on RSTn."""
+        act = hufftables.get((1, ta))
+        if act is None:
+            raise ImageDecodeError("missing AC Huffman table")
+        bh, bw = self._noninterleaved_blocks(c)
+        eobrun = 0
+        next_rst = 0
+        bi = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    if br.align_to_marker() != next_rst:
+                        raise ImageDecodeError("restart marker out of sequence")
+                    next_rst = (next_rst + 1) & 7
+                    eobrun = 0
+                bi += 1
+                z = self.coef[by, bx]
+                if ah == 0:
+                    eobrun = self._ac_first_block(br, act, z, ss, se, al, eobrun)
+                else:
+                    eobrun = self._ac_refine_block(br, act, z, ss, se, al, eobrun)
+
+    @staticmethod
+    def _ac_first_block(br, act, z, ss, se, al, eobrun) -> int:
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = act.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL: 16 zero coefficients
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ImageDecodeError("AC run past spectral band end")
+            z[k] = _extend(br.receive(s), s) << al
+            k += 1
+        return eobrun
+
+    @staticmethod
+    def _ac_refine_block(br, act, z, ss, se, al, eobrun) -> int:
+        """G.1.2.3: within the band, already-nonzero coefficients take
+        one correction bit each; zero-history coefficients are counted
+        by the run lengths, and a newly significant coefficient
+        arrives as s == 1 with an explicit sign bit."""
+        p1 = 1 << al
+        k = ss
+
+        def correct(k_):
+            if br.receive(1) and (z[k_] & p1) == 0:
+                z[k_] += p1 if z[k_] >= 0 else -p1
+
+        if eobrun == 0:
+            while k <= se:
+                rs = act.decode(br)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        # NO -1 here (unlike the first pass): the
+                        # current block's tail is consumed by the
+                        # correction walk below, which decrements
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    # ZRL: skip 16 zero-history coefficients below
+                elif s == 1:
+                    val = p1 if br.receive(1) else -p1
+                else:
+                    raise ImageDecodeError("invalid refinement AC code")
+                while k <= se:
+                    if z[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ImageDecodeError("refinement coefficient past band")
+                    z[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if z[k] != 0:
+                    correct(k)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    # ---- reconstruction ---------------------------------------------------
+
+    def reconstruct(self, qtables) -> tuple[np.ndarray, int, int]:
+        qt = qtables.get(self.luma["tq"])
+        if qt is None:
+            raise ImageDecodeError("missing quantization table")
+        z = self.coef  # (BY, BX, 64) zigzag order
+        blk = np.zeros(z.shape, dtype=np.float64)
+        blk[:, :, _ZIGZAG] = z * qt[_ZIGZAG][None, None, :]
+        blk = blk.reshape(z.shape[0], z.shape[1], 8, 8)
+        px = np.einsum("xu,abxy,yv->abuv", _DCT8, blk, _DCT8)
+        plane = px.transpose(0, 2, 1, 3).reshape(z.shape[0] * 8, z.shape[1] * 8)
+        gray = np.clip(np.round(plane + 128.0), 0, 255).astype(np.uint8)
+        h, w = self.frame["h"], self.frame["w"]
+        ly = (h * self.luma["v"] + self.vmax - 1) // self.vmax
+        lx = (w * self.luma["h"] + self.hmax - 1) // self.hmax
+        return gray[:ly, :lx], int(lx), int(ly)
+
+
+# ------------------------------------------------ progressive encoder -----
+
+
+def _encode_prog_scan(walk, kind, ss, se, al, restart_interval, codes, emit):
+    """One progressive scan pass. ``walk``: list of walk units — for
+    DC kinds each unit is a list of (cid, zigzag block); for AC kinds
+    each unit is one zigzag block (single component by spec). Two-pass
+    protocol like the baseline encoder: collect pass (emit=False,
+    codes=None) gathers the Huffman symbol population, emit pass
+    writes the entropy bytes. Returns (symbols, entropy bytes).
+
+    EOB runs fold trailing-zero blocks together (T.81 G.1.2.2) and in
+    refinement scans carry the deferred correction bits of the folded
+    blocks (G.1.2.3); both flush before restart markers, at the
+    0x7FFF cap, and at scan end."""
+    bw = _BitWriter()
+    syms: list[int] = []
+    pred: dict[int, int] = {}
+    eobrun = 0
+    bitbuf: list[int] = []  # correction bits deferred under the EOB run
+    rst = 0
+
+    def wsym(sym: int) -> None:
+        syms.append(sym)
+        if emit:
+            c, ln = codes[sym]
+            bw.write(c, ln)
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            wsym(r << 4)
+            if emit and r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+        if emit:
+            for b in bitbuf:
+                bw.write(b, 1)
+        bitbuf.clear()
+
+    for ui, unit in enumerate(walk):
+        if restart_interval and ui and ui % restart_interval == 0:
+            flush_eobrun()
+            pred = {}
+            if emit:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+        if kind == "dc_first":
+            for cid, z in unit:
+                v = int(z[0]) >> al  # arithmetic shift (G.1.2.1)
+                diff = v - pred.get(cid, 0)
+                pred[cid] = v
+                nb = abs(diff).bit_length()
+                wsym(nb)
+                if emit and nb:
+                    bw.write(diff if diff >= 0 else diff + (1 << nb) - 1, nb)
+        elif kind == "dc_refine":
+            if emit:
+                for cid, z in unit:
+                    bw.write((int(z[0]) >> al) & 1, 1)
+        elif kind == "ac_first":
+            z = unit
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(z[k])
+                t = abs(v) >> al  # toward-zero point transform for AC
+                if t == 0:
+                    run += 1
+                    continue
+                flush_eobrun()
+                while run > 15:
+                    wsym(0xF0)
+                    run -= 16
+                nb = t.bit_length()
+                wsym((run << 4) | nb)
+                if emit:
+                    bw.write(t if v >= 0 else (1 << nb) - 1 - t, nb)
+                run = 0
+            if run > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        else:  # ac_refine
+            z = unit
+            absv = [abs(int(z[k])) >> al for k in range(ss, se + 1)]
+            last_new = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    last_new = i
+            r = 0
+            br: list[int] = []  # this block's correction bits, unflushed
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= last_new:
+                    flush_eobrun()
+                    wsym(0xF0)
+                    r -= 16
+                    if emit:
+                        for b in br:
+                            bw.write(b, 1)
+                    br.clear()
+                if t > 1:  # history coefficient: one correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eobrun()
+                wsym((r << 4) | 1)
+                if emit:
+                    bw.write(1 if int(z[ss + i]) >= 0 else 0, 1)
+                    for b in br:
+                        bw.write(b, 1)
+                br.clear()
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                bitbuf.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+    flush_eobrun()
+    if emit:
+        bw.flush()
+    return syms, bytes(bw.out)
+
+
+def encode_jpeg_progressive_gray8(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "gray",
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive JPEG encoder (SOF2): spectral selection (DC scan,
+    AC bands 1-5 and 6-63) AND successive approximation (first scans
+    at Al=1, one refinement scan each at Ah=1/Al=0) — the scan script
+    exercises every decoder path. ``subsampling='444'`` adds two flat
+    chroma components (interleaved DC scan + all-zero chroma AC bands,
+    driving the decoder's interleaved walk and its chroma-scan skip).
+    Quantized coefficients are identical to ``encode_jpeg_gray8`` at
+    the same quality, so decoding both files yields bit-identical
+    planes — the cross-mode equality tests pin encoder and decoder
+    against each other without shared scan logic."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode an empty image")
+    qt = _quant_table(quality)
+    if subsampling == "gray":
+        comps = [1]
+    elif subsampling == "444":
+        comps = [1, 2, 3]
+    else:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    planes = {}
+    for cid in comps:
+        if cid == 1:
+            plane = img
+        else:
+            plane = np.full(((h + 7) // 8 * 8, (w + 7) // 8 * 8), 128, np.uint8)
+        planes[cid] = _quantize_plane(plane, qt)
+    by, bx = planes[1].shape[:2]
+    dc_walk = [
+        [(cid, planes[cid][y, x]) for cid in comps]
+        for y in range(by)
+        for x in range(bx)
+    ]
+    ac_walks = {
+        cid: [planes[cid][y, x] for y in range(by) for x in range(bx)]
+        for cid in comps
+    }
+    scans: list[tuple[str, list[int], int, int, int, int]] = []
+    scans.append(("dc_first", comps, 0, 0, 0, 1))
+    for cid in comps:
+        if cid == 1:
+            scans.append(("ac_first", [cid], 1, 5, 0, 1))
+            scans.append(("ac_first", [cid], 6, 63, 0, 1))
+        else:
+            scans.append(("ac_first", [cid], 1, 63, 0, 1))
+    scans.append(("dc_refine", comps, 0, 0, 1, 0))
+    for cid in comps:
+        if cid == 1:
+            scans.append(("ac_refine", [cid], 1, 5, 1, 0))
+            scans.append(("ac_refine", [cid], 6, 63, 1, 0))
+        else:
+            scans.append(("ac_refine", [cid], 1, 63, 1, 0))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in qt[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid in comps:
+        sof += bytes([cid, 0x11, 0])
+    out += seg(0xFFC2, sof)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    for kind, cids, ss, se, ah, al in scans:
+        walk = dc_walk if kind.startswith("dc") else ac_walks[cids[0]]
+        codes = None
+        dht = b""
+        if kind != "dc_refine":
+            symbols, _ = _encode_prog_scan(
+                walk, kind, ss, se, al, restart_interval, None, False
+            )
+            bits, vals, codes = _build_encoder_table(symbols)
+            cls = 0x00 if kind == "dc_first" else 0x10
+            dht = seg(0xFFC4, bytes([cls]) + bytes(bits) + vals)
+        _, entropy = _encode_prog_scan(
+            walk, kind, ss, se, al, restart_interval, codes, True
+        )
+        sos = bytes([len(cids)])
+        for cid in cids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += dht + seg(0xFFDA, sos) + entropy
+    return out + b"\xff\xd9"

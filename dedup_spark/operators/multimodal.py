@@ -264,10 +264,12 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
 
     REAL decode for the formats numpy + the stdlib can handle from
     their public specs — PNG (zlib inflate + unfilter), BMP
-    (uncompressed DIB) via ``functions/imagecodec.py``, and baseline
-    JPEG (T.81 sequential DCT — ``functions/jpegcodec.py``; the luma
-    plane of color images). Everything else (progressive JPEG, WebP,
-    …) keeps the honest-stub policy: ``fake=True`` falls back to the
+    (uncompressed DIB) via ``functions/imagecodec.py``, and JPEG in
+    both baseline (T.81 sequential DCT) and progressive (SOF2,
+    spectral selection + successive approximation) modes —
+    ``functions/jpegcodec.py``; the luma plane of color images.
+    Everything else (WebP, JPEG 2000, arithmetic-coded JPEG, …)
+    keeps the honest-stub policy: ``fake=True`` falls back to the
     deterministic byte-structure fake (also used when a real-looking
     payload turns out corrupt), ``fake=False`` raises. ``decoder`` in
     the result names which path ran ('png' | 'bmp' | 'jpeg' | 'fake')
@@ -629,8 +631,8 @@ def media_near_dup_clusters(
     modality's signature path (image → DCT pHash, audio → band-energy
     fingerprint, video → frame-hash majority), and cluster EVERYTHING
     the signature paths could not fingerprint — unknown magics AND
-    recognized-but-undecodable formats (MP3, Matroska, progressive
-    JPEG, corrupt files) — with the decode-free byte-shingle path, so
+    recognized-but-undecodable formats (MP3, Matroska, corrupt
+    files) — with the decode-free byte-shingle path, so
     one bad file can never kill the job and every asset lands in
     exactly one cluster table row.
 
@@ -896,14 +898,21 @@ def documents_as_y4m_assets(spark, sf_dir: str, n_frames: int = 8) -> DataFrame:
 
 
 def documents_as_jpeg_assets(spark, sf_dir: str) -> DataFrame:
-    """Fixture adapter for the REAL baseline-JPEG decode path
-    (decoder == 'jpeg' on every row — the T.81 entropy decoder runs
-    on every document)."""
+    """Fixture adapter for the REAL JPEG decode path (decoder ==
+    'jpeg' on every row — the T.81 entropy decoder runs on every
+    document). Documents alternate deterministically between BASELINE
+    (SOF0) and PROGRESSIVE (SOF2) encodings by text length, so the
+    format-blind geometry oracle (`jpeg_decode_meta`) value-verifies
+    both scan architectures through one query."""
 
     def make(raw: bytes) -> bytes:
-        from dedup_spark.functions.jpegcodec import encode_jpeg_gray8
+        from dedup_spark.functions.jpegcodec import (
+            encode_jpeg_gray8,
+            encode_jpeg_progressive_gray8,
+        )
 
-        return encode_jpeg_gray8(_fake_pixels(raw)[0], quality=90)
+        enc = encode_jpeg_gray8 if len(raw) % 2 == 0 else encode_jpeg_progressive_gray8
+        return enc(_fake_pixels(raw)[0], quality=90)
 
     return _documents_as_media_assets(spark, sf_dir, "image", "image/jpeg", make)
 

@@ -101,7 +101,12 @@ def test_noise_image_high_quality():
 def test_rejects_unsupported_variants():
     p = bytearray(encode_jpeg_gray8(_gradient(), quality=90))
     sof = p.index(b"\xff\xc0")
-    p[sof + 1] = 0xC2  # rebrand the frame as progressive
+    p[sof + 1] = 0xC3  # rebrand the frame as lossless (unsupported mode)
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(bytes(p))
+    # rebranding as progressive (now supported) must still reject the
+    # baseline SOS header, whose Ss/Se band is invalid for a DC scan
+    p[sof + 1] = 0xC2
     with pytest.raises(ImageDecodeError):
         decode_jpeg(bytes(p))
     with pytest.raises(ImageDecodeError):

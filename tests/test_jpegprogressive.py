@@ -1,0 +1,174 @@
+"""Progressive JPEG (SOF2) codec: spectral selection + successive
+approximation per T.81 Annex G.
+
+Bug-cancellation guard: the progressive encoder quantizes with the
+SAME `_quantize_plane` as the baseline encoder, so a progressive file
+and a baseline file of one image at one quality carry IDENTICAL
+coefficient arrays — decoding both must give bit-identical planes.
+Scan logic shares nothing between the two decode paths (baseline =
+single interleaved scan; progressive = band accumulation + EOB runs +
+refinement bits), so equality pins each against the other. The
+truncation tests then check the property that DEFINES progressive
+rendering (any scan prefix decodes, later scans only refine), which
+no symmetric encoder/decoder bug pair can fake.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+
+from dedup_spark.functions.imagecodec import ImageDecodeError
+from dedup_spark.functions.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg_gray8,
+    encode_jpeg_progressive_gray8,
+)
+
+
+def _images():
+    rng = np.random.default_rng(7)
+    return {
+        "gradient": np.minimum(
+            np.add.outer(np.arange(48) * 3, np.arange(64) * 2), 255
+        ).astype(np.uint8),
+        "noise": rng.integers(0, 256, (40, 56)).astype(np.uint8),
+        "flat": np.full((16, 24), 130, np.uint8),
+        "odd_dims": rng.integers(0, 256, (17, 31)).astype(np.uint8),
+    }
+
+
+@pytest.mark.parametrize("quality", [50, 90])
+def test_progressive_decode_equals_baseline_bit_exact(quality):
+    for name, img in _images().items():
+        base, bw, bh = decode_jpeg(encode_jpeg_gray8(img, quality=quality))
+        prog, pw, ph = decode_jpeg(
+            encode_jpeg_progressive_gray8(img, quality=quality)
+        )
+        assert (bw, bh) == (pw, ph), name
+        assert (base == prog).all(), (name, quality)
+
+
+def test_progressive_color_interleaved_dc_and_chroma_skip():
+    """4:4:4 progressive: the DC scan interleaves three components and
+    the chroma AC scans are skipped by the decoder — the luma plane
+    must still equal the baseline decode exactly."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (41, 53)).astype(np.uint8)
+    base, _, _ = decode_jpeg(encode_jpeg_gray8(img, quality=85))
+    prog, _, _ = decode_jpeg(
+        encode_jpeg_progressive_gray8(img, quality=85, subsampling="444")
+    )
+    assert (base == prog).all()
+
+
+@pytest.mark.parametrize("ri", [1, 3, 7])
+@pytest.mark.parametrize("subsampling", ["gray", "444"])
+def test_progressive_restart_intervals(ri, subsampling):
+    """RSTn markers reset DC predictors AND the EOB run mid-scan; any
+    off-by-one in either shows up as a wrong plane."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (41, 53)).astype(np.uint8)
+    base, _, _ = decode_jpeg(encode_jpeg_gray8(img, quality=85))
+    prog, _, _ = decode_jpeg(
+        encode_jpeg_progressive_gray8(
+            img, quality=85, subsampling=subsampling, restart_interval=ri
+        )
+    )
+    assert (base == prog).all()
+
+
+def test_progressive_long_eob_runs():
+    """A large flat image drives multi-thousand-block EOB runs (and
+    the chroma bands of a 4:4:4 file are ALL-zero scans — one EOB
+    symbol spanning every block, segmented at the 0x7FFF cap)."""
+    big = np.full((256, 256), 200, np.uint8)
+    base, _, _ = decode_jpeg(encode_jpeg_gray8(big, quality=90))
+    prog, _, _ = decode_jpeg(
+        encode_jpeg_progressive_gray8(big, quality=90, subsampling="444")
+    )
+    assert (base == prog).all()
+
+
+def _sos_offsets(p: bytes) -> list[int]:
+    # entropy bytes are stuffed (FF -> FF 00) and restarts are FF D0-D7,
+    # so a raw FF DA can only be a real SOS marker
+    return [m.start() for m in re.finditer(b"\xff\xda", p)]
+
+
+def test_progressive_prefix_decodes_and_refines():
+    """The property that defines progressive JPEG: any prefix of the
+    scan sequence decodes to a coarser approximation, and every added
+    scan strictly refines toward the full image."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (48, 48)).astype(np.uint8)
+    p = encode_jpeg_progressive_gray8(img, quality=85)
+    full, _, _ = decode_jpeg(p)
+    offs = _sos_offsets(p)
+    assert len(offs) == 6  # DC, AC 1-5, AC 6-63, DC refine, 2 AC refines
+    diffs = []
+    for k in range(1, len(offs)):
+        part, w, h = decode_jpeg(p[: offs[k]] + b"\xff\xd9")
+        assert part.shape == full.shape
+        diffs.append(np.abs(part.astype(int) - full.astype(int)).mean())
+    assert diffs[0] > diffs[-1]  # refinement converges
+    assert all(a >= b - 1e-9 for a, b in zip(diffs, diffs[1:]))  # monotone
+    final, _, _ = decode_jpeg(p[: offs[-1]] + p[offs[-1] :])
+    assert (final == full).all()
+
+
+def test_progressive_dc_only_is_blockwise_flat():
+    """A DC-scan-only prefix reconstructs each 8x8 block as a single
+    level — piecewise-constant per block (the defining shape of a
+    DC-only decode, checkable without any reference decoder)."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    p = encode_jpeg_progressive_gray8(img, quality=90)
+    cut = p[: _sos_offsets(p)[1]] + b"\xff\xd9"
+    part, _, _ = decode_jpeg(cut)
+    blocks = part.reshape(4, 8, 4, 8)
+    assert (blocks == blocks[:, :1, :, :1]).all()
+
+
+def test_progressive_scan_header_validation():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    p = encode_jpeg_progressive_gray8(img, quality=90)
+    offs = _sos_offsets(p)
+    # corrupt the 3rd scan's successive-approximation byte: Ah must be
+    # Al + 1 on a refinement (header layout: FF DA len ns (cs td)*ns Ss Se AhAl)
+    bad = bytearray(p)
+    ahal_off = offs[4] + 4 + 1 + 2 * 1 + 2  # 4th scan = first AC refine
+    assert bad[ahal_off] == 0x10
+    bad[ahal_off] = 0x30  # Ah=3, Al=0 — invalid progression
+    with pytest.raises(ImageDecodeError, match="successive approximation"):
+        decode_jpeg(bytes(bad))
+    # band past 63
+    bad2 = bytearray(p)
+    se_off = offs[2] + 4 + 1 + 2 * 1 + 1  # 3rd scan (AC 6-63) Se byte
+    assert bad2[se_off] == 63
+    bad2[se_off] = 64
+    with pytest.raises(ImageDecodeError, match="spectral band"):
+        decode_jpeg(bytes(bad2))
+    # truncated entropy degrades via the stub policy, never crashes
+    from dedup_spark.operators.multimodal import decode_pixels
+
+    _img, _w, _h, dec = decode_pixels(p[: offs[2] + 40], fake=True)
+    assert dec in ("jpeg", "fake")
+
+
+def test_progressive_through_image_phash_path():
+    """decode_pixels routes progressive files through the real JPEG
+    decoder (decoder == 'jpeg'), so the image near-dup path treats
+    baseline and progressive encodings of one image as near-dups."""
+    from dedup_spark.functions.imagecodec import phash64
+    from dedup_spark.functions.shingles import hamming64
+    from dedup_spark.operators.multimodal import decode_pixels
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = np.minimum(yy * 2 + xx * 3, 255).astype(np.uint8)
+    prog, w, h, dec = decode_pixels(encode_jpeg_progressive_gray8(img, quality=90))
+    assert dec == "jpeg" and (w, h) == (64, 64)
+    assert hamming64(phash64(prog), phash64(img)) <= 6

@@ -388,6 +388,66 @@ def test_jpeg_roundtrip_property(img, quality):
 
 
 @SETTINGS
+@given(
+    _img_arrays,
+    st.integers(min_value=50, max_value=95),
+    st.sampled_from(["gray", "444"]),
+    st.integers(min_value=0, max_value=5),
+)
+def test_progressive_jpeg_equals_baseline_property(img, quality, sub, ri):
+    """Cross-mode pin: a progressive file carries the same quantized
+    coefficients as the baseline file of the same image/quality, so
+    the two DECODERS (which share no scan logic) must produce
+    bit-identical planes — over random dims, qualities, subsampling
+    and restart intervals."""
+    from dedup_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_gray8,
+        encode_jpeg_progressive_gray8,
+    )
+
+    base, w, h = decode_jpeg(encode_jpeg_gray8(img, quality=quality))
+    prog, pw, ph = decode_jpeg(
+        encode_jpeg_progressive_gray8(
+            img, quality=quality, subsampling=sub, restart_interval=ri
+        )
+    )
+    assert (w, h) == (pw, ph)
+    assert (base == prog).all()
+
+
+_PROG_FILE = None
+
+
+def _prog_file() -> bytes:
+    global _PROG_FILE
+    if _PROG_FILE is None:
+        from dedup_spark.functions.jpegcodec import encode_jpeg_progressive_gray8
+
+        img = np.random.default_rng(17).integers(0, 256, (24, 24), dtype=np.uint8)
+        _PROG_FILE = encode_jpeg_progressive_gray8(img, quality=80)
+    return _PROG_FILE
+
+
+@SETTINGS
+@given(st.integers(min_value=2, max_value=10**9), st.integers(min_value=0, max_value=255))
+def test_progressive_mutation_never_leaks_raw_errors(pos, byte):
+    """Single-byte mutations of a valid progressive file (marker
+    soup, corrupted scan headers, truncated-looking entropy) must
+    decode or raise the typed error — nothing else escapes to kill a
+    Spark task."""
+    from dedup_spark.functions.imagecodec import ImageDecodeError
+    from dedup_spark.functions.jpegcodec import decode_jpeg
+
+    p = bytearray(_prog_file())
+    p[2 + pos % (len(p) - 2)] = byte
+    try:
+        decode_jpeg(bytes(p))
+    except ImageDecodeError:
+        pass
+
+
+@SETTINGS
 @given(st.binary(min_size=0, max_size=300))
 def test_jpeg_decoder_never_leaks_raw_errors(payload):
     from dedup_spark.functions.imagecodec import ImageDecodeError
