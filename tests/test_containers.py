@@ -1,0 +1,196 @@
+"""Container-metadata parsers (MP3 frame walk, Matroska/EBML, MP4
+box walk) — the engine's decode-free ffprobe analog.
+
+Guard against encoder/decoder bug-cancellation: the MP3 duration is
+pinned against hand-computed frame math (1152 samples/frame at the
+published Layer III size formula), EBML vints against hand-built
+byte sequences, and the MP4 mvhd offsets against the ISO 14496-12
+field layout — not just against this module's own encoders.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dedup_spark.functions.containers import (
+    ContainerParseError,
+    _read_vint,
+    encode_mkv,
+    encode_mp3,
+    encode_mp4,
+    parse_container,
+    parse_mkv,
+    parse_mp3,
+    parse_mp4,
+)
+
+SETTINGS = settings(max_examples=200, deadline=None)
+
+
+# ------------------------------------------------------------------ mp3 --
+
+def test_mp3_frame_walk_counts_and_duration():
+    p = encode_mp3(7, 128, 44100, seed=3)
+    m = parse_mp3(p)
+    assert m["n_frames"] == 7
+    assert m["sample_rate"] == 44100
+    assert m["bitrate_kbps"] == 128
+    # hand math: Layer III, 1152 samples/frame -> 7*1152/44100 s
+    assert m["duration_ms"] == 7 * 1152 * 1000 // 44100
+    # frame size must follow the published formula (144 * br / sr)
+    assert p[417 : 417 + 2] == b"\xff\xfb"  # second header right where it belongs
+
+
+def test_mp3_id3_tags_skipped():
+    p = encode_mp3(5, 64, 32000)
+    id3v2 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10)
+    m = parse_mp3(id3v2 + p + b"TAG" + bytes(125))
+    assert m["n_frames"] == 5 and m["sample_rate"] == 32000
+
+
+def test_mp3_trailing_junk_tolerated_leading_junk_not():
+    p = encode_mp3(3, 128, 44100)
+    assert parse_mp3(p + b"\x00garbage")["n_frames"] == 3
+    with pytest.raises(ContainerParseError):
+        parse_mp3(b"\x00" + p)  # no sync at offset 0 and not ID3
+
+
+@pytest.mark.parametrize("br,sr", [(32, 44100), (320, 48000), (96, 32000)])
+def test_mp3_all_v1l3_rates(br, sr):
+    m = parse_mp3(encode_mp3(4, br, sr))
+    assert (m["bitrate_kbps"], m["sample_rate"], m["n_frames"]) == (br, sr, 4)
+
+
+# ------------------------------------------------------------------ ebml --
+
+def test_ebml_vint_hand_pinned():
+    # RFC 8794: 1-byte vint 1xxxxxxx, 2-byte 01xxxxxx xxxxxxxx, ...
+    assert _read_vint(b"\x81", 0, keep_marker=False) == (1, 1)
+    assert _read_vint(b"\x40\x02", 0, keep_marker=False) == (2, 2)
+    assert _read_vint(b"\x20\x00\x03", 0, keep_marker=False) == (3, 3)
+    # IDs keep the marker bit: 0x4282 is the two-byte ID "DocType"
+    assert _read_vint(b"\x42\x82", 0, keep_marker=True) == (0x4282, 2)
+    with pytest.raises(ContainerParseError):
+        _read_vint(b"\x00\x01", 0, keep_marker=False)
+
+
+def test_mkv_roundtrip_and_defaults():
+    m = parse_mkv(encode_mkv(4321, ["V_TEST", "A_TEST"]))
+    assert m["container"] == "matroska"
+    assert m["n_tracks"] == 2
+    assert m["codec"] == "V_TEST"
+    assert m["duration_ms"] == 4321
+    w = parse_mkv(encode_mkv(77, ["V_VP9"], doctype="webm"))
+    assert w["container"] == "webm" and w["duration_ms"] == 77
+
+
+def test_mkv_overrunning_element_is_parse_error():
+    k = bytearray(encode_mkv(100, ["V_TEST"]))
+    # inflate the Segment's declared size past the buffer
+    seg = bytes(k).index(b"\x18\x53\x80\x67")
+    k[seg + 4] = 0x41  # widen the size vint's value drastically
+    k[seg + 5] = 0xFF
+    with pytest.raises(ContainerParseError):
+        parse_mkv(bytes(k))
+
+
+# ------------------------------------------------------------------- mp4 --
+
+def test_mp4_roundtrip_and_mvhd_offsets():
+    p = encode_mp4(9876, ["vide", "soun"])
+    m = parse_mp4(p)
+    assert m["container"] == "mp4"
+    assert m["n_tracks"] == 2 and m["codec"] == "vide"
+    assert m["duration_ms"] == 9876
+    # pin the mvhd v0 layout: timescale at byte 12, duration at 16
+    mv = p.index(b"mvhd") + 4
+    assert struct.unpack(">I", p[mv + 12 : mv + 16])[0] == 1000
+    assert struct.unpack(">I", p[mv + 16 : mv + 20])[0] == 9876
+
+
+def test_mp4_mvhd_version1_64bit_duration():
+    # hand-build a v1 mvhd: creation/modification are 64-bit
+    mvhd = struct.pack(">B3x", 1) + struct.pack(">QQ", 0, 0) + struct.pack(
+        ">IQ", 1000, 2**33
+    ) + bytes(80)
+    box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    moov = struct.pack(">I", 8 + len(box)) + b"moov" + box
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    m = parse_mp4(ftyp + moov)
+    assert m["duration_ms"] == 2**33 * 1000 // 1000
+
+
+def test_mp4_truncated_box_is_parse_error():
+    p = bytearray(encode_mp4(10, ["vide"]))
+    p[0:4] = struct.pack(">I", len(p) + 50)  # ftyp overruns the file
+    with pytest.raises(ContainerParseError):
+        parse_mp4(bytes(p))
+
+
+# ----------------------------------------------------------------- router --
+
+def test_parse_container_routes_by_magic():
+    assert parse_container(encode_mp3(2))["container"] == "mp3"
+    assert parse_container(encode_mkv(5, ["V_T"]))["container"] == "matroska"
+    assert parse_container(encode_mp4(5, ["vide"]))["container"] == "mp4"
+    for junk in (b"", b"x", b"plain text here", b"\x89PNG\r\n\x1a\n"):
+        with pytest.raises(ContainerParseError):
+            parse_container(junk)
+
+
+@SETTINGS
+@given(st.binary(min_size=0, max_size=400))
+def test_parsers_never_leak_raw_errors(payload):
+    """Raw fuzz against all three parsers: only the typed error may
+    escape (a raw struct.error/IndexError would kill a Spark task)."""
+    for prefix in (b"", b"\x1a\x45\xdf\xa3", b"\x00\x00\x00\x14ftyp", b"\xff\xfb"):
+        try:
+            parse_container(prefix + payload)
+        except ContainerParseError:
+            pass
+
+
+@SETTINGS
+@given(st.integers(min_value=0, max_value=10**9), st.integers(min_value=0, max_value=255))
+def test_container_mutation_never_leaks(pos, byte):
+    files = (
+        encode_mp3(3, 128, 44100),
+        encode_mkv(500, ["V_TEST", "A_TEST"]),
+        encode_mp4(500, ["vide"]),
+    )
+    for f in files:
+        b = bytearray(f)
+        b[pos % len(b)] = byte
+        try:
+            parse_container(bytes(b))
+        except ContainerParseError:
+            pass
+
+
+# ------------------------------------------------------------ spark op ----
+
+def test_media_container_meta_operator(spark):
+    from dedup_spark.operators.multimodal import media_container_meta
+
+    rows = [
+        (1, "audio", bytearray(encode_mp3(4, 128, 44100)), ""),
+        (2, "video", bytearray(encode_mkv(1234, ["V_TEST"])), ""),
+        (3, "video", bytearray(encode_mp4(777, ["vide", "soun"])), ""),
+        (4, "blob", b"not a container at all", ""),
+        (5, "blob", None, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    out = {r["asset_id"]: r for r in media_container_meta(df).collect()}
+    assert len(out) == 5  # every asset lands in exactly one row
+    assert out[1]["container"] == "mp3" and out[1]["n_frames"] == 4
+    assert out[1]["duration_ms"] == 4 * 1152 * 1000 // 44100
+    assert out[2]["container"] == "matroska" and out[2]["duration_ms"] == 1234
+    assert out[3]["container"] == "mp4" and out[3]["n_tracks"] == 2
+    assert out[4]["container"] == "unknown"  # degraded, not crashed
+    assert out[5]["container"] == "unknown"
