@@ -765,17 +765,20 @@ def decode_frames(
     ``video_fingerprint64``, bit-identical result).
 
     REAL decode for Y4M/YUV4MPEG2 raw video (public plain-text header
-    + raw planes) AND for MJPEG-in-AVI (RIFF container walk + the
-    baseline-JPEG codec per frame) — ``functions/videocodec.py``.
-    Other compressed containers (Matroska/MP4, non-MJPEG AVI) keep the
-    honest-stub policy: ``fake=True`` falls back to a deterministic
-    fake frame stack (byte-derived pixels, length-derived duration),
-    ``fake=False`` raises."""
+    + raw planes) AND for Motion-JPEG in BOTH common containers —
+    MJPEG-in-AVI (RIFF walk) and MJPEG-in-Matroska (EBML SimpleBlock
+    walk), each frame through the baseline-JPEG codec —
+    ``functions/videocodec.py``. Other compressed codecs (VP9/H.264
+    in Matroska/MP4, non-MJPEG AVI) keep the honest-stub policy:
+    ``fake=True`` falls back to a deterministic fake frame stack
+    (byte-derived pixels, length-derived duration), ``fake=False``
+    raises."""
     import numpy as np
 
     from dedup_spark.functions.videocodec import (
         VideoDecodeError,
         decode_avi_mjpeg,
+        decode_mkv_mjpeg,
         decode_y4m,
     )
 
@@ -787,6 +790,9 @@ def decode_frames(
         if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
             frames, fps = decode_avi_mjpeg(raw, max_frames=max_frames)
             return frames, fps, "avi-mjpeg"
+        if raw[:4] == b"\x1a\x45\xdf\xa3":
+            frames, fps = decode_mkv_mjpeg(raw, max_frames=max_frames)
+            return frames, fps, "mkv-mjpeg"
     except VideoDecodeError:
         pass  # corrupt or unsupported variant → stub policy below
     if fake:
@@ -797,7 +803,7 @@ def decode_frames(
         )
         return frames, 1.0, "fake"
     raise NotImplementedError(
-        "payload is not a numpy-decodable video (Y4M raw, MJPEG-AVI); other "
+        "payload is not a numpy-decodable video (Y4M raw, MJPEG in AVI/MKV); other "
         "compressed containers need codec libs not present in this "
         "environment — pass fake=True for the deterministic fake decoder"
     )
@@ -808,7 +814,7 @@ VIDEO_FP_SCHEMA = StructType(
         StructField("asset_id", LongType(), False),
         StructField("vfp", LongType(), False),        # 64-bit clip fingerprint
         StructField("n_frames_sampled", LongType(), False),
-        StructField("decoder", StringType(), False),  # y4m | avi-mjpeg | fake
+        StructField("decoder", StringType(), False),  # y4m | avi-mjpeg | mkv-mjpeg | fake
     ]
 )
 

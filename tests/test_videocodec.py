@@ -276,3 +276,91 @@ def test_avi_deep_list_nest_is_typed_error():
     payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
     with pytest.raises(VideoDecodeError):
         decode_avi_mjpeg(payload)
+
+
+# ------------------------------------------------------ MJPEG in MKV ------
+
+def test_mkv_mjpeg_roundtrip_and_sampling():
+    """Matroska SimpleBlock walk + per-frame JPEG decode: frames equal
+    the JPEG codec's own decode of each frame, fps recovered from the
+    Info Duration, and sampled decode is bit-identical to
+    decode-all-then-sample on the fingerprint grid."""
+    from dedup_spark.functions.jpegcodec import decode_jpeg, encode_jpeg_gray8
+    from dedup_spark.functions.videocodec import decode_mkv_mjpeg, encode_mkv_mjpeg
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (6, 24, 32)).astype(np.uint8)
+    p = encode_mkv_mjpeg(frames, fps=10)
+    dec, fps = decode_mkv_mjpeg(p)
+    assert fps == 10.0 and dec.shape == (6, 24, 32)
+    ref = np.stack(
+        [decode_jpeg(encode_jpeg_gray8(f, quality=90))[0] for f in frames]
+    )
+    assert (dec == ref).all()
+    for k in (1, 3, 5):
+        sampled, _ = decode_mkv_mjpeg(p, max_frames=k)
+        assert (sampled == ref[[(i * 6) // k for i in range(k)]]).all()
+
+
+def test_mkv_mjpeg_rejects_non_mjpeg_and_laced():
+    from dedup_spark.functions.containers import encode_mkv
+    from dedup_spark.functions.videocodec import (
+        VideoDecodeError,
+        decode_mkv_mjpeg,
+        encode_mkv_mjpeg,
+    )
+
+    # a valid Matroska whose track is NOT V_MJPEG -> typed error
+    with pytest.raises(VideoDecodeError, match="V_MJPEG"):
+        decode_mkv_mjpeg(encode_mkv(1000, ["V_VP9"]))
+    # flip a SimpleBlock's flags byte to claim EBML lacing — locate it
+    # by walking the EBML tree (a raw 0xA3 byte search can hit JPEG
+    # entropy bytes)
+    from dedup_spark.functions.containers import _ebml_children, _read_vint
+
+    p = bytearray(encode_mkv_mjpeg(np.zeros((2, 8, 8), np.uint8)))
+    d = bytes(p)
+    flags_off = None
+    for eid, a, b in _ebml_children(d, 0, len(d)):
+        if eid != 0x18538067:
+            continue
+        for cid, ca, cb in _ebml_children(d, a, b):
+            if cid != 0x1F43B675:
+                continue
+            for bid, ba, _bb in _ebml_children(d, ca, cb):
+                if bid == 0xA3:
+                    _, i = _read_vint(d, ba, keep_marker=False)
+                    flags_off = i + 2
+                    break
+    assert flags_off is not None
+    p[flags_off] |= 0x06
+    with pytest.raises(VideoDecodeError, match="laced"):
+        decode_mkv_mjpeg(bytes(p))
+    with pytest.raises(VideoDecodeError):
+        decode_mkv_mjpeg(b"\x1a\x45\xdf\xa3 not really matroska")
+
+
+def test_cross_container_near_dup_merges_all_three(spark):
+    """The SAME clip as raw Y4M, MJPEG-AVI and MJPEG-Matroska must all
+    land in ONE cluster — re-encode dedup across every real container
+    path; decoder column proves which parser ran."""
+    from dedup_spark.functions.videocodec import encode_avi_mjpeg, encode_mkv_mjpeg
+    from dedup_spark.operators.multimodal import video_near_dup_clusters
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    a = np.stack(
+        [np.minimum(yy * 2 + xx * 3 + 5 * t, 255).astype(np.uint8) for t in range(20)]
+    )
+    rows = [
+        (1, "video", bytearray(encode_y4m(a)), ""),
+        (2, "video", bytearray(encode_avi_mjpeg(a, quality=90)), ""),
+        (3, "video", bytearray(encode_mkv_mjpeg(a, quality=90)), ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    out = {r["asset_id"]: r for r in video_near_dup_clusters(df).collect()}
+    assert out[1]["decoder"] == "y4m"
+    assert out[2]["decoder"] == "avi-mjpeg"
+    assert out[3]["decoder"] == "mkv-mjpeg"
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
