@@ -903,6 +903,28 @@ def documents_as_y4m_assets(spark, sf_dir: str, n_frames: int = 8) -> DataFrame:
     )
 
 
+def documents_as_mkv_assets(spark, sf_dir: str, n_frames: int = 4) -> DataFrame:
+    """Fixture adapter for the REAL MJPEG-in-Matroska decode path
+    (decoder == 'mkv-mjpeg' on every row): byte-derived pixels, rolled
+    per frame, each frame baseline-JPEG-encoded inside an EBML
+    SimpleBlock stream. Same pixel-geometry arithmetic as the Y4M
+    adapter, so the format-blind oracle reuses its dimension math
+    (no even-dim crop — JPEG takes any size)."""
+    import numpy as np
+
+    def make(raw: bytes) -> bytes:
+        from dedup_spark.functions.videocodec import encode_mkv_mjpeg
+
+        img, _w, _h = _fake_pixels(raw)
+        return encode_mkv_mjpeg(
+            np.stack([np.roll(img, 7 * i, axis=1) for i in range(n_frames)])
+        )
+
+    return _documents_as_media_assets(
+        spark, sf_dir, "video", "video/x-matroska", make
+    )
+
+
 def documents_as_jpeg_assets(spark, sf_dir: str) -> DataFrame:
     """Fixture adapter for the REAL JPEG decode path (decoder ==
     'jpeg' on every row — the T.81 entropy decoder runs on every

@@ -767,8 +767,13 @@ def _decoded_meta_query(spark: SparkSession, sf_dir: str, modality: str) -> Data
             return {"n_samples": int(x.shape[0]), "sample_rate": rate, "decoder": dec}
 
         schema = "asset_id long, n_samples long, sample_rate long, decoder string"
-    else:
-        assets = documents_as_y4m_assets(spark, sf_dir)
+    else:  # y4m | mkv — same frame-stack meta, different real container
+        if modality == "mkv":
+            from dedup_spark.operators.multimodal import documents_as_mkv_assets
+
+            assets = documents_as_mkv_assets(spark, sf_dir)
+        else:
+            assets = documents_as_y4m_assets(spark, sf_dir)
 
         def meta(raw: bytes) -> dict:
             frames, _fps, dec = decode_frames(raw, fake=False)
@@ -805,6 +810,15 @@ def q_wav_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_y4m_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decoded_meta_query(spark, sf_dir, "y4m")
+
+
+def q_mkv_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG-in-Matroska decode at scale: every document rendered
+    into an EBML SimpleBlock stream of baseline-JPEG frames, parsed
+    back by the real Matroska walk + T.81 entropy decoder
+    (fake=False; decoder == 'mkv-mjpeg' on every row). Geometry
+    value-verified format-blind like the other decode-meta queries."""
+    return _decoded_meta_query(spark, sf_dir, "mkv")
 
 
 def q_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,6 +1326,14 @@ FROM (
          16 + (octet_length(encode(text)) // 7) % 48 AS h
   FROM documents
 )
+""",
+    "mkv_decode_meta": """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(4 AS BIGINT) AS n_frames,
+       CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) AS width,
+       CAST(16 + (octet_length(encode(text)) // 7) % 48 AS BIGINT) AS height,
+       'mkv-mjpeg' AS decoder
+FROM documents
 """,
     "container_meta": """
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
@@ -1869,6 +1891,7 @@ QUERIES = {
     "jpeg_decode_meta": q_jpeg_decode_meta,
     "wav_decode_meta": q_wav_decode_meta,
     "y4m_decode_meta": q_y4m_decode_meta,
+    "mkv_decode_meta": q_mkv_decode_meta,
     "container_meta": q_container_meta,
     "exact_hash_clusters": q_exact_hash_clusters,
     "exact_dup_sets": q_exact_dup_sets,
