@@ -7,13 +7,16 @@ their public specifications alone:
 
 - **PNG** (RFC 2083 / W3C PNG spec): zlib-inflate the IDAT stream
   (stdlib ``zlib``), then per-scanline unfilter (None/Sub/Up/Average/
-  Paeth). Supported here: bit depth 8, color types 0 (gray),
-  2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
+  Paeth). Supported here: bit depths 8 and 16, color types 0 (gray),
+  2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced and
+  Adam7-interlaced streams.
 - **BMP** (Windows DIB): BITMAPINFOHEADER, uncompressed (BI_RGB)
   8-bit palette / 24-bit BGR / 32-bit BGRX, bottom-up or top-down.
 
-JPEG / audio / video stay honestly stubbed in ``operators/multimodal``
-(entropy decoders genuinely need codec libraries).
+JPEG (baseline + progressive) lives in ``jpegcodec.py``; audio/video
+containers in ``audiocodec.py``/``videocodec.py``; the remaining
+entropy codecs (WebP, AVC, MP3, …) stay honestly stubbed in
+``operators/multimodal`` — they genuinely need codec libraries.
 
 Minimal deterministic ENCODERS for both formats let tests and fixtures
 synthesize real image files with no external data or libraries.
@@ -56,6 +59,23 @@ class ImageDecodeError(ValueError):
 # --------------------------------------------------------------------------
 # PNG
 # --------------------------------------------------------------------------
+
+# Adam7 interlace grid (PNG spec 8.2): per pass, (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """(x0, y0, dx, dy, pass_width, pass_height) per Adam7 pass —
+    empty passes (small images) get zero dims and are skipped."""
+    return [
+        (x0, y0, dx, dy,
+         max(0, (w - x0 + dx - 1) // dx), max(0, (h - y0 + dy - 1) // dy))
+        for x0, y0, dx, dy in _ADAM7
+    ]
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
@@ -125,8 +145,9 @@ def _to_gray(px: np.ndarray, channels: int) -> np.ndarray:
 def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     """Decode a PNG to (grayscale uint8 (h, w), width, height).
 
-    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced —
-    the overwhelmingly common variants. Anything else — including ANY
+    Supports bit depths 8 AND 16 (high byte kept — luma parity, not
+    radiometry), color types 0/2/3/4/6, non-interlaced AND Adam7
+    interlaced streams. Anything else — including ANY
     parse failure on a corrupt stream — raises ImageDecodeError, so
     callers' stub-policy catch is airtight (one malformed asset must
     degrade to the fake path, never kill a Spark task)."""
@@ -168,21 +189,26 @@ def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ImageDecodeError("PNG missing IHDR or IDAT")
     if w <= 0 or h <= 0:  # a 0×N image would 'decode' to an empty array
         raise ImageDecodeError(f"degenerate PNG dimensions {w}x{h}")
-    if depth != 8 or interlace != 0:
+    if depth not in (8, 16) or interlace not in (0, 1):
         raise ImageDecodeError(
             f"unsupported PNG variant (depth={depth}, interlace={interlace})"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ImageDecodeError(f"unsupported PNG color type {ctype}")
+    if depth == 16 and ctype == 3:
+        raise ImageDecodeError("16-bit palette PNG is not valid")
     if w * h > MAX_PIXELS:
         # untrusted IHDR dims bound every allocation below; a crafted
         # 65535x65535 header must die here, not in a 17 GB allocation
         raise ImageDecodeError(f"PNG dimensions {w}x{h} exceed pixel cap")
-    # exact raw size is known from IHDR (one filter byte per scanline);
-    # inflate AT MOST that many bytes so a decompression bomb can never
-    # outgrow the header's own claim (OS OOM-kill is not catchable)
-    expected = h * (w * channels + 1)
+    sb = channels * (depth // 8)  # bytes per pixel (the filter's bpp unit)
+    passes = _adam7_passes(w, h) if interlace else [(0, 0, 1, 1, w, h)]
+    # exact raw size is known from IHDR (one filter byte per scanline,
+    # summed over the interlace passes); inflate AT MOST that many
+    # bytes so a decompression bomb can never outgrow the header's own
+    # claim (OS OOM-kill is not catchable)
+    expected = sum(ph * (pw * sb + 1) for _, _, _, _, pw, ph in passes if pw and ph)
     try:
         dec = zlib.decompressobj()
         raw_b = dec.decompress(b"".join(idat), expected + 1)
@@ -191,7 +217,21 @@ def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
         raw = np.frombuffer(raw_b, dtype=np.uint8)
     except zlib.error as exc:
         raise ImageDecodeError(f"PNG inflate failed: {exc}") from exc
-    px = _unfilter(raw, h, w * channels, channels)
+    # unfilter each pass, then scatter its pixels onto the Adam7 grid
+    # (the single full-frame "pass" of a non-interlaced file unifies
+    # both layouts under one loop)
+    out_px = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        if pw == 0 or ph == 0:
+            continue
+        plen = ph * (pw * sb + 1)
+        ppx = _unfilter(raw[off : off + plen], ph, pw * sb, sb)
+        off += plen
+        if depth == 16:
+            ppx = ppx[:, 0::2]  # high byte of each big-endian sample
+        out_px[y0::dy, x0::dx, :] = ppx.reshape(ph, pw, channels)
+    px = out_px.reshape(h, w * channels)
     if ctype == 3:
         if palette is None:
             raise ImageDecodeError("PNG palette image without PLTE")
@@ -222,7 +262,38 @@ def encode_png_rgb8(img: np.ndarray) -> bytes:
     return _png_wrap(w, h, 2, zlib.compress(scan.tobytes(), 6))
 
 
-def _png_wrap(w: int, h: int, ctype: int, zdata: bytes) -> bytes:
+def encode_png_gray16(img16: np.ndarray) -> bytes:
+    """Minimal PNG encoder: 16-bit grayscale (uint16, big-endian
+    samples per spec), filter 0 — drives the decoder's depth-16
+    path."""
+    img16 = np.ascontiguousarray(img16, dtype=np.uint16)
+    h, w = img16.shape
+    rows = bytearray()
+    be = img16.byteswap().view(np.uint8).reshape(h, w * 2)  # big-endian bytes
+    for y in range(h):
+        rows += b"\x00" + be[y].tobytes()
+    return _png_wrap(w, h, 0, zlib.compress(bytes(rows), 6), depth=16)
+
+
+def encode_png_gray8_interlaced(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder: 8-bit grayscale with Adam7 interlacing
+    (filter 0 per pass scanline) — drives the decoder's interlaced
+    path; decode must be bit-identical to the sequential encoding."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    rows = bytearray()
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+        if pw == 0 or ph == 0:
+            continue
+        sub = img[y0::dy, x0::dx]
+        for y in range(ph):
+            rows += b"\x00" + sub[y].tobytes()
+    return _png_wrap(w, h, 0, zlib.compress(bytes(rows), 6), interlace=1)
+
+
+def _png_wrap(
+    w: int, h: int, ctype: int, zdata: bytes, depth: int = 8, interlace: int = 0
+) -> bytes:
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
             struct.pack(">I", len(body))
@@ -231,7 +302,7 @@ def _png_wrap(w: int, h: int, ctype: int, zdata: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

@@ -303,3 +303,34 @@ def test_image_near_dup_clusters_end_to_end(spark):
     assert out[4]["cluster_size"] == 1
     # deterministic min-id labels
     assert out[1]["cluster_id"] == 1 and out[4]["cluster_id"] == 4
+
+
+def test_png_adam7_interlaced_decodes_bit_exact():
+    """Adam7 streams must decode to EXACTLY the sequential encoding's
+    pixels — pass grid, per-pass scanline filters and the scatter are
+    all pinned by equality (incl. sub-8px images with empty passes)."""
+    from dedup_spark.functions.imagecodec import encode_png_gray8_interlaced
+
+    rng = np.random.default_rng(5)
+    for h, w in [(1, 1), (3, 2), (7, 7), (8, 8), (9, 13), (40, 56)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        dec, dw, dh = decode_png(encode_png_gray8_interlaced(img))
+        assert (dw, dh) == (w, h)
+        assert (dec == img).all(), (h, w)
+
+
+def test_png_16bit_keeps_high_byte():
+    """Depth-16 grayscale: samples are big-endian; the decoder keeps
+    the high byte (luma parity, not radiometry) — pinned against the
+    integer truth img16 >> 8."""
+    from dedup_spark.functions.imagecodec import encode_png_gray16
+
+    rng = np.random.default_rng(11)
+    img16 = rng.integers(0, 65536, (21, 17)).astype(np.uint16)
+    dec, w, h = decode_png(encode_png_gray16(img16))
+    assert (w, h) == (17, 21)
+    assert (dec == (img16 >> 8).astype(np.uint8)).all()
+    # boundary: 0x00FF stays 0, 0x0100 becomes 1 (big-endian order pin)
+    edge = np.array([[0x00FF, 0x0100]], dtype=np.uint16)
+    dec2, _, _ = decode_png(encode_png_gray16(edge))
+    assert dec2.tolist() == [[0, 1]]
