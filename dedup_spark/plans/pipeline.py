@@ -106,7 +106,8 @@ class DedupPipeline:
         if dedupe:
             pairs = pairs.distinct()
         if self.config.same_lang_only and "lang" in reps.columns:
-            lang = reps.select("file_id", "lang")
+            # reps-sized side: never broadcast (see attach_pair_signatures)
+            lang = reps.select("file_id", "lang").hint("merge")
             pairs = (
                 pairs.join(
                     lang.withColumnsRenamed({"file_id": "id_a", "lang": "lang_a"}), "id_a"
@@ -175,7 +176,10 @@ class DedupPipeline:
             max_iterations=self.config.cc_max_iterations,
             config=self.config,
         ).withColumnsRenamed({"node": "exact_rep", "cluster_id": "fuzzy_label"})
-        out = with_rep.join(comp, "exact_rep", "left").withColumn(
+        # comp scales with the near-dup population (corpus-order on a
+        # dup-heavy corpus) — never let a small-size misestimate
+        # broadcast it (see attach_pair_signatures)
+        out = with_rep.join(comp.hint("merge"), "exact_rep", "left").withColumn(
             "cluster_id", F.coalesce("fuzzy_label", "exact_rep")
         ).drop("fuzzy_label")
         cw = Window.partitionBy("cluster_id")
