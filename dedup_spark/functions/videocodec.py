@@ -454,3 +454,212 @@ def encode_mkv_mjpeg(
         0x1F43B675, _ebml_elem(0xE7, b"\x00") + blocks
     )
     return header + _ebml_elem(0x18538067, info + track + cluster)
+
+
+# ----------------------------------------------------- MJPEG in MP4 -------
+
+def decode_mp4_mjpeg(
+    payload: bytes, max_frames: int | None = None
+) -> tuple[np.ndarray, float]:
+    """Decode an MP4/ISO-BMFF file whose first 'jpeg'-coded video
+    track is Motion-JPEG to (luma frames uint8 (n, h, w), fps) — the
+    third container on the real video path, built on the same box walk
+    as ``containers.parse_mp4`` plus the sample tables (ISO 14496-12
+    stsd/stsz/stsc/stco/co64): sample spans come from the chunk
+    offsets, so only the fingerprint's evenly-sampled frame indices
+    are JPEG-decoded, like the AVI and Matroska paths."""
+    import struct as _struct
+
+    try:
+        return _decode_mp4_mjpeg(payload, max_frames)
+    except VideoDecodeError:
+        raise
+    except (
+        ValueError,
+        _struct.error,
+        IndexError,
+        OverflowError,
+        MemoryError,
+        RecursionError,
+    ) as exc:
+        raise VideoDecodeError(f"corrupt MP4: {exc!r}") from exc
+
+
+def _decode_mp4_mjpeg(
+    payload: bytes, max_frames: int | None
+) -> tuple[np.ndarray, float]:
+    import struct as _struct
+
+    from dedup_spark.functions.containers import ContainerParseError, _mp4_boxes
+    from dedup_spark.functions.imagecodec import ImageDecodeError
+    from dedup_spark.functions.jpegcodec import decode_jpeg
+
+    d = payload or b""
+    if d[4:8] != b"ftyp":
+        raise VideoDecodeError("not an ISO-BMFF payload")
+
+    def children(a, b):
+        return list(_mp4_boxes(d, a, b))
+
+    def find(boxes, name):
+        return [(a, b) for t, a, b in boxes if t == name]
+
+    spans: list[tuple[int, int]] = []
+    timescale = duration = 0
+    try:
+        top = children(0, len(d))
+        for ma, mb in find(top, b"moov"):
+            moov = children(ma, mb)
+            for ta, tb in find(moov, b"mvhd"):
+                ver = d[ta]
+                if ver == 1:
+                    timescale, duration = _struct.unpack(">IQ", d[ta + 20 : ta + 32])
+                else:
+                    timescale, duration = _struct.unpack(">II", d[ta + 12 : ta + 20])
+            for ka, kb in find(moov, b"trak"):
+                stbl = None
+                for da, db in find(children(ka, kb), b"mdia"):
+                    for fa, fb in find(children(da, db), b"minf"):
+                        got = find(children(fa, fb), b"stbl")
+                        if got:
+                            stbl = children(*got[0])
+                if stbl is None:
+                    continue
+                # stsd: codec gate — first sample entry's fourcc
+                is_jpeg = False
+                for sa, sb in find(stbl, b"stsd"):
+                    if sb - sa >= 16 and d[sa + 12 : sa + 16] in (b"jpeg", b"mjpa"):
+                        is_jpeg = True
+                if not is_jpeg:
+                    continue
+                sizes: list[int] = []
+                for sa, sb in find(stbl, b"stsz"):
+                    fixed, cnt = _struct.unpack(">II", d[sa + 4 : sa + 12])
+                    if fixed:
+                        sizes = [fixed] * cnt
+                    else:
+                        sizes = list(
+                            _struct.unpack(f">{cnt}I", d[sa + 12 : sa + 12 + 4 * cnt])
+                        )
+                chunks: list[int] = []
+                for sa, sb in find(stbl, b"stco"):
+                    (cnt,) = _struct.unpack(">I", d[sa + 4 : sa + 8])
+                    chunks = list(
+                        _struct.unpack(f">{cnt}I", d[sa + 8 : sa + 8 + 4 * cnt])
+                    )
+                for sa, sb in find(stbl, b"co64"):
+                    (cnt,) = _struct.unpack(">I", d[sa + 4 : sa + 8])
+                    chunks = list(
+                        _struct.unpack(f">{cnt}Q", d[sa + 8 : sa + 8 + 8 * cnt])
+                    )
+                # stsc: samples per chunk runs
+                stsc: list[tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
+                for sa, sb in find(stbl, b"stsc"):
+                    (cnt,) = _struct.unpack(">I", d[sa + 4 : sa + 8])
+                    for k in range(cnt):
+                        fc, spc, _sdi = _struct.unpack(
+                            ">III", d[sa + 8 + 12 * k : sa + 20 + 12 * k]
+                        )
+                        stsc.append((fc, spc))
+                if not sizes or not chunks or not stsc:
+                    continue
+                # expand sample spans chunk by chunk
+                si = 0
+                for ci, coff in enumerate(chunks, start=1):
+                    spc = 0
+                    for fc, n in stsc:
+                        if ci >= fc:
+                            spc = n
+                    off = coff
+                    for _ in range(spc):
+                        if si >= len(sizes):
+                            break
+                        spans.append((off, off + sizes[si]))
+                        off += sizes[si]
+                        si += 1
+                break  # first MJPEG track only
+            break
+    except ContainerParseError as exc:
+        raise VideoDecodeError(f"BMFF parse failed: {exc}") from exc
+    if not spans:
+        raise VideoDecodeError("no 'jpeg'-coded video track in MP4")
+    n = len(spans)
+    idx = (
+        list(range(n))
+        if max_frames is None or n <= max_frames
+        else [(k * n) // max_frames for k in range(max_frames)]
+    )
+    frames = []
+    shape = None
+    for k in idx:
+        lo, hi = spans[k]
+        if hi > len(d):
+            raise VideoDecodeError("sample span past end of file")
+        try:
+            img, _w, _h = decode_jpeg(d[lo:hi])
+        except ImageDecodeError as exc:
+            raise VideoDecodeError(f"frame {k} is not JPEG: {exc}") from exc
+        if shape is None:
+            shape = img.shape
+        elif img.shape != shape:
+            raise VideoDecodeError("inconsistent frame dimensions")
+        frames.append(img)
+    fps = (n * timescale / duration) if duration else 25.0
+    return np.stack(frames), float(fps)
+
+
+def encode_mp4_mjpeg(
+    frames: np.ndarray, fps: int = 25, quality: int = 90
+) -> bytes:
+    """Minimal spec-conforming MP4 with one 'jpeg' video track: ftyp,
+    mdat of baseline-JPEG samples, moov with mvhd + full sample tables
+    (stsd/stsz/stsc/stco) pointing one chunk per frame."""
+    import struct as _struct
+
+    from dedup_spark.functions.jpegcodec import encode_jpeg_gray8
+
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    samples = [encode_jpeg_gray8(frames[i], quality=quality) for i in range(n)]
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return _struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + _struct.pack(">I", 0) + b"isom")
+    # mdat follows ftyp; chunk offsets are absolute file offsets
+    mdat_body = b"".join(samples)
+    mdat = box(b"mdat", mdat_body)
+    base = len(ftyp) + 8
+    offsets = []
+    off = base
+    for s in samples:
+        offsets.append(off)
+        off += len(s)
+    mvhd = box(
+        b"mvhd",
+        _struct.pack(">B3x", 0) + _struct.pack(">II", 0, 0)
+        + _struct.pack(">II", 1000, n * 1000 // fps) + bytes(80),
+    )
+    stsd = box(
+        b"stsd",
+        _struct.pack(">B3xI", 0, 1)
+        + box(b"jpeg", bytes(6) + _struct.pack(">H", 1) + bytes(70)),
+    )
+    stsz = box(
+        b"stsz",
+        _struct.pack(">B3xII", 0, 0, n)
+        + b"".join(_struct.pack(">I", len(s)) for s in samples),
+    )
+    stsc = box(b"stsc", _struct.pack(">B3xI", 0, 1) + _struct.pack(">III", 1, 1, 1))
+    stco = box(
+        b"stco",
+        _struct.pack(">B3xI", 0, n)
+        + b"".join(_struct.pack(">I", o) for o in offsets),
+    )
+    stbl = box(b"stbl", stsd + stsz + stsc + stco)
+    minf = box(b"minf", stbl)
+    hdlr = box(b"hdlr", _struct.pack(">B3xI", 0, 0) + b"vide" + bytes(12))
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

@@ -79,7 +79,15 @@ def detect_kind_from_magic(payload: bytes | None) -> str:
             return "audio"
         if payload[8:12] == b"AVI ":
             return "video"
-    return _MAGIC_KINDS.get(payload[:4].hex(), "blob")
+    kind = _MAGIC_KINDS.get(payload[:4].hex())
+    if kind is not None:
+        return kind
+    # ISO-BMFF (MP4 family) signs at offset 4 — checked AFTER the
+    # 4-byte magic families, same order as kind_from_magic_col;
+    # audio-only m4a reroutes downstream (decode fails → blob path)
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        return "video"
+    return "blob"
 
 
 def kind_from_magic_col(payload: "F.Column") -> "F.Column":
@@ -108,6 +116,7 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
         .when(hx.startswith("59555634"), "video")                     # "YUV4" Y4M
         .when(hx.startswith("49443303"), "audio")                     # MP3/ID3
         .when(hx.startswith("1a45dfa3"), "video")                     # Matroska/WebM
+        .when(F.substring(hx, 9, 8) == "66747970", "video")           # ISO-BMFF "ftyp"
         .otherwise("blob")
     )
 
@@ -779,6 +788,7 @@ def decode_frames(
         VideoDecodeError,
         decode_avi_mjpeg,
         decode_mkv_mjpeg,
+        decode_mp4_mjpeg,
         decode_y4m,
     )
 
@@ -793,6 +803,9 @@ def decode_frames(
         if raw[:4] == b"\x1a\x45\xdf\xa3":
             frames, fps = decode_mkv_mjpeg(raw, max_frames=max_frames)
             return frames, fps, "mkv-mjpeg"
+        if len(raw) >= 8 and raw[4:8] == b"ftyp":
+            frames, fps = decode_mp4_mjpeg(raw, max_frames=max_frames)
+            return frames, fps, "mp4-mjpeg"
     except VideoDecodeError:
         pass  # corrupt or unsupported variant → stub policy below
     if fake:
@@ -803,7 +816,7 @@ def decode_frames(
         )
         return frames, 1.0, "fake"
     raise NotImplementedError(
-        "payload is not a numpy-decodable video (Y4M raw, MJPEG in AVI/MKV); other "
+        "payload is not a numpy-decodable video (Y4M raw, MJPEG in AVI/MKV/MP4); "
         "compressed containers need codec libs not present in this "
         "environment — pass fake=True for the deterministic fake decoder"
     )
@@ -814,7 +827,7 @@ VIDEO_FP_SCHEMA = StructType(
         StructField("asset_id", LongType(), False),
         StructField("vfp", LongType(), False),        # 64-bit clip fingerprint
         StructField("n_frames_sampled", LongType(), False),
-        StructField("decoder", StringType(), False),  # y4m | avi-mjpeg | mkv-mjpeg | fake
+        StructField("decoder", StringType(), False),  # y4m | avi/mkv/mp4-mjpeg | fake
     ]
 )
 

@@ -364,3 +364,64 @@ def test_cross_container_near_dup_merges_all_three(spark):
     assert out[2]["decoder"] == "avi-mjpeg"
     assert out[3]["decoder"] == "mkv-mjpeg"
     assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
+
+
+# ------------------------------------------------------ MJPEG in MP4 ------
+
+def test_mp4_mjpeg_roundtrip_and_sampling():
+    """ISO-BMFF sample-table walk (stsd gate, stsz sizes, stsc runs,
+    stco offsets) + per-frame JPEG decode; fps from mvhd; sampled
+    decode bit-identical to decode-all-then-sample."""
+    from dedup_spark.functions.jpegcodec import decode_jpeg, encode_jpeg_gray8
+    from dedup_spark.functions.videocodec import decode_mp4_mjpeg, encode_mp4_mjpeg
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (6, 24, 32)).astype(np.uint8)
+    p = encode_mp4_mjpeg(frames, fps=10)
+    dec, fps = decode_mp4_mjpeg(p)
+    assert fps == 10.0 and dec.shape == (6, 24, 32)
+    ref = np.stack(
+        [decode_jpeg(encode_jpeg_gray8(f, quality=90))[0] for f in frames]
+    )
+    assert (dec == ref).all()
+    for k in (1, 4):
+        sampled, _ = decode_mp4_mjpeg(p, max_frames=k)
+        assert (sampled == ref[[(i * 6) // k for i in range(k)]]).all()
+
+
+def test_mp4_mjpeg_rejects_non_jpeg_tracks():
+    from dedup_spark.functions.containers import encode_mp4
+    from dedup_spark.functions.videocodec import VideoDecodeError, decode_mp4_mjpeg
+
+    with pytest.raises(VideoDecodeError, match="jpeg"):
+        decode_mp4_mjpeg(encode_mp4(1000, ["vide"]))  # no sample tables
+    with pytest.raises(VideoDecodeError):
+        decode_mp4_mjpeg(b"\x00\x00\x00\x14ftypisom not a real mp4")
+
+
+def test_cross_container_near_dup_merges_all_four(spark):
+    """The SAME clip as raw Y4M, MJPEG-AVI, MJPEG-MKV and MJPEG-MP4
+    lands in ONE cluster — every real container path agrees."""
+    from dedup_spark.functions.videocodec import (
+        encode_avi_mjpeg,
+        encode_mkv_mjpeg,
+        encode_mp4_mjpeg,
+    )
+    from dedup_spark.operators.multimodal import video_near_dup_clusters
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    a = np.stack(
+        [np.minimum(yy * 2 + xx * 3 + 5 * t, 255).astype(np.uint8) for t in range(20)]
+    )
+    rows = [
+        (1, "video", bytearray(encode_y4m(a)), ""),
+        (2, "video", bytearray(encode_avi_mjpeg(a, quality=90)), ""),
+        (3, "video", bytearray(encode_mkv_mjpeg(a, quality=90)), ""),
+        (4, "video", bytearray(encode_mp4_mjpeg(a, quality=90)), ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    out = {r["asset_id"]: r for r in video_near_dup_clusters(df).collect()}
+    assert out[4]["decoder"] == "mp4-mjpeg"
+    assert len({out[i]["cluster_id"] for i in (1, 2, 3, 4)}) == 1
