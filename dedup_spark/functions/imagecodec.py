@@ -12,6 +12,9 @@ their public specifications alone:
   Adam7-interlaced streams.
 - **BMP** (Windows DIB): BITMAPINFOHEADER, uncompressed (BI_RGB)
   8-bit palette / 24-bit BGR / 32-bit BGRX, bottom-up or top-down.
+- **GIF** (87a/89a): variable-width LZW (9→12-bit codes, clear/EOI,
+  dictionary resets), global/local color tables, 4-pass row
+  interlacing; the first frame of animations.
 
 JPEG (baseline + progressive) lives in ``jpegcodec.py``; audio/video
 containers in ``audiocodec.py``/``videocodec.py``; the remaining
@@ -426,3 +429,208 @@ def phash64(gray: np.ndarray) -> int:
     for bit in bits:
         acc = (acc << 1) | int(bit)
     return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+# --------------------------------------------------------------------------
+# GIF
+# --------------------------------------------------------------------------
+
+def decode_gif(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a GIF (87a/89a) first frame to (grayscale uint8 (h, w),
+    width, height): logical-screen/image descriptors, global + local
+    color tables, variable-width LZW (9→12-bit codes, clear/EOI),
+    4-pass row interlacing — all from the public GIF89a specification.
+    Animation: the FIRST image block is the fingerprint frame (later
+    frames are deltas against disposal state — compositing is out of
+    scope). Any parse failure raises ImageDecodeError (same airtight
+    stub-policy contract as decode_png)."""
+    try:
+        return _decode_gif(payload)
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise ImageDecodeError(f"corrupt GIF: {exc}") from exc
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    """GIF variable-width LZW. Emits at most ``max_pixels`` indices —
+    the image descriptor bounds the output, so a crafted stream cannot
+    outgrow the header's own claim (same bomb policy as PNG)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    # dict as (prefix_code, tail_byte); -1 prefix = root
+    prefix = list(range(clear)) + [-1, -1]
+    tail = list(range(clear)) + [0, 0]
+    out = bytearray()
+    prev = -1
+    acc = nbits = 0
+
+    def emit(code: int) -> bytes:
+        chain = bytearray()
+        c = code
+        while c >= 0 and prefix[c] != c:
+            chain.append(tail[c])
+            c = prefix[c]
+        chain.append(tail[c])
+        chain.reverse()
+        return bytes(chain)
+
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                prefix = list(range(clear)) + [-1, -1]
+                tail = list(range(clear)) + [0, 0]
+                code_size = min_code_size + 1
+                prev = -1
+                continue
+            if code == eoi:
+                return out
+            if prev < 0:
+                if code >= len(prefix):
+                    raise ImageDecodeError("LZW first code not a root")
+                out += emit(code)
+            else:
+                if code < len(prefix):
+                    seq = emit(code)
+                elif code == len(prefix):
+                    seq = emit(prev) + emit(prev)[:1]  # KwKwK case
+                else:
+                    raise ImageDecodeError("LZW code out of range")
+                prefix.append(prev)
+                tail.append(seq[0])
+                out += seq
+            if len(out) > max_pixels:
+                raise ImageDecodeError("LZW output exceeds image size")
+            if len(prefix) == (1 << code_size) and code_size < 12:
+                code_size += 1
+            prev = code
+    return out
+
+
+def _decode_gif(payload: bytes) -> tuple[np.ndarray, int, int]:
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageDecodeError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    if w <= 0 or h <= 0:
+        raise ImageDecodeError(f"degenerate GIF dimensions {w}x{h}")
+    if w * h > MAX_PIXELS:
+        raise ImageDecodeError(f"GIF dimensions {w}x{h} exceed pixel cap")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ImageDecodeError(f"unexpected GIF block 0x{b0:02x}")
+        ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+        pos += 10
+        if iw <= 0 or ih <= 0 or ix + iw > w or iy + ih > h:
+            raise ImageDecodeError("GIF image descriptor out of bounds")
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            ct = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ImageDecodeError("GIF image without a color table")
+        min_code = payload[pos]
+        if not 2 <= min_code <= 11:
+            raise ImageDecodeError(f"invalid LZW minimum code size {min_code}")
+        pos += 1
+        chunks = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            chunks += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(chunks), min_code, iw * ih)
+        if len(idx) < iw * ih:
+            raise ImageDecodeError("GIF pixel data truncated")
+        rows = np.frombuffer(bytes(idx[: iw * ih]), dtype=np.uint8).reshape(ih, iw)
+        if iflags & 0x40:  # 4-pass row interlacing
+            de = np.empty_like(rows)
+            src = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                cnt = len(range(start, ih, step))
+                de[start::step] = rows[src : src + cnt]
+                src += cnt
+            rows = de
+        pal = np.clip(rows, 0, ct.shape[0] - 1)
+        rgb = ct[pal]  # (ih, iw, 3)
+        b32 = rgb.astype(np.uint32)
+        gray = (
+            (_LUMA_R * b32[:, :, 0] + _LUMA_G * b32[:, :, 1] + _LUMA_B * b32[:, :, 2])
+            >> 8
+        ).astype(np.uint8)
+        # first frame only: composite onto a canvas if it is a sub-rect
+        if (ix, iy, iw, ih) == (0, 0, w, h):
+            return gray, int(w), int(h)
+        canvas = np.zeros((h, w), dtype=np.uint8)
+        canvas[iy : iy + ih, ix : ix + iw] = gray
+        return canvas, int(w), int(h)
+    raise ImageDecodeError("GIF has no image data")
+
+
+def encode_gif_gray8(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal GIF89a encoder: 256-entry grayscale palette, 8-bit LZW
+    with a clear code before every pixel code (spec-valid, trivially
+    decodable by any conforming reader — compression is not the
+    point; fixtures are)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)  # GCT, 256 entries
+    for v in range(256):
+        out += bytes((v, v, v))
+    iflags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    rows = img
+    if interlace:
+        parts = [img[s::t] for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        rows = np.concatenate(parts, axis=0)
+    min_code = 8
+    clear, eoi = 256, 257
+    bw = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            bw.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    # 9-bit codes throughout: clear resets the dict before it ever
+    # grows past 258 entries, so the code width never advances
+    for px in rows.reshape(-1):
+        put(clear, 9)
+        put(int(px), 9)
+    put(eoi, 9)
+    if nbits:
+        bw.append(acc & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(bw), 255):
+        blk = bw[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -51,6 +51,7 @@ META_SCHEMA = StructType(META_FIELDS)
 # magic-byte table (public file-format signatures)
 _MAGIC_KINDS = {
     "89504e47": "image",  # PNG
+    "47494638": "image",  # GIF87a/GIF89a ("GIF8")
     "ffd8ffe0": "image",  # JPEG/JFIF (see 3-byte prefix rule below)
     "49443303": "audio",  # MP3/ID3
     "1a45dfa3": "video",  # Matroska/WebM
@@ -105,6 +106,7 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
             "image",                                                  # BMP + reserved zeros
         )
         .when(hx.startswith("89504e47"), "image")                     # PNG
+        .when(hx.startswith("47494638"), "image")                     # GIF87a/89a
         .when(
             hx.startswith("52494646") & (F.substring(hx, 17, 8) == "57415645"),
             "audio",                                                  # RIFF/WAVE
@@ -286,6 +288,7 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
     from dedup_spark.functions.imagecodec import (
         ImageDecodeError,
         decode_bmp,
+        decode_gif,
         decode_png,
     )
     from dedup_spark.functions.jpegcodec import decode_jpeg
@@ -301,6 +304,9 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
         if raw[:3] == b"\xff\xd8\xff":
             img, w, h = decode_jpeg(raw)
             return img, w, h, "jpeg"
+        if raw[:5] in (b"GIF87", b"GIF89"):
+            img, w, h = decode_gif(raw)
+            return img, w, h, "gif"
     except ImageDecodeError:
         pass  # corrupt or unsupported variant → stub policy below
     if fake:

@@ -334,3 +334,137 @@ def test_png_16bit_keeps_high_byte():
     edge = np.array([[0x00FF, 0x0100]], dtype=np.uint16)
     dec2, _, _ = decode_png(encode_png_gray16(edge))
     assert dec2.tolist() == [[0, 1]]
+
+
+# ------------------------------------------------------------------- gif --
+
+def _lzw_compress_reference(indices, min_code_size: int) -> bytes:
+    """Independent REAL GIF LZW compressor (dictionary growth, code
+    widening 9->12 bits, reset at 4096) written against the spec here
+    in the test — so the decoder's dictionary path is pinned by a
+    second implementation, not by the trivial clear-per-pixel
+    encoder."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(c,): c for c in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    put(clear, code_size)
+    buf = ()
+    for px in indices:
+        cand = buf + (int(px),)
+        if cand in table:
+            buf = cand
+            continue
+        put(table[buf], code_size)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code > 4095:
+            put(clear, code_size)
+            table = {(c,): c for c in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        buf = (int(px),)
+    if buf:
+        put(table[buf], code_size)
+    put(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _wrap_gif(w, h, lzw: bytes, min_code: int = 8) -> bytes:
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)
+    for v in range(256):
+        out += bytes((v, v, v))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([min_code])
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_and_interlace():
+    from dedup_spark.functions.imagecodec import decode_gif, encode_gif_gray8
+
+    rng = np.random.default_rng(5)
+    for h, w in [(1, 1), (7, 9), (40, 56), (33, 17)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        dec, dw, dh = decode_gif(encode_gif_gray8(img))
+        assert (dw, dh) == (w, h) and (dec == img).all()
+        deci, _, _ = decode_gif(encode_gif_gray8(img, interlace=True))
+        assert (deci == img).all()
+
+
+def test_gif_real_lzw_dictionary_stream_decodes():
+    """The decoder against a REAL compressed stream from the
+    independent test-side LZW compressor: dictionary growth, 9->12-bit
+    code widening, mid-stream resets at 4096 entries, and the KwKwK
+    repeat case (runs of one value produce exactly that pattern)."""
+    from dedup_spark.functions.imagecodec import decode_gif
+
+    rng = np.random.default_rng(9)
+    # big enough to widen codes past 9 bits and hit a 4096 reset;
+    # runs + structure exercise KwKwK and long chains
+    img = np.repeat(rng.integers(0, 256, (64, 16)), 6, axis=1).astype(np.uint8)
+    lzw = _lzw_compress_reference(img.reshape(-1), 8)
+    dec, w, h = decode_gif(_wrap_gif(96, 64, lzw))
+    assert (w, h) == (96, 64)
+    assert (dec == img).all()
+    # pure-run image: wall-to-wall KwKwK codes
+    flat = np.full((32, 32), 123, np.uint8)
+    dec2, _, _ = decode_gif(_wrap_gif(32, 32, _lzw_compress_reference(flat.reshape(-1), 8)))
+    assert (dec2 == flat).all()
+
+
+def test_gif_rejects_corrupt_and_bombs():
+    from dedup_spark.functions.imagecodec import decode_gif, encode_gif_gray8
+
+    with pytest.raises(ImageDecodeError):
+        decode_gif(b"GIF89a" + b"\x00" * 4)  # truncated header
+    with pytest.raises(ImageDecodeError):
+        decode_gif(b"NOTGIF" + bytes(32))
+    # huge claimed dims die at the pixel cap before any allocation
+    bomb = bytearray(encode_gif_gray8(np.zeros((4, 4), np.uint8)))
+    bomb[6:10] = struct.pack("<HH", 60000, 60000)
+    with pytest.raises(ImageDecodeError, match="pixel cap"):
+        decode_gif(bytes(bomb))
+    # LZW output overrunning the descriptor's pixel count is refused
+    big = _lzw_compress_reference(np.zeros(1000, np.uint8), 8)
+    with pytest.raises(ImageDecodeError, match="exceeds image size"):
+        decode_gif(_wrap_gif(4, 4, big))
+    # truncated pixel data is refused, not zero-filled
+    short = _lzw_compress_reference(np.zeros(8, np.uint8), 8)
+    with pytest.raises(ImageDecodeError, match="truncated"):
+        decode_gif(_wrap_gif(4, 4, short))
+
+
+def test_gif_through_phash_path():
+    from dedup_spark.functions.imagecodec import encode_gif_gray8, phash64
+    from dedup_spark.functions.shingles import hamming64
+    from dedup_spark.operators.multimodal import decode_pixels, detect_kind_from_magic
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = np.minimum(yy * 2 + xx * 3, 255).astype(np.uint8)
+    g = encode_gif_gray8(img)
+    assert detect_kind_from_magic(g) == "image"
+    dec, w, h, d = decode_pixels(g)
+    assert d == "gif" and (w, h) == (64, 64)
+    assert hamming64(phash64(dec), phash64(img)) == 0  # lossless gray palette
