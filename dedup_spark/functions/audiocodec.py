@@ -177,3 +177,472 @@ def audio_fingerprint64(samples: np.ndarray, rate: int) -> int:
     for bit in bits:
         acc = (acc << 1) | int(bit)
     return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+# --------------------------------------------------------------------------
+# FLAC (RFC 9639 / public FLAC format spec) — stdlib + numpy
+#
+# Lossless audio is the canonical re-encode dedup case for audio (the
+# same recording as WAV and as FLAC must land in one cluster), and
+# unlike the perceptual formats it is decodable EXACTLY: constant/
+# verbatim/fixed/LPC subframes, partitioned Rice residuals, left/side
+# right/side mid/side stereo decorrelation, UTF-8 frame numbers.
+# CRC-8/CRC-16 are parsed positionally but not verified (decode
+# parity, not integrity checking). A minimal VERBATIM encoder with
+# correct CRCs feeds fixtures; the FIXED+Rice and decorrelation paths
+# are pinned by an independent test-side encoder.
+# --------------------------------------------------------------------------
+
+class _FlacBits:
+    def __init__(self, data: bytes, pos_bits: int = 0) -> None:
+        self.d = data
+        self.p = pos_bits  # absolute bit position
+
+    def read(self, n: int) -> int:
+        d, p = self.d, self.p
+        end = p + n
+        if end > len(d) * 8:
+            raise AudioDecodeError("FLAC bitstream exhausted")
+        v = 0
+        while n > 0:
+            byte = d[p >> 3]
+            off = p & 7
+            take = min(8 - off, n)
+            v = (v << take) | ((byte >> (8 - off - take)) & ((1 << take) - 1))
+            p += take
+            n -= take
+        self.p = p
+        return v
+
+    def sread(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        c = 0
+        while self.read(1) == 0:
+            c += 1
+            if c > 1 << 24:
+                raise AudioDecodeError("runaway unary code")
+        return c
+
+    def align(self) -> None:
+        self.p = (self.p + 7) & ~7
+
+
+_BLOCKSIZE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+              8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+              13: 8192, 14: 16384, 15: 32768}
+_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+          7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _read_utf8_number(b: _FlacBits) -> int:
+    first = b.read(8)
+    if first < 0x80:
+        return first
+    n = 0
+    mask = 0x40
+    while first & mask:
+        n += 1
+        mask >>= 1
+    if n < 1 or n > 6:
+        raise AudioDecodeError("bad UTF-8 coded number")
+    v = first & (mask - 1)
+    for _ in range(n):
+        c = b.read(8)
+        if c & 0xC0 != 0x80:
+            raise AudioDecodeError("bad UTF-8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _rice_residuals(b: _FlacBits, n: int, order: int) -> np.ndarray:
+    method = b.read(2)
+    if method > 1:
+        raise AudioDecodeError("reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    part_order = b.read(4)
+    nparts = 1 << part_order
+    if n % nparts:
+        raise AudioDecodeError("block size not divisible by partitions")
+    out = np.empty(n - 0, dtype=np.int64)
+    idx = 0
+    for pi in range(nparts):
+        cnt = n // nparts - (order if pi == 0 else 0)
+        if cnt < 0:
+            raise AudioDecodeError("partition smaller than predictor order")
+        param = b.read(pbits)
+        if param == escape:
+            width = b.read(5)
+            for _ in range(cnt):
+                out[idx] = b.sread(width) if width else 0
+                idx += 1
+        else:
+            for _ in range(cnt):
+                q = b.unary()
+                r = b.read(param) if param else 0
+                u = (q << param) | r
+                out[idx] = (u >> 1) ^ -(u & 1)  # unzigzag
+                idx += 1
+    return out[:idx]
+
+
+_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _decode_subframe(b: _FlacBits, n: int, bps: int) -> np.ndarray:
+    if b.read(1) != 0:
+        raise AudioDecodeError("subframe padding bit set")
+    stype = b.read(6)
+    wasted = 0
+    if b.read(1):
+        wasted = 1 + b.unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise AudioDecodeError("wasted bits exceed sample size")
+    if stype == 0:  # CONSTANT
+        v = b.sread(eff)
+        s = np.full(n, v, dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        s = np.array([b.sread(eff) for _ in range(n)], dtype=np.int64)
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = [b.sread(eff) for _ in range(order)]
+        res = _rice_residuals(b, n, order)
+        s = np.empty(n, dtype=np.int64)
+        s[:order] = warm
+        coef = _FIXED_COEF[order]
+        for i in range(order, n):
+            acc = res[i - order]
+            for j, c in enumerate(coef):
+                acc += c * s[i - 1 - j]
+            s[i] = acc
+    elif stype >= 32:  # LPC order 1-32
+        order = stype - 31
+        warm = [b.sread(eff) for _ in range(order)]
+        prec = b.read(4) + 1
+        if prec == 16:
+            raise AudioDecodeError("invalid qlp precision")
+        shift = b.sread(5)
+        if shift < 0:
+            raise AudioDecodeError("negative qlp shift")
+        qlp = [b.sread(prec) for _ in range(order)]
+        res = _rice_residuals(b, n, order)
+        s = np.empty(n, dtype=np.int64)
+        s[:order] = warm
+        for i in range(order, n):
+            acc = 0
+            for j in range(order):
+                acc += qlp[j] * int(s[i - 1 - j])
+            s[i] = res[i - order] + (acc >> shift)
+    else:
+        raise AudioDecodeError(f"reserved subframe type {stype}")
+    return s << wasted
+
+
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """FLAC → (mono float64 samples in [-1, 1], sample_rate). Any
+    parse failure raises AudioDecodeError (airtight stub-policy
+    contract, like decode_wav)."""
+    try:
+        return _decode_flac(payload)
+    except AudioDecodeError:
+        raise
+    except (ValueError, IndexError, OverflowError, MemoryError) as exc:
+        raise AudioDecodeError(f"corrupt FLAC: {exc!r}") from exc
+
+
+def _decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    d = payload or b""
+    if d[:4] != b"fLaC":
+        raise AudioDecodeError("not a FLAC stream")
+    pos = 4
+    rate = channels = bps = None
+    total = 0
+    last = False
+    while not last:
+        if pos + 4 > len(d):
+            raise AudioDecodeError("truncated metadata block header")
+        hdr = int.from_bytes(d[pos : pos + 4], "big")
+        last = bool(hdr >> 31)
+        btype = (hdr >> 24) & 0x7F
+        blen = hdr & 0xFFFFFF
+        body = d[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise AudioDecodeError("truncated metadata block")
+        if btype == 0:  # STREAMINFO
+            if blen < 34:
+                raise AudioDecodeError("short STREAMINFO")
+            b = _FlacBits(body)
+            b.read(16); b.read(16); b.read(24); b.read(24)
+            rate = b.read(20)
+            channels = b.read(3) + 1
+            bps = b.read(5) + 1
+            total = b.read(36)
+        pos += 4 + blen
+    if rate is None or rate == 0:
+        raise AudioDecodeError("FLAC missing STREAMINFO or zero sample rate")
+
+    chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
+    got = 0
+    while pos + 2 <= len(d) and (total == 0 or got < total):
+        b = _FlacBits(d, pos * 8)
+        sync = b.read(14)
+        if sync != 0x3FFE:
+            raise AudioDecodeError("lost FLAC frame sync")
+        b.read(1)  # reserved
+        b.read(1)  # blocking strategy
+        bs_code = b.read(4)
+        sr_code = b.read(4)
+        ch_code = b.read(4)
+        ss_code = b.read(3)
+        b.read(1)  # reserved
+        _fnum = _read_utf8_number(b)
+        if bs_code == 0:
+            raise AudioDecodeError("reserved block size code")
+        elif bs_code == 6:
+            n = b.read(8) + 1
+        elif bs_code == 7:
+            n = b.read(16) + 1
+        else:
+            n = _BLOCKSIZE[bs_code]
+        if sr_code == 12:
+            b.read(8)
+        elif sr_code in (13, 14):
+            b.read(16)
+        elif sr_code == 15:
+            raise AudioDecodeError("invalid sample rate code")
+        fbps = _BPS.get(ss_code, bps) if ss_code else bps
+        if fbps is None:
+            raise AudioDecodeError("unknown sample size")
+        b.read(8)  # header CRC-8 (structure parsed; checksum not verified)
+        if ch_code < 8:
+            nch = ch_code + 1
+            if nch != channels:
+                raise AudioDecodeError("frame channel count mismatch")
+            subs = [_decode_subframe(b, n, fbps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if channels != 2:
+                raise AudioDecodeError("stereo decorrelation in non-stereo stream")
+            extra0 = 1 if ch_code == 9 else 0
+            extra1 = 1 if ch_code in (8, 10) else 0
+            c0 = _decode_subframe(b, n, fbps + extra0)
+            c1 = _decode_subframe(b, n, fbps + extra1)
+            if ch_code == 8:  # left/side
+                subs = [c0, c0 - c1]
+            elif ch_code == 9:  # right/side: c0 = side, c1 = right
+                subs = [c1 + c0, c1]
+            else:  # mid/side
+                mid = (c0 << 1) | (c1 & 1)
+                subs = [(mid + c1) >> 1, (mid - c1) >> 1]
+        else:
+            raise AudioDecodeError("reserved channel assignment")
+        b.align()
+        b.read(16)  # frame CRC-16 (not verified)
+        pos = b.p >> 3
+        for ci in range(channels):
+            chans[ci].append(subs[ci])
+        got += n
+    if got == 0:
+        raise AudioDecodeError("FLAC stream has no frames")
+    full = np.stack([np.concatenate(c) for c in chans])
+    if total:
+        full = full[:, :total]
+    mono = full.mean(axis=0)
+    return mono / float(1 << (bps - 1)), rate
+
+
+# ---------------------------------------------------------------- encoder --
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitW:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+def encode_flac_pcm16(x: np.ndarray, rate: int = 8000, block: int = 4096) -> bytes:
+    """Minimal FLAC encoder: 16-bit mono/stereo, VERBATIM subframes,
+    correct CRC-8/CRC-16. x: float in [-1,1], (n,) or (n, ch)."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    s = np.clip(np.round(x * 32767), -32768, 32767).astype(np.int64)
+    out = bytearray(b"fLaC")
+    si = _BitW()
+    si.write(block, 16); si.write(block, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(rate, 20); si.write(ch - 1, 3); si.write(15, 5)  # bps-1 = 15
+    si.write(n, 36)
+    body = bytes(si.out) + bytes(16)  # md5 zeroed (unverified)
+    out += (0x80000000 | (0 << 24) | len(body)).to_bytes(4, "big") + body
+    fi = 0
+    for lo in range(0, n, block):
+        hi = min(n, lo + block)
+        bn = hi - lo
+        h = _BitW()
+        h.write(0x3FFE, 14); h.write(0, 1); h.write(0, 1)
+        h.write(7, 4)            # 16-bit block size follows
+        h.write(0, 4)            # rate from STREAMINFO
+        h.write(ch - 1, 4)       # independent channels
+        h.write(4, 3)            # 16 bps
+        h.write(0, 1)
+        # UTF-8 frame number
+        if fi < 0x80:
+            h.write(fi, 8)
+        else:
+            h.write(0xC0 | (fi >> 6), 8); h.write(0x80 | (fi & 0x3F), 8)
+        h.write(bn - 1, 16)
+        hdr = bytes(h.out)
+        assert h.n == 0
+        frame = bytearray(hdr)
+        frame.append(_crc8(hdr))
+        bw = _BitW()
+        for c in range(ch):
+            bw.write(0, 1); bw.write(1, 6); bw.write(0, 1)  # VERBATIM
+            for v in s[lo:hi, c]:
+                bw.write(int(v) & 0xFFFF, 16)
+        bw.align()
+        frame += bytes(bw.out)
+        frame += _crc16(bytes(frame)).to_bytes(2, "big")
+        out += frame
+        fi += 1
+    return bytes(out)
+
+
+if __name__ == "__main__":
+    rng = np.random.default_rng(3)
+    for n, ch, rate in [(1000, 1, 8000), (5000, 2, 44100), (4096, 1, 16000), (9000, 2, 8000)]:
+        x = np.clip(rng.standard_normal((n, ch)) * 0.3, -1, 1)
+        p = encode_flac_pcm16(x, rate)
+        y, r = decode_flac(p)
+        ref = np.clip(np.round(x * 32767), -32768, 32767).mean(axis=1) / 32768.0
+        assert r == rate
+        assert y.shape[0] == n, (y.shape, n)
+        assert np.abs(y - ref).max() < 1e-12, np.abs(y - ref).max()
+    print("verbatim round trips ok")
+
+
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBitW:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+def encode_flac_pcm16(x: np.ndarray, rate: int = 8000, block: int = 4096) -> bytes:
+    """Minimal FLAC encoder: 16-bit mono/stereo, VERBATIM subframes,
+    correct CRC-8/CRC-16. x: float in [-1,1], (n,) or (n, ch)."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    s = np.clip(np.round(x * 32767), -32768, 32767).astype(np.int64)
+    out = bytearray(b"fLaC")
+    si = _FlacBitW()
+    si.write(block, 16); si.write(block, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(rate, 20); si.write(ch - 1, 3); si.write(15, 5)  # bps-1 = 15
+    si.write(n, 36)
+    body = bytes(si.out) + bytes(16)  # md5 zeroed (unverified)
+    out += (0x80000000 | (0 << 24) | len(body)).to_bytes(4, "big") + body
+    fi = 0
+    for lo in range(0, n, block):
+        hi = min(n, lo + block)
+        bn = hi - lo
+        h = _FlacBitW()
+        h.write(0x3FFE, 14); h.write(0, 1); h.write(0, 1)
+        h.write(7, 4)            # 16-bit block size follows
+        h.write(0, 4)            # rate from STREAMINFO
+        h.write(ch - 1, 4)       # independent channels
+        h.write(4, 3)            # 16 bps
+        h.write(0, 1)
+        # UTF-8 frame number
+        if fi < 0x80:
+            h.write(fi, 8)
+        else:
+            h.write(0xC0 | (fi >> 6), 8); h.write(0x80 | (fi & 0x3F), 8)
+        h.write(bn - 1, 16)
+        hdr = bytes(h.out)
+        assert h.n == 0
+        frame = bytearray(hdr)
+        frame.append(_crc8(hdr))
+        bw = _FlacBitW()
+        for c in range(ch):
+            bw.write(0, 1); bw.write(1, 6); bw.write(0, 1)  # VERBATIM
+            for v in s[lo:hi, c]:
+                bw.write(int(v) & 0xFFFF, 16)
+        bw.align()
+        frame += bytes(bw.out)
+        frame += _crc16(bytes(frame)).to_bytes(2, "big")
+        out += frame
+        fi += 1
+    return bytes(out)
+
+

@@ -54,6 +54,7 @@ _MAGIC_KINDS = {
     "47494638": "image",  # GIF87a/GIF89a ("GIF8")
     "ffd8ffe0": "image",  # JPEG/JFIF (see 3-byte prefix rule below)
     "49443303": "audio",  # MP3/ID3
+    "664c6143": "audio",  # FLAC ("fLaC")
     "1a45dfa3": "video",  # Matroska/WebM
     "59555634": "video",  # "YUV4" — YUV4MPEG2 raw video
 }
@@ -117,6 +118,7 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
         )
         .when(hx.startswith("59555634"), "video")                     # "YUV4" Y4M
         .when(hx.startswith("49443303"), "audio")                     # MP3/ID3
+        .when(hx.startswith("664c6143"), "audio")                     # FLAC
         .when(hx.startswith("1a45dfa3"), "video")                     # Matroska/WebM
         .when(F.substring(hx, 9, 8) == "66747970", "video")           # ISO-BMFF "ftyp"
         .otherwise("blob")
@@ -549,19 +551,28 @@ def _fake_samples(payload: bytes):
 def decode_samples(payload: bytes, fake: bool = False) -> tuple:
     """bytes → (mono float64 samples, sample_rate, decoder).
 
-    REAL decode for WAV/RIFF PCM (stdlib struct + numpy —
-    ``functions/audiocodec.py``); MP3/AAC/OGG keep the honest-stub
-    policy: ``fake=True`` falls back to the deterministic fake (also
-    for corrupt WAVs), ``fake=False`` raises."""
-    from dedup_spark.functions.audiocodec import AudioDecodeError, decode_wav
+    REAL decode for WAV/RIFF PCM and FLAC (stdlib + numpy —
+    ``functions/audiocodec.py``; FLAC covers constant/verbatim/fixed/
+    LPC subframes, Rice residuals and stereo decorrelation per the
+    public spec); MP3/AAC/OGG keep the honest-stub policy:
+    ``fake=True`` falls back to the deterministic fake (also for
+    corrupt payloads), ``fake=False`` raises."""
+    from dedup_spark.functions.audiocodec import (
+        AudioDecodeError,
+        decode_flac,
+        decode_wav,
+    )
 
     raw = payload or b""
-    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
-        try:
+    try:
+        if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
             x, rate = decode_wav(raw)
             return x, rate, "wav"
-        except AudioDecodeError:
-            pass  # corrupt or unsupported variant → stub policy below
+        if raw[:4] == b"fLaC":
+            x, rate = decode_flac(raw)
+            return x, rate, "flac"
+    except AudioDecodeError:
+        pass  # corrupt or unsupported variant → stub policy below
     if fake:
         x, rate = _fake_samples(raw)
         return x, rate, "fake"

@@ -168,3 +168,152 @@ def test_audio_near_dup_clusters_end_to_end(spark):
     assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
     assert out[1]["cluster_size"] == 2
     assert out[3]["cluster_id"] == 3 and out[3]["cluster_size"] == 1
+
+
+# ------------------------------------------------------------------ flac --
+
+def _flac_bitw():
+    from dedup_spark.functions.audiocodec import _FlacBitW
+
+    return _FlacBitW()
+
+
+def _rice_write(bw, res, param):
+    bw.write(0, 2)
+    bw.write(0, 4)  # single partition
+    bw.write(param, 4)
+    for v in res:
+        u = (int(v) << 1) ^ (int(v) >> 63)
+        q, r = u >> param, u & ((1 << param) - 1)
+        for _ in range(q):
+            bw.write(0, 1)
+        bw.write(1, 1)
+        if param:
+            bw.write(r, param)
+
+
+def _encode_flac_fixed2(x, rate=8000, stereo_mode=None):
+    """Independent test-side FLAC encoder: FIXED order-2 subframes
+    with Rice residuals + optional left/side / mid/side stereo — pins
+    the predictor, Rice and decorrelation DECODE paths against a
+    second implementation (the module's own encoder is verbatim-only,
+    so these paths cannot be exercised by bug-cancelling pairs)."""
+    import numpy as np
+
+    from dedup_spark.functions.audiocodec import _crc8, _crc16
+
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    s = np.clip(np.round(x * 32767), -32768, 32767).astype(np.int64)
+    out = bytearray(b"fLaC")
+    si = _flac_bitw()
+    si.write(n, 16); si.write(n, 16); si.write(0, 24); si.write(0, 24)
+    si.write(rate, 20); si.write(ch - 1, 3); si.write(15, 5); si.write(n, 36)
+    body = bytes(si.out) + bytes(16)
+    out += (0x80000000 | len(body)).to_bytes(4, "big") + body
+    h = _flac_bitw()
+    h.write(0x3FFE, 14); h.write(0, 1); h.write(0, 1)
+    h.write(7, 4); h.write(0, 4)
+    if stereo_mode is None:
+        h.write(ch - 1, 4)
+        streams = [(s[:, c], 16) for c in range(ch)]
+    elif stereo_mode == "left_side":
+        h.write(8, 4)
+        streams = [(s[:, 0], 16), (s[:, 0] - s[:, 1], 17)]
+    else:  # mid_side
+        h.write(10, 4)
+        streams = [((s[:, 0] + s[:, 1]) >> 1, 16), (s[:, 0] - s[:, 1], 17)]
+    h.write(4, 3); h.write(0, 1)
+    h.write(0, 8)
+    h.write(n - 1, 16)
+    hdr = bytes(h.out)
+    frame = bytearray(hdr)
+    frame.append(_crc8(hdr))
+    bw = _flac_bitw()
+    for sig, bits in streams:
+        bw.write(0, 1); bw.write(10, 6); bw.write(0, 1)  # FIXED order 2
+        bw.write(int(sig[0]) & ((1 << bits) - 1), bits)
+        bw.write(int(sig[1]) & ((1 << bits) - 1), bits)
+        _rice_write(bw, sig[2:] - 2 * sig[1:-1] + sig[:-2], param=10)
+    bw.align()
+    frame += bytes(bw.out)
+    frame += _crc16(bytes(frame)).to_bytes(2, "big")
+    return bytes(out) + bytes(frame)
+
+
+def test_flac_verbatim_roundtrip_bit_exact():
+    from dedup_spark.functions.audiocodec import decode_flac, encode_flac_pcm16
+
+    rng = np.random.default_rng(3)
+    for n, ch, rate in [(1000, 1, 8000), (5000, 2, 44100), (9000, 1, 16000)]:
+        x = np.clip(rng.standard_normal((n, ch)) * 0.3, -1, 1)
+        y, r = decode_flac(encode_flac_pcm16(x, rate))
+        ref = np.clip(np.round(x * 32767), -32768, 32767).mean(axis=1) / 32768.0
+        assert r == rate and y.shape[0] == n
+        assert np.abs(y - ref).max() < 1e-12
+
+
+def test_flac_fixed_rice_and_stereo_decorrelation():
+    from dedup_spark.functions.audiocodec import decode_flac
+
+    t = np.linspace(0, 1, 3000)
+    mono = (0.5 * np.sin(2 * np.pi * 440 * t))[:, None]
+    y, _ = decode_flac(_encode_flac_fixed2(mono, 8000))
+    ref = np.clip(np.round(mono * 32767), -32768, 32767)[:, 0] / 32768.0
+    assert np.abs(y - ref).max() < 1e-12
+    stereo = np.stack(
+        [0.4 * np.sin(2 * np.pi * 300 * t), 0.4 * np.sin(2 * np.pi * 302 * t)], axis=1
+    )
+    ref2 = np.clip(np.round(stereo * 32767), -32768, 32767).mean(axis=1) / 32768.0
+    for mode in ("left_side", "mid_side", None):
+        y2, r2 = decode_flac(_encode_flac_fixed2(stereo, 44100, stereo_mode=mode))
+        assert r2 == 44100
+        assert np.abs(y2 - ref2).max() < 1e-12, mode
+
+
+def test_flac_rejects_corrupt_streams():
+    from dedup_spark.functions.audiocodec import (
+        AudioDecodeError,
+        decode_flac,
+        encode_flac_pcm16,
+    )
+
+    for junk in (b"", b"fLaC", b"fLaC\x00\x00\x00", b"not flac at all"):
+        with pytest.raises(AudioDecodeError):
+            decode_flac(junk)
+    good = bytearray(encode_flac_pcm16(np.zeros(500), 8000))
+    good[50] ^= 0xFF  # corrupt inside STREAMINFO/frame territory
+    try:
+        decode_flac(bytes(good))
+    except AudioDecodeError:
+        pass  # typed, never a raw error
+
+
+def test_flac_wav_cross_format_near_dup_merges(spark):
+    """The SAME recording as WAV and as FLAC must land in one audio
+    near-dup cluster — lossless re-encode dedup, with decoder column
+    proving both real parsers ran."""
+    from dedup_spark.functions.audiocodec import encode_flac_pcm16, encode_wav_pcm16
+    from dedup_spark.operators.multimodal import audio_near_dup_clusters
+
+    rng = np.random.default_rng(11)
+    n = 16000
+    spec = np.fft.rfft(rng.standard_normal(n))
+    f = np.fft.rfftfreq(n, 1 / 8000.0)
+    clip = np.fft.irfft(spec / (1.0 + f / 500.0), n)
+    clip = clip / np.max(np.abs(clip)) * 0.8
+    other = rng.standard_normal(n) * 0.5
+    rows = [
+        (1, "audio", bytearray(encode_wav_pcm16(clip, 8000)), ""),
+        (2, "audio", bytearray(encode_flac_pcm16(clip, 8000)), ""),
+        (3, "audio", bytearray(encode_wav_pcm16(other, 8000)), ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    out = {r["asset_id"]: r for r in audio_near_dup_clusters(df).collect()}
+    assert out[1]["decoder"] == "wav" and out[2]["decoder"] == "flac"
+    assert out[1]["cluster_id"] == out[2]["cluster_id"]
+    assert out[3]["cluster_id"] != out[1]["cluster_id"]

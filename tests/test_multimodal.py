@@ -216,6 +216,7 @@ def test_kind_column_matches_python(spark):
         b"\x00\x00\x00\x14ftypisom\x00\x00\x00\x00isom",  # ISO-BMFF -> video
         b"\x89PNGftyp!!",  # crafted: 4-byte magic family must WIN over offset-4 ftyp
         b"GIF89a\x04\x00\x04\x00\x00\x00\x00",  # GIF -> image
+        b"fLaC\x80\x00\x00\x22" + bytes(34),  # FLAC -> audio
     ]
     rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
     df = spark.createDataFrame(rows, "i long, payload binary")

@@ -449,6 +449,17 @@ def test_progressive_mutation_never_leaks_raw_errors(pos, byte):
 
 @SETTINGS
 @given(st.binary(min_size=0, max_size=300))
+def test_flac_decoder_never_leaks_raw_errors(payload):
+    from dedup_spark.functions.audiocodec import AudioDecodeError, decode_flac
+
+    try:
+        decode_flac(b"fLaC" + payload)
+    except AudioDecodeError:
+        pass
+
+
+@SETTINGS
+@given(st.binary(min_size=0, max_size=300))
 def test_gif_decoder_never_leaks_raw_errors(payload):
     from dedup_spark.functions.imagecodec import ImageDecodeError, decode_gif
 
