@@ -976,14 +976,22 @@ def documents_as_jpeg_assets(spark, sf_dir: str) -> DataFrame:
 
 
 def documents_as_wav_assets(spark, sf_dir: str) -> DataFrame:
-    """Fixture adapter for the REAL audio decode path (decoder ==
-    'wav' on every row): byte-derived samples as an actual 16-bit PCM
-    WAV."""
+    """Fixture adapter for the REAL audio decode paths: byte-derived
+    samples encoded as 16-bit PCM WAV or (alternating
+    deterministically by text length, like the JPEG fixture) as FLAC —
+    so the format-blind geometry oracle (`wav_decode_meta`)
+    value-verifies BOTH real audio parsers through one query."""
 
     def make(raw: bytes) -> bytes:
-        from dedup_spark.functions.audiocodec import encode_wav_pcm16
+        from dedup_spark.functions.audiocodec import (
+            encode_flac_pcm16,
+            encode_wav_pcm16,
+        )
 
-        return encode_wav_pcm16(*_fake_samples(raw))
+        x, rate = _fake_samples(raw)
+        if len(raw) % 2 == 0:
+            return encode_wav_pcm16(x, rate)
+        return encode_flac_pcm16(x, rate)
 
     return _documents_as_media_assets(spark, sf_dir, "audio", "audio/wav", make)
 

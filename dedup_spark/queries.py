@@ -712,7 +712,8 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual 16-bit PCM WAV (engine's own stdlib encoder), then decoded
     through the real RIFF parser and fingerprinted (65-band log-energy
     envelope, Haitsma-Kalker-style) — ``fake=False``, so a silent
-    fall-back to the stub is impossible (decoder == 'wav' on every
+    fall-back to the stub is impossible (decoder is 'wav' or 'flac'
+    — the fixture alternates both real parsers — on every
     row). Rows-only contract by nature (a windowed FFT has no DuckDB
     mirror); determinism and the Hamming-gate semantics are
     pytest-gated in tests/test_audiocodec.py."""
@@ -1311,7 +1312,7 @@ FROM documents
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
        CAST(greatest(16, octet_length(encode(text))) AS BIGINT) AS n_samples,
        CAST(8000 AS BIGINT) AS sample_rate,
-       'wav' AS decoder
+       CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'wav' ELSE 'flac' END AS decoder
 FROM documents
 """,
     "y4m_decode_meta": """
