@@ -415,6 +415,8 @@ def _decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             b.read(16)
         elif sr_code == 15:
             raise AudioDecodeError("invalid sample rate code")
+        if ss_code == 3:
+            raise AudioDecodeError("reserved sample size code")
         fbps = _BPS.get(ss_code, bps) if ss_code else bps
         if fbps is None:
             raise AudioDecodeError("unknown sample size")
@@ -475,108 +477,6 @@ def _crc16(data: bytes) -> int:
     return crc
 
 
-class _BitW:
-    def __init__(self) -> None:
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def write(self, v: int, n: int) -> None:
-        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
-        self.n += n
-        while self.n >= 8:
-            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
-            self.n -= 8
-        self.acc &= (1 << self.n) - 1
-
-    def align(self) -> None:
-        if self.n:
-            self.write(0, 8 - self.n)
-
-
-def encode_flac_pcm16(x: np.ndarray, rate: int = 8000, block: int = 4096) -> bytes:
-    """Minimal FLAC encoder: 16-bit mono/stereo, VERBATIM subframes,
-    correct CRC-8/CRC-16. x: float in [-1,1], (n,) or (n, ch)."""
-    x = np.asarray(x, dtype=np.float64)
-    if x.ndim == 1:
-        x = x[:, None]
-    n, ch = x.shape
-    s = np.clip(np.round(x * 32767), -32768, 32767).astype(np.int64)
-    out = bytearray(b"fLaC")
-    si = _BitW()
-    si.write(block, 16); si.write(block, 16)
-    si.write(0, 24); si.write(0, 24)
-    si.write(rate, 20); si.write(ch - 1, 3); si.write(15, 5)  # bps-1 = 15
-    si.write(n, 36)
-    body = bytes(si.out) + bytes(16)  # md5 zeroed (unverified)
-    out += (0x80000000 | (0 << 24) | len(body)).to_bytes(4, "big") + body
-    fi = 0
-    for lo in range(0, n, block):
-        hi = min(n, lo + block)
-        bn = hi - lo
-        h = _BitW()
-        h.write(0x3FFE, 14); h.write(0, 1); h.write(0, 1)
-        h.write(7, 4)            # 16-bit block size follows
-        h.write(0, 4)            # rate from STREAMINFO
-        h.write(ch - 1, 4)       # independent channels
-        h.write(4, 3)            # 16 bps
-        h.write(0, 1)
-        # UTF-8 frame number
-        if fi < 0x80:
-            h.write(fi, 8)
-        else:
-            h.write(0xC0 | (fi >> 6), 8); h.write(0x80 | (fi & 0x3F), 8)
-        h.write(bn - 1, 16)
-        hdr = bytes(h.out)
-        assert h.n == 0
-        frame = bytearray(hdr)
-        frame.append(_crc8(hdr))
-        bw = _BitW()
-        for c in range(ch):
-            bw.write(0, 1); bw.write(1, 6); bw.write(0, 1)  # VERBATIM
-            for v in s[lo:hi, c]:
-                bw.write(int(v) & 0xFFFF, 16)
-        bw.align()
-        frame += bytes(bw.out)
-        frame += _crc16(bytes(frame)).to_bytes(2, "big")
-        out += frame
-        fi += 1
-    return bytes(out)
-
-
-if __name__ == "__main__":
-    rng = np.random.default_rng(3)
-    for n, ch, rate in [(1000, 1, 8000), (5000, 2, 44100), (4096, 1, 16000), (9000, 2, 8000)]:
-        x = np.clip(rng.standard_normal((n, ch)) * 0.3, -1, 1)
-        p = encode_flac_pcm16(x, rate)
-        y, r = decode_flac(p)
-        ref = np.clip(np.round(x * 32767), -32768, 32767).mean(axis=1) / 32768.0
-        assert r == rate
-        assert y.shape[0] == n, (y.shape, n)
-        assert np.abs(y - ref).max() < 1e-12, np.abs(y - ref).max()
-    print("verbatim round trips ok")
-
-
-
-
-def _crc8(data: bytes) -> int:
-    crc = 0
-    for byte in data:
-        crc ^= byte
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
-    return crc
-
-
-def _crc16(data: bytes) -> int:
-    crc = 0
-    for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
-    return crc
-
-
 class _FlacBitW:
     def __init__(self) -> None:
         self.out = bytearray()
@@ -606,7 +506,11 @@ def encode_flac_pcm16(x: np.ndarray, rate: int = 8000, block: int = 4096) -> byt
     s = np.clip(np.round(x * 32767), -32768, 32767).astype(np.int64)
     out = bytearray(b"fLaC")
     si = _FlacBitW()
-    si.write(block, 16); si.write(block, 16)
+    # STREAMINFO min/max blocksize must reflect the frames actually written:
+    # a short final frame (n % block) or n < block lowers the minimum.
+    last = n % block or min(block, n)
+    si.write(min(block, last) if n else block, 16)
+    si.write(min(block, n) if n else block, 16)
     si.write(0, 24); si.write(0, 24)
     si.write(rate, 20); si.write(ch - 1, 3); si.write(15, 5)  # bps-1 = 15
     si.write(n, 36)

@@ -335,7 +335,7 @@ def _decode_mkv_mjpeg(
     mjpeg_track = None
     tscale = 1_000_000
     duration_ticks = 0.0
-    spans: list[tuple[int, int]] = []
+    spans: list[tuple[int, int, int]] = []  # (track_no, lo, hi)
     try:
         import struct as _struct
 
@@ -374,14 +374,18 @@ def _decode_mkv_mjpeg(
                             raise VideoDecodeError(
                                 "laced SimpleBlock unsupported"
                             )
-                        if mjpeg_track is not None and tno == mjpeg_track:
-                            spans.append((i + 3, bb))
+                        # Collect every track's spans: Matroska permits the
+                        # Tracks element to follow the first Cluster, so the
+                        # MJPEG filter happens after the walk completes.
+                        spans.append((tno, i + 3, bb))
     except ContainerParseError as exc:
         raise VideoDecodeError(f"EBML parse failed: {exc}") from exc
     if mjpeg_track is None:
         raise VideoDecodeError("no V_MJPEG track in Matroska file")
-    if not spans:
+    mjpeg_spans = [(lo, hi) for tno, lo, hi in spans if tno == mjpeg_track]
+    if not mjpeg_spans:
         raise VideoDecodeError("V_MJPEG track has no SimpleBlock frames")
+    spans = mjpeg_spans
     n = len(spans)
     idx = (
         list(range(n))

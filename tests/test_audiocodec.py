@@ -285,10 +285,54 @@ def test_flac_rejects_corrupt_streams():
             decode_flac(junk)
     good = bytearray(encode_flac_pcm16(np.zeros(500), 8000))
     good[50] ^= 0xFF  # corrupt inside STREAMINFO/frame territory
-    try:
+    with pytest.raises(AudioDecodeError):
         decode_flac(bytes(good))
-    except AudioDecodeError:
-        pass  # typed, never a raw error
+
+
+def test_flac_verbatim_encoder_multi_shape_roundtrip():
+    """Encoder self-test (moved out of audiocodec.py __main__): mono/stereo,
+    exact-multiple and ragged block counts, several rates."""
+    from dedup_spark.functions.audiocodec import decode_flac, encode_flac_pcm16
+
+    rng = np.random.default_rng(3)
+    for n, ch, rate in [(1000, 1, 8000), (5000, 2, 44100), (4096, 1, 16000), (9000, 2, 8000)]:
+        x = np.clip(rng.standard_normal((n, ch)) * 0.3, -1, 1)
+        p = encode_flac_pcm16(x, rate)
+        y, r = decode_flac(p)
+        ref = np.clip(np.round(x * 32767), -32768, 32767).mean(axis=1) / 32768.0
+        assert r == rate
+        assert y.shape[0] == n
+        assert np.abs(y - ref).max() < 1e-12
+
+
+def test_flac_streaminfo_blocksizes_reflect_actual_frames():
+    """STREAMINFO min/max blocksize must match frames actually written:
+    ragged tail lowers min; n < block lowers both."""
+    from dedup_spark.functions.audiocodec import encode_flac_pcm16
+
+    def min_max(payload: bytes) -> tuple[int, int]:
+        body = payload[8:]  # skip fLaC + 4-byte block header
+        return int.from_bytes(body[0:2], "big"), int.from_bytes(body[2:4], "big")
+
+    assert min_max(encode_flac_pcm16(np.zeros(500), 8000, block=4096)) == (500, 500)
+    assert min_max(encode_flac_pcm16(np.zeros(5000), 8000, block=4096)) == (904, 4096)
+    assert min_max(encode_flac_pcm16(np.zeros(8192), 8000, block=4096)) == (4096, 4096)
+
+
+def test_flac_reserved_sample_size_code_raises():
+    """Frame header ss_code == 3 is reserved in RFC 9639 — decoder must
+    reject it like every other reserved field."""
+    from dedup_spark.functions.audiocodec import AudioDecodeError, decode_flac, encode_flac_pcm16
+
+    payload = bytearray(encode_flac_pcm16(np.zeros(100), 8000))
+    # Frame header starts right after fLaC(4) + header(4) + STREAMINFO(34).
+    off = 4 + 4 + 34
+    assert payload[off] == 0xFF and (payload[off + 1] & 0xFC) == 0xF8
+    # byte 3 of the header: ch_code(4) | ss_code(3) | reserved(1)
+    b3 = payload[off + 3]
+    payload[off + 3] = (b3 & 0xF1) | (3 << 1)  # force ss_code = 3
+    with pytest.raises(AudioDecodeError, match="reserved sample size"):
+        decode_flac(bytes(payload))
 
 
 def test_flac_wav_cross_format_near_dup_merges(spark):

@@ -425,3 +425,30 @@ def test_cross_container_near_dup_merges_all_four(spark):
     out = {r["asset_id"]: r for r in video_near_dup_clusters(df).collect()}
     assert out[4]["decoder"] == "mp4-mjpeg"
     assert len({out[i]["cluster_id"] for i in (1, 2, 3, 4)}) == 1
+
+
+def test_mkv_tracks_after_cluster_still_decodes():
+    """Matroska permits the Tracks element to follow the first Cluster;
+    the SimpleBlock walk must not drop frames seen before Tracks."""
+    from dedup_spark.functions.containers import _ebml_children, _ebml_elem
+    from dedup_spark.functions.videocodec import decode_mkv_mjpeg, encode_mkv_mjpeg
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (4, 16, 16)).astype(np.uint8)
+    p = encode_mkv_mjpeg(frames, fps=8)
+    kids = list(_ebml_children(p, 0, len(p)))
+    (hid, ha, hb), (sid, sa, sb) = kids
+    assert sid == 0x18538067
+    seg_kids = {cid: p[a:b] for cid, a, b in _ebml_children(p, sa, sb)}
+    reordered = (
+        _ebml_elem(hid, p[ha:hb])
+        + _ebml_elem(
+            0x18538067,
+            _ebml_elem(0x1549A966, seg_kids[0x1549A966])
+            + _ebml_elem(0x1F43B675, seg_kids[0x1F43B675])  # Cluster FIRST
+            + _ebml_elem(0x1654AE6B, seg_kids[0x1654AE6B]),  # Tracks LAST
+        )
+    )
+    ref, ref_fps = decode_mkv_mjpeg(p)
+    dec, fps = decode_mkv_mjpeg(reordered)
+    assert fps == ref_fps and (dec == ref).all()
