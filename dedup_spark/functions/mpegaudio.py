@@ -1,0 +1,718 @@
+"""MPEG-1 audio (ISO/IEC 11172-3) Layer I & II decode + fixture encoders.
+
+Closes the compressed-lossy-audio gap in the real-decode family
+(reference fingerprints every audio file after an ffmpeg decode —
+/root/reference/src/audio_fingerprint.rs:9-121): WAV and FLAC already
+decode for real (``audiocodec.py``); this module adds MPEG-1 Layers I
+and II so the same recording encoded as WAV, FLAC and MPEG audio lands
+in ONE near-dup cluster end-to-end.
+
+What is EXACT per the public spec (ISO/IEC 11172-3 clause 2.4):
+  * frame-header sync walk, bitrate/samplerate tables, frame sizing —
+    shared with ``containers.parse_mp3``;
+  * the complete Layer I and Layer II bitstream layout: allocation,
+    scfsi, scalefactors, sample interleaving, Layer II sample grouping
+    (base-q digits, first sample = c mod q);
+  * scalefactors: sf[i] = 2^(1 - i/3) (table B.1 closed form);
+  * requantization. The spec's Layer I formula
+        s = sf * (2^nb/(2^nb-1)) * (s'' + 2^(1-nb))
+    and Layer II's per-class C/D constants (table B.4) are both exactly
+    the midpoint map  s = sf * ((2*c + 1)/q - 1)  for quantizer index
+    c in [0, q): substituting C = 2^b/q and D = (2^b + 1 - q)/2^b
+    (which reproduce every published B.4 row, e.g. q=3 -> 4/3, 1/2;
+    q=5 -> 8/5, 1/2; q=7 -> 8/7, 1/4; q=15 -> 16/15, 1/8) collapses to
+    the midpoint form, so that identity is used directly;
+  * Layer II bit-allocation table B.2a (sblimit 27; nbal 4/4/3/2 with
+    the 65535-at-top-code quirk).
+
+Documented deltas (same policy as gxhash — no conformance vectors or
+codec libraries exist in this container to verify against):
+  * the 32-band polyphase filterbank uses the textbook near-perfect-
+    reconstruction pseudo-QMF construction (cosine modulation with
+    (-1)^k * pi/4 phases, Kaiser-windowed-sinc prototype tuned for the
+    power-complementary condition) instead of the ISO Annex B 512-tap
+    window TABLE, which is a page of opaque numeric constants that
+    cannot be transcribed verifiably here. Subband-domain samples are
+    bit-exact per spec; time-domain audio differs from a reference
+    decoder only by the prototype's stopband leakage — far inside the
+    band-energy fingerprint's robustness margin.
+  * MPEG-2/2.5 low-sampling-frequency extensions, Layer II low-bitrate
+    tables B.2b/c/d, intensity (joint) stereo and CRC verification are
+    rejected with the typed error, never silently mis-decoded.
+
+Encoders (``encode_mp1_pcm16`` / ``encode_mp2_pcm16``) emit CBR
+mono/stereo MPEG-1 streams with fixed allocation presets so fixtures
+drive the REAL bitstream decoder; they are exact inverses of the
+requantizer up to the quantization step, which the tests bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dedup_spark.functions.audiocodec import AudioDecodeError
+
+# ------------------------------------------------------------ tables ------
+
+_SF_TABLE = 2.0 ** (1.0 - np.arange(63) / 3.0)  # B.1: sf[i] = 2^(1-i/3)
+
+# Layer II table B.2a: per-subband allocation field width and the
+# level list indexed by the allocation code (code 0 = silent).
+_B2A_NBAL = [4] * 11 + [3] * 12 + [2] * 4  # sblimit = 27
+_LVL_LO4 = (0, 3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+            8191, 16383, 32767, 65535)                      # sb 0-2
+_LVL_MID4 = (0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+             4095, 8191, 65535)                              # sb 3-10
+_LVL_HI3 = (0, 3, 5, 7, 9, 15, 31, 65535)                    # sb 11-22
+_LVL_TOP2 = (0, 3, 5, 65535)                                 # sb 23-26
+
+
+def _b2a_levels(sb: int) -> tuple[int, ...]:
+    if sb < 3:
+        return _LVL_LO4
+    if sb < 11:
+        return _LVL_MID4
+    if sb < 23:
+        return _LVL_HI3
+    return _LVL_TOP2
+
+
+# grouped classes: 3 consecutive samples in one base-q code
+_GROUP_BITS = {3: 5, 5: 7, 9: 10}
+
+
+def _sample_bits(q: int) -> int:
+    """Bits per (ungrouped) sample for q levels: smallest b with 2^b >= q."""
+    return max(2, (q - 1).bit_length())
+
+
+# ------------------------------------------------------- filterbank -------
+
+_NBANDS = 32
+_PLEN = 512
+
+
+def _design_prototype() -> np.ndarray:
+    """512-tap linear-phase lowpass for the 32-band pseudo-QMF bank:
+    Kaiser-windowed sinc whose cutoff is tuned (deterministic golden-
+    section search) for the power-complementary condition
+    |H(w)|^2 + |H(pi/32 - w)|^2 ~ const on [0, pi/64]."""
+    n = np.arange(_PLEN) - (_PLEN - 1) / 2.0
+    win = np.kaiser(_PLEN, 9.0)
+
+    def proto(cut: float) -> np.ndarray:
+        h = cut / np.pi * np.sinc(cut / np.pi * n) * win
+        return h / np.sum(h)
+
+    def pc_err(cut: float) -> float:
+        h = proto(cut)
+        H = np.abs(np.fft.rfft(h, 8192))
+        # band spacing pi/32 -> bin spacing 8192/64 = 128 bins
+        lo = H[:65] ** 2
+        hi = H[128:63:-1] ** 2
+        s = lo + hi
+        return float(np.max(s) - np.min(s))
+
+    a, b = 0.8 * np.pi / 64, 1.3 * np.pi / 64
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+    c, d = b - gr * (b - a), a + gr * (b - a)
+    for _ in range(40):
+        if pc_err(c) < pc_err(d):
+            b, d = d, c
+            c = b - gr * (b - a)
+        else:
+            a, c = c, d
+            d = a + gr * (b - a)
+    return proto((a + b) / 2.0)
+
+
+def _build_bank() -> tuple[np.ndarray, np.ndarray, int, float]:
+    """(analysis (32,512), synthesis (32,512), delay, gain): delay and
+    gain are measured deterministically by pushing an impulse through
+    analysis + raw overlap-add synthesis."""
+    h = _design_prototype()
+    n = np.arange(_PLEN) - (_PLEN - 1) / 2.0
+    k = np.arange(_NBANDS)[:, None]
+    phase = ((-1.0) ** k) * (np.pi / 4.0)
+    # analysis is implemented as CORRELATION (inner product with the
+    # sliding frame), i.e. convolution with the time-reverse; for the
+    # symmetric prototype, time reversal negates the phase term, so the
+    # alias-cancelling +theta/-theta split of the convolution-form
+    # pseudo-QMF means both matrices here carry the SAME written phase.
+    ana = 2.0 * h[None, :] * np.cos(np.pi / _NBANDS * (k + 0.5) * n + phase)
+    syn = 2.0 * h[None, :] * np.cos(np.pi / _NBANDS * (k + 0.5) * n + phase)
+    imp = np.zeros(4096)
+    imp[2048] = 1.0
+    y = _synth_raw(_analyze(imp, ana), syn)
+    peak = int(np.argmax(np.abs(y)))
+    return ana, syn, peak - 2048, float(y[peak])
+
+
+def _analyze(x: np.ndarray, ana: np.ndarray) -> np.ndarray:
+    """x (n,) -> subband samples (n/32, 32); x is zero-padded to a
+    multiple of 32; the first output granule sees x[0] at the newest
+    tap (511 leading zeros of history)."""
+    n32 = -(-x.shape[0] // _NBANDS) * _NBANDS
+    buf = np.zeros(n32 + _PLEN - _NBANDS)
+    buf[_PLEN - _NBANDS : _PLEN - _NBANDS + x.shape[0]] = x
+    frames = np.lib.stride_tricks.sliding_window_view(buf, _PLEN)[::_NBANDS]
+    return frames @ ana.T
+
+
+def _synth_raw(sb: np.ndarray, syn: np.ndarray) -> np.ndarray:
+    """Overlap-add synthesis without delay trim or gain correction."""
+    T = sb.shape[0]
+    chunks = sb @ syn  # (T, 512)
+    out = np.zeros(T * _NBANDS + _PLEN)
+    for t in range(T):
+        out[t * _NBANDS : t * _NBANDS + _PLEN] += chunks[t]
+    return out
+
+
+def _synth(sb: np.ndarray, syn: np.ndarray) -> np.ndarray:
+    """subband samples (T, 32) -> time signal aligned and scaled so
+    that sample i corresponds to sample i of the analysis input."""
+    y = _synth_raw(sb, syn)
+    return y[_DELAY : _DELAY + sb.shape[0] * _NBANDS] / _GAIN
+
+
+_ANA, _SYN, _DELAY, _GAIN = _build_bank()
+
+
+# ---------------------------------------------------------- bit I/O -------
+
+class _Bits:
+    __slots__ = ("d", "p")
+
+    def __init__(self, data: bytes, pos_bits: int = 0) -> None:
+        self.d = data
+        self.p = pos_bits
+
+    def read(self, n: int) -> int:
+        d, p = self.d, self.p
+        end = p + n
+        if end > len(d) * 8:
+            raise AudioDecodeError("MPEG audio bitstream exhausted")
+        v = 0
+        while n > 0:
+            byte = d[p >> 3]
+            off = p & 7
+            take = min(8 - off, n)
+            v = (v << take) | ((byte >> (8 - off - take)) & ((1 << take) - 1))
+            p += take
+            n -= take
+        self.p = p
+        return v
+
+
+class _BitW:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def pad_to(self, nbytes: int) -> bytes:
+        if self.n:
+            self.write(0, 8 - self.n)
+        if len(self.out) > nbytes:
+            raise ValueError(f"frame overflow: {len(self.out)} > {nbytes}")
+        return bytes(self.out) + bytes(nbytes - len(self.out))
+
+
+# ------------------------------------------------------------ decode ------
+
+def _frame_header(d: bytes, i: int) -> dict:
+    """Parse the 4-byte header at i (caller guarantees sync); MPEG-1
+    Layer I/II only — everything else raises the typed error."""
+    b1, b2, b3 = d[i + 1], d[i + 2], d[i + 3]
+    ver = (b1 >> 3) & 3
+    layer = 4 - ((b1 >> 1) & 3)
+    if ver != 3:
+        raise AudioDecodeError("MPEG-2/2.5 LSF streams unsupported")
+    if layer not in (1, 2):
+        raise AudioDecodeError(f"Layer {'III' if layer == 3 else '?'} "
+                               "sample decode unsupported")
+    protection = (b1 & 1) == 0  # bit clear -> CRC-16 present
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise AudioDecodeError("free/invalid bitrate or bad sample rate")
+    padding = (b2 >> 1) & 1
+    mode = (b3 >> 6) & 3  # 0 stereo, 1 joint, 2 dual, 3 mono
+    if mode == 1:
+        raise AudioDecodeError("intensity/joint stereo unsupported")
+    from dedup_spark.functions.containers import _BR_V1, _RATES
+
+    rate = _RATES[3][sr_idx]
+    bitrate = _BR_V1[layer][br_idx]
+    if layer == 1:
+        size = (12 * bitrate * 1000 // rate + padding) * 4
+        samples = 384
+    else:
+        size = 144 * bitrate * 1000 // rate + padding
+        samples = 1152
+    return {
+        "layer": layer, "rate": rate, "bitrate": bitrate, "size": size,
+        "samples": samples, "channels": 1 if mode == 3 else 2,
+        "protection": protection,
+    }
+
+
+def _extract_fields(bits: np.ndarray, start: int, widths: np.ndarray
+                    ) -> tuple[np.ndarray, int]:
+    """Bulk-extract variable-width big-endian fields from an unpacked
+    bit array (np.unpackbits output): O(max_width) vectorized passes
+    instead of a per-field Python loop — the sample section of a
+    Layer I/II frame is a deterministic width sequence once the
+    allocation is known, so this is the whole hot path."""
+    if len(widths) == 0:
+        return np.zeros(0, dtype=np.int64), start
+    offs = start + np.cumsum(widths) - widths
+    end = int(offs[-1] + widths[-1])
+    if end > bits.shape[0]:
+        raise AudioDecodeError("MPEG audio bitstream exhausted")
+    vals = np.zeros(len(widths), dtype=np.int64)
+    for j in range(int(widths.max())):
+        m = widths > j
+        vals[m] = (vals[m] << 1) | bits[offs[m] + j]
+    return vals, end
+
+
+def _decode_layer1_ref(b: _Bits, nch: int) -> np.ndarray:
+    """One Layer I frame body -> requantized subband samples
+    (nch, 12, 32). Straight-line per-field reference decoder: the
+    production path is the vectorized ``_decode_layer1``, pinned
+    bit-identical to this one by tests."""
+    alloc = np.zeros((nch, 32), dtype=np.int64)
+    for sb in range(32):
+        for ch in range(nch):
+            a = b.read(4)
+            if a == 15:
+                raise AudioDecodeError("forbidden Layer I allocation 15")
+            alloc[ch, sb] = 0 if a == 0 else a + 1  # bits per sample
+    sf = np.zeros((nch, 32))
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch, sb]:
+                idx = b.read(6)
+                if idx == 63:
+                    raise AudioDecodeError("forbidden scalefactor index 63")
+                sf[ch, sb] = _SF_TABLE[idx]
+    out = np.zeros((nch, 12, 32))
+    for s in range(12):
+        for sb in range(32):
+            for ch in range(nch):
+                nb = alloc[ch, sb]
+                if nb:
+                    q = (1 << nb) - 1
+                    c = b.read(int(nb))
+                    out[ch, s, sb] = sf[ch, sb] * ((2 * c + 1) / q - 1.0)
+    return out
+
+
+def _read_scalefactors(b: _Bits, scfsi: int) -> tuple[float, float, float]:
+    """Layer II per-subband scalefactors for the 3 sample parts."""
+    if scfsi == 0:
+        i0, i1, i2 = b.read(6), b.read(6), b.read(6)
+    elif scfsi == 1:
+        i0 = i1 = b.read(6)
+        i2 = b.read(6)
+    elif scfsi == 2:
+        i0 = i1 = i2 = b.read(6)
+    else:
+        i0 = b.read(6)
+        i1 = i2 = b.read(6)
+    for idx in (i0, i1, i2):
+        if idx == 63:
+            raise AudioDecodeError("forbidden scalefactor index 63")
+    return _SF_TABLE[i0], _SF_TABLE[i1], _SF_TABLE[i2]
+
+
+def _decode_layer1(b: _Bits, nch: int, bits: np.ndarray) -> np.ndarray:
+    """Vectorized Layer I frame body decode (bit-identical to
+    ``_decode_layer1_ref``): allocation + scalefactors are parsed with
+    the scalar reader (tiny), then all 12*32*nch samples are extracted
+    in one `_extract_fields` sweep and requantized in numpy."""
+    alloc = np.zeros((nch, 32), dtype=np.int64)
+    for sb in range(32):
+        for ch in range(nch):
+            a = b.read(4)
+            if a == 15:
+                raise AudioDecodeError("forbidden Layer I allocation 15")
+            alloc[ch, sb] = 0 if a == 0 else a + 1
+    sf = np.zeros((nch, 32))
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch, sb]:
+                idx = b.read(6)
+                if idx == 63:
+                    raise AudioDecodeError("forbidden scalefactor index 63")
+                sf[ch, sb] = _SF_TABLE[idx]
+    # sample section: order (s, sb, ch); width = alloc[ch, sb]
+    per_s = alloc.T.reshape(-1)  # (32*nch,) in (sb, ch) order
+    widths = np.tile(per_s, 12)
+    live = widths > 0
+    vals, end = _extract_fields(bits, b.p, widths[live])
+    b.p = end
+    q = (1 << widths[live]) - 1
+    sfs = np.tile(sf.T.reshape(-1), 12)[live]
+    out = np.zeros(12 * 32 * nch)
+    out[live] = sfs * ((2 * vals + 1) / q - 1.0)
+    return out.reshape(12, 32, nch).transpose(2, 0, 1)
+
+
+def _decode_layer2_ref(b: _Bits, nch: int) -> np.ndarray:
+    """One Layer II frame body (table B.2a) -> (nch, 36, 32).
+    Reference decoder; production path is ``_decode_layer2``."""
+    sblimit = 27
+    alloc = np.zeros((nch, sblimit), dtype=np.int64)  # q levels (0 = off)
+    for sb in range(sblimit):
+        lv = _b2a_levels(sb)
+        for ch in range(nch):
+            code = b.read(_B2A_NBAL[sb])
+            alloc[ch, sb] = lv[code]
+    scfsi = np.zeros((nch, sblimit), dtype=np.int64)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch, sb]:
+                scfsi[ch, sb] = b.read(2)
+    sf = np.zeros((nch, sblimit, 3))
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch, sb]:
+                sf[ch, sb] = _read_scalefactors(b, int(scfsi[ch, sb]))
+    out = np.zeros((nch, 36, 32))
+    for gr in range(12):  # granule = 3 consecutive samples
+        part = gr // 4  # which scalefactor third
+        for sb in range(sblimit):
+            for ch in range(nch):
+                q = int(alloc[ch, sb])
+                if not q:
+                    continue
+                s = sf[ch, sb, part]
+                if q in _GROUP_BITS:
+                    c = b.read(_GROUP_BITS[q])
+                    if c >= q * q * q:
+                        raise AudioDecodeError("grouped code out of range")
+                    for j in range(3):
+                        v = c % q
+                        c //= q
+                        out[ch, 3 * gr + j, sb] = s * ((2 * v + 1) / q - 1.0)
+                else:
+                    nb = _sample_bits(q)
+                    for j in range(3):
+                        v = b.read(nb)
+                        if v >= q:
+                            raise AudioDecodeError("sample code out of range")
+                        out[ch, 3 * gr + j, sb] = s * ((2 * v + 1) / q - 1.0)
+    return out
+
+
+def _decode_layer2(b: _Bits, nch: int, bits: np.ndarray) -> np.ndarray:
+    """Vectorized Layer II frame body decode (bit-identical to
+    ``_decode_layer2_ref``): allocation/scfsi/scalefactors parsed
+    scalar, then the whole sample section — grouped and ungrouped
+    fields interleaved — extracted in one `_extract_fields` sweep,
+    degrouped and requantized in numpy."""
+    sblimit = 27
+    alloc = np.zeros((nch, sblimit), dtype=np.int64)
+    for sb in range(sblimit):
+        lv = _b2a_levels(sb)
+        for ch in range(nch):
+            alloc[ch, sb] = lv[b.read(_B2A_NBAL[sb])]
+    scfsi = np.zeros((nch, sblimit), dtype=np.int64)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch, sb]:
+                scfsi[ch, sb] = b.read(2)
+    sf = np.zeros((nch, sblimit, 3))
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch, sb]:
+                sf[ch, sb] = _read_scalefactors(b, int(scfsi[ch, sb]))
+    # one granule's field sequence: (width, q, ch, sb, j, grouped)
+    w_g, q_g, ch_g, sb_g, j_g, grp = [], [], [], [], [], []
+    for sb in range(sblimit):
+        for ch in range(nch):
+            q = int(alloc[ch, sb])
+            if not q:
+                continue
+            if q in _GROUP_BITS:
+                w_g.append(_GROUP_BITS[q]); q_g.append(q)
+                ch_g.append(ch); sb_g.append(sb); j_g.append(0)
+                grp.append(True)
+            else:
+                nb = _sample_bits(q)
+                for j in range(3):
+                    w_g.append(nb); q_g.append(q)
+                    ch_g.append(ch); sb_g.append(sb); j_g.append(j)
+                    grp.append(False)
+    out = np.zeros((nch, 36, 32))
+    if not w_g:
+        return out
+    F = len(w_g)
+    widths = np.tile(np.asarray(w_g, dtype=np.int64), 12)
+    vals, end = _extract_fields(bits, b.p, widths)
+    b.p = end
+    v = vals.reshape(12, F)
+    qa = np.asarray(q_g, dtype=np.int64)
+    cha = np.asarray(ch_g); sba = np.asarray(sb_g); ja = np.asarray(j_g)
+    ga = np.asarray(grp)
+    part = np.arange(12) // 4                      # scalefactor third
+    sf_cols = sf[cha, sba]                          # (F, 3)
+    sf_gr = sf_cols[np.arange(F)[None, :], part[:, None]]  # (12, F)
+    gr3 = 3 * np.arange(12)[:, None]
+    if ga.any():
+        c = v[:, ga]
+        qg = qa[ga]
+        if np.any(c >= qg * qg * qg):
+            raise AudioDecodeError("grouped code out of range")
+        for j in range(3):
+            vj = c % qg
+            c = c // qg
+            s = sf_gr[:, ga] * ((2 * vj + 1) / qg - 1.0)
+            out[cha[ga][None, :], gr3 + j, sba[ga][None, :]] = s
+    ua = ~ga
+    if ua.any():
+        vu = v[:, ua]
+        qu = qa[ua]
+        if np.any(vu >= qu):
+            raise AudioDecodeError("sample code out of range")
+        s = sf_gr[:, ua] * ((2 * vu + 1) / qu - 1.0)
+        out[cha[ua][None, :], gr3 + ja[ua][None, :], sba[ua][None, :]] = s
+    return out
+
+
+def decode_mpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode an MPEG-1 Layer I/II stream to (mono float64 samples,
+    sample_rate, layer). ID3v2 prefix skipped; mixed layer/rate/mode
+    mid-stream, joint stereo, LSF and Layer III raise the typed
+    AudioDecodeError (stub-policy catch stays airtight)."""
+    try:
+        return _decode_mpeg(payload)
+    except AudioDecodeError:
+        raise
+    except (ValueError, IndexError, OverflowError, MemoryError) as exc:
+        raise AudioDecodeError(f"corrupt MPEG audio: {exc!r}") from exc
+
+
+_MAX_FRAMES = 1 << 18  # ~78 min of Layer II at 48 kHz — allocation bound
+
+
+def _decode_mpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
+    d = payload or b""
+    i = 0
+    if d[:3] == b"ID3":
+        if len(d) < 10:
+            raise AudioDecodeError("truncated ID3v2 header")
+        i = 10 + ((d[6] & 0x7F) << 21 | (d[7] & 0x7F) << 14
+                  | (d[8] & 0x7F) << 7 | (d[9] & 0x7F))
+    first = None
+    frames = []
+    bits = None
+    while i + 4 <= len(d):
+        if d[i : i + 3] == b"TAG":
+            break
+        if d[i] != 0xFF or (d[i + 1] & 0xE0) != 0xE0:
+            if frames:
+                break  # trailing junk after last frame
+            raise AudioDecodeError(f"no MPEG audio sync at offset {i}")
+        h = _frame_header(d, i)
+        if first is None:
+            first = h
+        elif (h["layer"], h["rate"], h["channels"]) != (
+            first["layer"], first["rate"], first["channels"]
+        ):
+            raise AudioDecodeError("layer/rate/mode changed mid-stream")
+        if i + h["size"] > len(d):
+            raise AudioDecodeError("truncated final MPEG frame")
+        if bits is None:  # unpack the whole payload once, not per frame
+            bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8))
+        b = _Bits(d, (i + 4) * 8)
+        if h["protection"]:
+            b.read(16)  # CRC-16 parsed positionally, not verified
+        nch = h["channels"]
+        if h["layer"] == 1:
+            frames.append(_decode_layer1(b, nch, bits))
+        else:
+            frames.append(_decode_layer2(b, nch, bits))
+        if len(frames) > _MAX_FRAMES:
+            raise AudioDecodeError("MPEG stream exceeds frame cap")
+        i += h["size"]
+    if first is None:
+        raise AudioDecodeError("no MPEG audio frames")
+    sb = np.concatenate(frames, axis=1)  # (nch, T, 32)
+    pcm = np.stack([_synth(sb[ch], _SYN) for ch in range(sb.shape[0])])
+    return pcm.mean(axis=0), first["rate"], first["layer"]
+
+
+# ------------------------------------------------------------ encode ------
+
+def _quantize(x: np.ndarray, q: int) -> tuple[np.ndarray, float]:
+    """Quantize a subband block to q levels: pick the smallest-index
+    (largest) scalefactor covering max|x|, return (codes, sf)."""
+    amax = float(np.max(np.abs(x))) if x.size else 0.0
+    if amax <= 0.0:
+        return np.zeros(x.shape, dtype=np.int64), 1.0
+    idx = int(np.clip(np.floor(3.0 * (1.0 - np.log2(amax / (1 - 1e-12)))), 0, 62))
+    sf = float(_SF_TABLE[idx])
+    c = np.floor((x / sf + 1.0) / 2.0 * q).astype(np.int64)
+    return np.clip(c, 0, q - 1), sf
+
+
+def _sf_index(sf: float) -> int:
+    return int(np.argmin(np.abs(_SF_TABLE - sf)))
+
+
+def encode_mp1_pcm16(x: np.ndarray, rate: int = 32000) -> bytes:
+    """MPEG-1 Layer I CBR encoder for fixtures: 448 kbps (mono, 13-bit
+    allocation everywhere) or stereo (6-bit). x: float in [-1,1],
+    (n,) or (n, ch<=2); rate must be a MPEG-1 rate with integral
+    Layer I slot count (32000/48000)."""
+    return _encode(x, rate, layer=1)
+
+
+def encode_mp2_pcm16(x: np.ndarray, rate: int = 48000) -> bytes:
+    """MPEG-1 Layer II CBR encoder for fixtures: table B.2a preset
+    allocation (mono 256 kbps: 63/15/5-level tiers; stereo 384 kbps:
+    15/15/5), scfsi=0 (3 scalefactors per subband). rate: 48000/32000."""
+    return _encode(x, rate, layer=2)
+
+
+def _encode(x: np.ndarray, rate: int, layer: int) -> bytes:
+    from dedup_spark.functions.containers import _BR_V1, _RATES
+
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, nch = x.shape
+    if nch > 2:
+        raise ValueError("at most 2 channels")
+    if layer == 1:
+        bitrate = 448 if nch == 1 else 448
+        spf = 384
+    else:
+        bitrate = 256 if nch == 1 else 384
+        spf = 1152
+    if 12 * bitrate * 1000 % rate:
+        raise ValueError("rate/bitrate pair needs padding — unsupported")
+    sr_idx = _RATES[3].index(rate)
+    br_idx = _BR_V1[layer].index(bitrate)
+    size = (12 * bitrate * 1000 // rate) * 4 if layer == 1 \
+        else 144 * bitrate * 1000 // rate
+    hdr = bytes([
+        0xFF,
+        0xE0 | (3 << 3) | ((4 - layer) << 1) | 1,  # MPEG-1, no CRC
+        (br_idx << 4) | (sr_idx << 2),
+        (0x00 if nch == 2 else 0xC0),
+    ])
+    # analysis once per channel, then slice per frame
+    sb = np.stack([_analyze(x[:, ch], _ANA) for ch in range(nch)])  # (nch,T,32)
+    T = sb.shape[1]
+    gpf = spf // 32  # granules per frame: 12 (L1) or 36 (L2)
+    nfr = -(-T // gpf)
+    if T < nfr * gpf:
+        sb = np.pad(sb, ((0, 0), (0, nfr * gpf - T), (0, 0)))
+    out = bytearray()
+    for f in range(nfr):
+        blk = sb[:, f * gpf : (f + 1) * gpf]  # (nch, gpf, 32)
+        w = _BitW()
+        if layer == 1:
+            _encode_layer1_body(w, blk, nch)
+        else:
+            _encode_layer2_body(w, blk, nch)
+        out += hdr + w.pad_to(size - 4)
+    return bytes(out)
+
+
+def _encode_layer1_body(w: _BitW, blk: np.ndarray, nch: int) -> None:
+    nb = 13 if nch == 1 else 6
+    q = (1 << nb) - 1
+    codes = np.zeros((nch, 12, 32), dtype=np.int64)
+    sfi = np.zeros((nch, 32), dtype=np.int64)
+    used = np.zeros((nch, 32), dtype=bool)
+    for ch in range(nch):
+        for s in range(32):
+            c, sf = _quantize(blk[ch, :, s], q)
+            if np.max(np.abs(blk[ch, :, s])) > 0:
+                used[ch, s] = True
+                codes[ch, :, s] = c
+                sfi[ch, s] = _sf_index(sf)
+    for s in range(32):
+        for ch in range(nch):
+            w.write(nb - 1 if used[ch, s] else 0, 4)
+    for s in range(32):
+        for ch in range(nch):
+            if used[ch, s]:
+                w.write(int(sfi[ch, s]), 6)
+    for t in range(12):
+        for s in range(32):
+            for ch in range(nch):
+                if used[ch, s]:
+                    w.write(int(codes[ch, t, s]), nb)
+
+
+def _mp2_preset(nch: int) -> list[int]:
+    """Levels per subband for the fixture encoder's fixed allocation."""
+    if nch == 1:
+        # 11*36*7 + 12*36*5 + 4*12*7 = 5268 sample bits; with header
+        # 32 + alloc 88 + scfsi 54 + sf 486 that is 5928 <= 6144 (256 kbps)
+        return [127] * 11 + [31] * 12 + [5] * 4
+    return [15] * 23 + [5] * 4
+
+
+def _encode_layer2_body(w: _BitW, blk: np.ndarray, nch: int) -> None:
+    sblimit = 27
+    preset = _mp2_preset(nch)
+    q_used = np.zeros((nch, sblimit), dtype=np.int64)
+    codes = np.zeros((nch, 36, sblimit), dtype=np.int64)
+    sfi = np.zeros((nch, sblimit, 3), dtype=np.int64)
+    for ch in range(nch):
+        for s in range(sblimit):
+            if np.max(np.abs(blk[ch, :, s])) <= 0:
+                continue
+            q = preset[s]
+            q_used[ch, s] = q
+            for part in range(3):
+                seg = blk[ch, part * 12 : (part + 1) * 12, s]
+                c, sf = _quantize(seg, q)
+                codes[ch, part * 12 : (part + 1) * 12, s] = c
+                sfi[ch, s, part] = _sf_index(sf)
+    for s in range(sblimit):
+        lv = _b2a_levels(s)
+        for ch in range(nch):
+            w.write(lv.index(int(q_used[ch, s])) if q_used[ch, s] else 0,
+                    _B2A_NBAL[s])
+    for s in range(sblimit):
+        for ch in range(nch):
+            if q_used[ch, s]:
+                w.write(0, 2)  # scfsi = 0: all three scalefactors
+    for s in range(sblimit):
+        for ch in range(nch):
+            if q_used[ch, s]:
+                for part in range(3):
+                    w.write(int(sfi[ch, s, part]), 6)
+    for gr in range(12):
+        for s in range(sblimit):
+            for ch in range(nch):
+                q = int(q_used[ch, s])
+                if not q:
+                    continue
+                v = codes[ch, 3 * gr : 3 * gr + 3, s]
+                if q in _GROUP_BITS:
+                    c = int(v[0]) + q * int(v[1]) + q * q * int(v[2])
+                    w.write(c, _GROUP_BITS[q])
+                else:
+                    nb = _sample_bits(q)
+                    for j in range(3):
+                        w.write(int(v[j]), nb)

@@ -551,17 +551,21 @@ def _fake_samples(payload: bytes):
 def decode_samples(payload: bytes, fake: bool = False) -> tuple:
     """bytes → (mono float64 samples, sample_rate, decoder).
 
-    REAL decode for WAV/RIFF PCM and FLAC (stdlib + numpy —
-    ``functions/audiocodec.py``; FLAC covers constant/verbatim/fixed/
-    LPC subframes, Rice residuals and stereo decorrelation per the
-    public spec); MP3/AAC/OGG keep the honest-stub policy:
-    ``fake=True`` falls back to the deterministic fake (also for
-    corrupt payloads), ``fake=False`` raises."""
+    REAL decode for WAV/RIFF PCM, FLAC and MPEG-1 audio Layers I/II
+    (stdlib + numpy — ``functions/audiocodec.py`` and
+    ``functions/mpegaudio.py``; FLAC covers constant/verbatim/fixed/
+    LPC subframes, Rice residuals and stereo decorrelation, MPEG
+    covers the full Layer I/II bitstream + requantization with a
+    documented non-ISO-table polyphase prototype); MP3 (Layer III) /
+    AAC / OGG keep the honest-stub policy: ``fake=True`` falls back to
+    the deterministic fake (also for corrupt payloads), ``fake=False``
+    raises."""
     from dedup_spark.functions.audiocodec import (
         AudioDecodeError,
         decode_flac,
         decode_wav,
     )
+    from dedup_spark.functions.mpegaudio import decode_mpeg
 
     raw = payload or b""
     try:
@@ -571,6 +575,11 @@ def decode_samples(payload: bytes, fake: bool = False) -> tuple:
         if raw[:4] == b"fLaC":
             x, rate = decode_flac(raw)
             return x, rate, "flac"
+        if raw[:3] == b"ID3" or (
+            len(raw) >= 4 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
+        ):
+            x, rate, layer = decode_mpeg(raw)
+            return x, rate, f"mp{layer}"
     except AudioDecodeError:
         pass  # corrupt or unsupported variant → stub policy below
     if fake:
@@ -994,6 +1003,32 @@ def documents_as_wav_assets(spark, sf_dir: str) -> DataFrame:
         return encode_flac_pcm16(x, rate)
 
     return _documents_as_media_assets(spark, sf_dir, "audio", "audio/wav", make)
+
+
+def documents_as_mpeg_assets(spark, sf_dir: str) -> DataFrame:
+    """Fixture adapter for the REAL MPEG-1 audio decode path: byte-
+    derived samples encoded as Layer I (even text length) or Layer II
+    (odd), alternating mono/stereo on length % 4, so the format-blind
+    geometry oracle (`mpeg_decode_meta`) value-verifies both layer
+    bitstream decoders — allocation, scalefactors, grouping,
+    requantization — through one query."""
+
+    def make(raw: bytes) -> bytes:
+        import numpy as np
+
+        from dedup_spark.functions.mpegaudio import (
+            encode_mp1_pcm16,
+            encode_mp2_pcm16,
+        )
+
+        x, _rate = _fake_samples(raw)
+        if len(raw) % 4 >= 2:  # stereo variants
+            x = np.stack([x, np.roll(x, 1)], axis=1)
+        if len(raw) % 2 == 0:
+            return encode_mp1_pcm16(x, 32000)
+        return encode_mp2_pcm16(x, 48000)
+
+    return _documents_as_media_assets(spark, sf_dir, "audio", "audio/mpeg", make)
 
 
 def documents_as_assets(spark, sf_dir: str) -> DataFrame:
