@@ -146,6 +146,191 @@ def encode_mp3(n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100,
     return bytes(out)
 
 
+# ------------------------------------------------------------- ADTS -------
+
+# ISO/IEC 14496-3 sampling_frequency_index table
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350)
+
+
+def parse_adts(payload: bytes) -> dict:
+    """Walk an ADTS (AAC transport) stream: 7/9-byte headers with
+    syncword 0xFFF and layer 00, frame_length including the header,
+    (blocks+1)*1024 samples per frame. Returns the same meta shape as
+    parse_mp3; bitrate is derived (ADTS carries none) as
+    total_bits * rate // (total_samples * 1000)."""
+    d = payload or b""
+    i = 0
+    n_frames = 0
+    total_samples = 0
+    total_bytes = 0
+    rate = channels = 0
+    while i + 7 <= len(d):
+        if d[i] != 0xFF or (d[i + 1] & 0xF6) != 0xF0:
+            if n_frames:
+                break
+            raise ContainerParseError(f"no ADTS sync at offset {i}")
+        protection_absent = d[i + 1] & 1
+        sf_idx = (d[i + 2] >> 2) & 0xF
+        if sf_idx >= len(_ADTS_RATES):
+            raise ContainerParseError("reserved ADTS sampling index")
+        chan = ((d[i + 2] & 1) << 2) | (d[i + 3] >> 6)
+        flen = ((d[i + 3] & 0x03) << 11) | (d[i + 4] << 3) | (d[i + 5] >> 5)
+        hdr_len = 7 if protection_absent else 9
+        if flen <= hdr_len:
+            raise ContainerParseError("degenerate ADTS frame length")
+        if i + flen > len(d):
+            raise ContainerParseError("truncated ADTS frame")
+        blocks = (d[i + 6] & 0x03) + 1
+        if n_frames == 0:
+            rate, channels = _ADTS_RATES[sf_idx], chan
+        elif _ADTS_RATES[sf_idx] != rate:
+            raise ContainerParseError("sample rate changed mid-stream")
+        n_frames += 1
+        total_samples += blocks * 1024
+        total_bytes += flen
+        i += flen
+    if n_frames == 0:
+        raise ContainerParseError("no ADTS frames")
+    return {
+        "container": "adts",
+        "codec": "aac",
+        "n_tracks": 1,
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "bitrate_kbps": total_bytes * 8 * rate // (total_samples * 1000),
+        "channel_mode": "mono" if channels == 1 else f"ch{channels}",
+        "duration_ms": total_samples * 1000 // rate,
+    }
+
+
+def encode_adts(n_frames: int, payload_bytes: int = 64, rate: int = 48000,
+                channels: int = 1, seed: int = 0) -> bytes:
+    """Minimal ADTS stream: valid headers (MPEG-4, AAC-LC profile, no
+    CRC, one raw data block) around deterministic filler payload (NOT
+    decodable audio — the container layer is the claim, mirroring
+    encode_mp3)."""
+    sf_idx = _ADTS_RATES.index(rate)
+    flen = 7 + payload_bytes
+    out = bytearray()
+    for k in range(n_frames):
+        out += bytes([
+            0xFF,
+            0xF1,  # MPEG-4, layer 00, protection absent
+            (1 << 6) | (sf_idx << 2) | ((channels >> 2) & 1),  # AAC-LC
+            ((channels & 0x03) << 6) | ((flen >> 11) & 0x03),
+            (flen >> 3) & 0xFF,
+            ((flen & 0x07) << 5) | 0x1F,  # buffer fullness (VBR marker)
+            (0x3F << 2) | 0x00,  # fullness low bits, 1 raw block
+        ])
+        out += bytes(((seed + k + j * 31) % 253 for j in range(payload_bytes)))
+    return bytes(out)
+
+
+# -------------------------------------------------------------- Ogg -------
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32: poly 0x04C11DB7, init 0, no reflection, no
+    final xor (RFC 3533 appendix)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if crc & 0x80000000 \
+                else (crc << 1) & 0xFFFFFFFF
+    return crc
+
+
+def parse_ogg(payload: bytes) -> dict:
+    """Walk Ogg pages (RFC 3533): capture pattern, segment-table sizing,
+    BOS/EOS flags, per-serial last granule position. If a BOS packet is
+    a Vorbis identification header its channels/rate are extracted, so
+    duration follows from the final granule position (PCM sample
+    count); CRC is parsed positionally, not verified (decode parity,
+    same policy as the FLAC/MP3 walks)."""
+    d = payload or b""
+    i = 0
+    n_pages = 0
+    serials: dict[int, int] = {}  # serial -> last granule
+    rate = 0
+    codec = ""
+    while i + 27 <= len(d):
+        if d[i : i + 4] != b"OggS":
+            if n_pages:
+                break
+            raise ContainerParseError(f"no Ogg capture pattern at offset {i}")
+        if d[i + 4] != 0:
+            raise ContainerParseError("unsupported Ogg version")
+        header_type = d[i + 5]
+        granule = int.from_bytes(d[i + 6 : i + 14], "little", signed=True)
+        serial = int.from_bytes(d[i + 14 : i + 18], "little")
+        nsegs = d[i + 26]
+        if i + 27 + nsegs > len(d):
+            raise ContainerParseError("truncated Ogg segment table")
+        body_len = sum(d[i + 27 : i + 27 + nsegs])
+        body = i + 27 + nsegs
+        if body + body_len > len(d):
+            raise ContainerParseError("truncated Ogg page body")
+        if header_type & 0x02:  # BOS
+            pkt = d[body : body + 30]
+            if pkt[:7] == b"\x01vorbis":
+                codec = "vorbis"
+                rate = int.from_bytes(pkt[12:16], "little")
+                if rate <= 0:
+                    raise ContainerParseError("vorbis id header: bad rate")
+        if granule >= 0:
+            serials[serial] = granule
+        else:
+            serials.setdefault(serial, 0)
+        n_pages += 1
+        i = body + body_len
+    if n_pages == 0:
+        raise ContainerParseError("no Ogg pages")
+    last_granule = max(serials.values()) if serials else 0
+    return {
+        "container": "ogg",
+        "codec": codec,
+        "n_tracks": len(serials),
+        "n_frames": n_pages,
+        "sample_rate": rate,
+        "bitrate_kbps": 0,  # Ogg carries none; Vorbis setup stays undecoded
+        "duration_ms": last_granule * 1000 // rate if rate else 0,
+    }
+
+
+def _ogg_page(serial: int, seq: int, granule: int, header_type: int,
+              body: bytes) -> bytes:
+    """One spec-conforming Ogg page (single packet, body < 255*255)."""
+    segs = [255] * (len(body) // 255) + [len(body) % 255]
+    hdr = (b"OggS" + bytes([0, header_type])
+           + granule.to_bytes(8, "little", signed=True)
+           + serial.to_bytes(4, "little") + seq.to_bytes(4, "little")
+           + b"\x00\x00\x00\x00" + bytes([len(segs)]) + bytes(segs))
+    page = bytearray(hdr + body)
+    crc = _ogg_crc(bytes(page))
+    page[22:26] = crc.to_bytes(4, "little")
+    return bytes(page)
+
+
+def encode_ogg(n_samples: int, rate: int = 48000, n_data_pages: int = 2,
+               seed: int = 0) -> bytes:
+    """Minimal Ogg/Vorbis-id stream: a BOS page carrying a real Vorbis
+    identification header (so parse_ogg extracts channels/rate), then
+    deterministic filler data pages, then an EOS page whose granule
+    position is the PCM sample count (NOT decodable audio — container
+    layer only)."""
+    ident = (b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([1])
+             + rate.to_bytes(4, "little") + bytes(12)
+             + bytes([0xB8]) + bytes([1]))  # blocksizes 2^8/2^11, framing
+    out = bytearray(_ogg_page(0x5EED, 0, 0, 0x02, ident))
+    for k in range(n_data_pages):
+        body = bytes(((seed + k + j * 29) % 251 for j in range(200)))
+        gran = (k + 1) * n_samples // (n_data_pages + 1)
+        out += _ogg_page(0x5EED, k + 1, gran, 0x00, body)
+    out += _ogg_page(0x5EED, n_data_pages + 1, n_samples, 0x04, b"\x00")
+    return bytes(out)
+
+
 # ------------------------------------------------------------- EBML -------
 
 def _read_vint(d: bytes, i: int, keep_marker: bool) -> tuple[int, int]:
@@ -381,6 +566,10 @@ def parse_container(payload: bytes) -> dict:
         return parse_mkv(d)
     if d[4:8] == b"ftyp":
         return parse_mp4(d)
+    if d[:4] == b"OggS":
+        return parse_ogg(d)
+    if len(d) >= 2 and d[0] == 0xFF and (d[1] & 0xF6) == 0xF0:
+        return parse_adts(d)  # 0xFFF sync with layer 00 — never MPEG audio
     if d[:3] == b"ID3" or (len(d) >= 2 and d[0] == 0xFF and (d[1] & 0xE0) == 0xE0):
         return parse_mp3(d)
     raise ContainerParseError("unrecognized container magic")

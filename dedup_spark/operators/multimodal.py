@@ -1109,26 +1109,33 @@ def media_container_meta(assets: DataFrame) -> DataFrame:
 
 def documents_as_container_assets(spark, sf_dir: str) -> DataFrame:
     """Fixture adapter for the REAL container parsers: each document's
-    byte length L deterministically picks a format (L%3: mp3 / mkv /
-    mp4) and the stream parameters — the same integer arithmetic the
-    `container_meta` DuckDB oracle recomputes from octet_length, so
-    the parse results are value-verified format-blind."""
+    byte length L deterministically picks a format (L%5: mp3 / mkv /
+    mp4 / adts / ogg) and the stream parameters — the same integer
+    arithmetic the `container_meta` DuckDB oracle recomputes from
+    octet_length, so the parse results are value-verified
+    format-blind."""
 
     def make(raw: bytes) -> bytes:
         from dedup_spark.functions.containers import (
+            encode_adts,
             encode_mkv,
             encode_mp3,
             encode_mp4,
+            encode_ogg,
         )
 
         n = len(raw)
-        if n % 3 == 0:
+        if n % 5 == 0:
             return encode_mp3(3 + n % 7, 128, 44100, seed=n)
-        if n % 3 == 1:
+        if n % 5 == 1:
             return encode_mkv(
                 1000 + n % 5000, ["V_TEST", "A_TEST", "S_TEST"][: 1 + n % 3]
             )
-        return encode_mp4(500 + n % 9000, ["vide", "soun"][: 1 + n % 2])
+        if n % 5 == 2:
+            return encode_mp4(500 + n % 9000, ["vide", "soun"][: 1 + n % 2])
+        if n % 5 == 3:
+            return encode_adts(3 + n % 6, 40 + n % 50, 48000, seed=n)
+        return encode_ogg(10000 + n % 90000, 48000, 2 + n % 3, seed=n)
 
     return _documents_as_media_assets(
         spark, sf_dir, "blob", "application/octet-stream", make

@@ -194,3 +194,108 @@ def test_media_container_meta_operator(spark):
     assert out[3]["container"] == "mp4" and out[3]["n_tracks"] == 2
     assert out[4]["container"] == "unknown"  # degraded, not crashed
     assert out[5]["container"] == "unknown"
+
+
+def test_adts_frame_walk_counts_and_derived_bitrate():
+    from dedup_spark.functions.containers import encode_adts, parse_adts
+
+    p = encode_adts(5, payload_bytes=64, rate=48000)
+    m = parse_adts(p)
+    assert m["container"] == "adts" and m["codec"] == "aac"
+    assert m["n_frames"] == 5 and m["sample_rate"] == 48000
+    assert m["duration_ms"] == 5 * 1024 * 1000 // 48000
+    assert m["bitrate_kbps"] == 5 * 71 * 8 * 48000 // (5 * 1024 * 1000)
+    # other sampling indices round-trip
+    for rate in (44100, 32000, 16000, 8000):
+        assert parse_adts(encode_adts(3, 40, rate))["sample_rate"] == rate
+
+
+def test_adts_corrupt_streams_typed():
+    from dedup_spark.functions.containers import encode_adts, parse_adts
+
+    p = bytearray(encode_adts(3, 40))
+    with pytest.raises(ContainerParseError, match="truncated"):
+        parse_adts(bytes(p[:20]))
+    bad = p.copy()
+    bad[2] |= 0x3C  # sampling index -> 15 (reserved)
+    with pytest.raises(ContainerParseError, match="reserved ADTS"):
+        parse_adts(bytes(bad))
+    with pytest.raises(ContainerParseError, match="no ADTS sync"):
+        parse_adts(b"\x00" + bytes(p))
+    # a Layer III MPEG header must NOT parse as ADTS (layer bits 01)
+    with pytest.raises(ContainerParseError):
+        parse_adts(encode_mp3(2))
+
+
+def test_ogg_page_walk_vorbis_id_and_duration():
+    from dedup_spark.functions.containers import encode_ogg, parse_ogg
+
+    p = encode_ogg(96000, rate=48000, n_data_pages=3)
+    m = parse_ogg(p)
+    assert m["container"] == "ogg" and m["codec"] == "vorbis"
+    assert m["n_tracks"] == 1 and m["n_frames"] == 5  # BOS + 3 + EOS
+    assert m["sample_rate"] == 48000
+    assert m["duration_ms"] == 96000 * 1000 // 48000
+
+
+def test_ogg_crc_golden():
+    """Pin the Ogg CRC-32 variant (poly 0x04C11DB7, init 0, no reflect,
+    no xorout) against hand-computed values."""
+    from dedup_spark.functions.containers import _ogg_crc
+
+    def longdiv(msg: bytes) -> int:
+        """Independent check: polynomial long division over GF(2) on
+        the whole message as one big integer (different algorithm
+        shape from the byte-wise register in containers.py)."""
+        num = int.from_bytes(msg, "big") << 32
+        poly = (1 << 32) | 0x04C11DB7
+        for bit in range(num.bit_length() - 1, 31, -1):
+            if num >> bit & 1:
+                num ^= poly << (bit - 32)
+        return num
+
+    assert _ogg_crc(b"") == 0
+    assert _ogg_crc(b"\x00") == 0
+    for msg in (b"\x01", b"\x80\x00\x00\x00", b"OggS\x00\x02", b"vorbis-page"):
+        assert _ogg_crc(msg) == longdiv(msg), msg
+    # linearity under the same length: crc(a^b) == crc(a)^crc(b)
+    a, b_ = b"OggS\x00\x02", b"vorbis"
+    xored = bytes(x ^ y for x, y in zip(a, b_))
+    assert _ogg_crc(xored) == _ogg_crc(a) ^ _ogg_crc(b_)
+
+
+def test_ogg_corrupt_streams_typed():
+    from dedup_spark.functions.containers import encode_ogg, parse_ogg
+
+    p = bytearray(encode_ogg(48000))
+    with pytest.raises(ContainerParseError, match="no Ogg capture"):
+        parse_ogg(b"NotOgg" + bytes(p))
+    with pytest.raises(ContainerParseError, match="truncated Ogg"):
+        parse_ogg(bytes(p[:30]))
+    bad = p.copy()
+    bad[4] = 9  # version
+    with pytest.raises(ContainerParseError, match="version"):
+        parse_ogg(bytes(bad))
+
+
+def test_parse_container_routes_adts_and_ogg():
+    from dedup_spark.functions.containers import (
+        encode_adts,
+        encode_ogg,
+        parse_container,
+    )
+
+    assert parse_container(encode_adts(2, 40))["container"] == "adts"
+    assert parse_container(encode_ogg(1000))["container"] == "ogg"
+    # MPEG audio keeps routing to the MP3 walk (layer bits nonzero)
+    assert parse_container(encode_mp3(2))["container"] == "mp3"
+
+
+@SETTINGS
+@given(st.binary(min_size=0, max_size=400))
+def test_adts_ogg_parsers_never_leak_raw_errors(payload):
+    for prefix in (b"OggS", b"\xff\xf1", b"OggS\x00\x02" + b"\x00" * 21):
+        try:
+            parse_container(prefix + payload)
+        except ContainerParseError:
+            pass
