@@ -58,8 +58,11 @@ from dedup_spark.session import get_spark  # noqa: E402
 from dedup_spark.sources.loader import documents_as_code_files  # noqa: E402
 
 
-def run_stages(pipe: DedupPipeline, cfg: DedupConfig, files) -> dict[str, float]:
-    """One full pass over the six stage queries; returns stage walls."""
+def run_stages(pipe: DedupPipeline, cfg: DedupConfig, files,
+               holders: dict | None = None) -> dict[str, float]:
+    """One full pass over the six stage queries; returns stage walls.
+    ``holders`` (optional) receives the pass's ``reps`` frame so the
+    caller can run UNTIMED accounting (skew metrics) afterwards."""
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
@@ -145,7 +148,32 @@ def run_stages(pipe: DedupPipeline, cfg: DedupConfig, files) -> dict[str, float]
         cross_source_duplicates(half, source_col="half").count()
 
     timed("compare", _compare)
+    if holders is not None:
+        holders["reps"] = reps
     return timings
+
+
+def _skew_summary(pipe: DedupPipeline, reps) -> dict:
+    """Oversize-bucket drop accounting (pipeline.skew_metrics) — the
+    'counted, never silent' guarantee, recorded per bench run so the
+    dropped-bucket counts at each scale live in the artifact, not just
+    in code. Runs untimed: it is accounting, not a benched stage."""
+    rows = (
+        pipe.skew_metrics(reps)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("buckets"), F.sum("n").alias("members"))
+        .collect()
+    )
+    out = {
+        "lsh_band": {"oversize_buckets": 0, "dropped_members": 0},
+        "simhash_blockpair": {"oversize_buckets": 0, "dropped_members": 0},
+    }
+    for r in rows:
+        out[r["source"]] = {
+            "oversize_buckets": int(r["buckets"]),
+            "dropped_members": int(r["members"]),
+        }
+    return out
 
 
 def _kernel_weather() -> float | None:
@@ -191,8 +219,10 @@ def main() -> None:
 
     kw_pre = _kernel_weather()
     b0, s0 = _cpu_sample()
-    runs = [run_stages(pipe, cfg, files) for _ in range(repeats)]
+    holders: dict = {}
+    runs = [run_stages(pipe, cfg, files, holders) for _ in range(repeats)]
     b1, s1 = _cpu_sample()
+    skew = _skew_summary(pipe, holders["reps"])  # untimed accounting
     kw_post = _kernel_weather()
     demand = (b1 - b0) + (s1 - s0)
     steal_pct = round(100.0 * (s1 - s0) / demand, 1) if demand else 0.0
@@ -214,6 +244,7 @@ def main() -> None:
                 "host_steal_pct_of_demand": steal_pct,
                 "host_kernel_frac_pre": kw_pre,
                 "host_kernel_frac_post": kw_post,
+                "skew": skew,
                 "runs": runs,
             }
         )

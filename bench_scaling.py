@@ -118,7 +118,7 @@ def trial():
     ).localCheckpoint()
     n_clusters = clusters.agg(F.countDistinct("cluster_id")).first()[0]
     stages["cand_verify_cluster"] = time.perf_counter() - t0
-    return time.perf_counter() - t_all, stages, n_clusters, clusters
+    return time.perf_counter() - t_all, stages, n_clusters, clusters, reps
 
 s0 = cpu_snap()
 trials = []
@@ -126,7 +126,14 @@ for _ in range(2):
     trials.append(trial())
     spark._jvm.System.gc()  # let the ContextCleaner drop the old trial's blocks
 s1 = cpu_snap()
-wall, stages, n_clusters, clusters = min(trials, key=lambda t: t[0])
+wall, stages, n_clusters, clusters, reps = min(trials, key=lambda t: t[0])
+# untimed skew accounting: oversize-bucket drops recorded per level
+skew_rows = (
+    pipe.skew_metrics(reps).groupBy("source")
+    .agg(F.count(F.lit(1)).alias("b"), F.sum("n").alias("m")).collect()
+)
+skew = {r["source"]: {"oversize_buckets": int(r["b"]), "dropped_members": int(r["m"])}
+        for r in skew_rows}
 trial_walls = [round(t[0], 2) for t in trials]
 d = [b - a for a, b in zip(s0, s1)]
 tot = sum(d) or 1
@@ -165,6 +172,7 @@ print("RESULT " + json.dumps({
     "n_clusters": n_clusters,
     "planted_near_dup_recall": round(recall, 5) if recall is not None else None,
     "recall_pairs": j["n"],
+    "skew": skew,
 }))
 spark.stop()
 '''

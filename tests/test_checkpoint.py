@@ -585,3 +585,53 @@ def test_probe_hashes_ignores_null_hashes(spark, cache_dir):
     probed = {r["hash"] for r in store.probe_hashes(["HA", None]).collect()}
     assert probed == {"HA"}
     assert store.probe_hashes([None]) is None
+
+
+def test_upsert_same_key_changed_content_across_compaction_boundaries(spark, cache_dir):
+    """Adversarial upsert at compaction boundaries: the SAME
+    (repo, path, commit) key is re-ingested with CHANGED content across
+    three generations with a compaction in between each rewrite. At
+    every step `with_cached_signatures` must serve exactly the newest
+    signature — a hit only for the current hash, a recompute (miss,
+    nulled signature columns) for any stale or novel hash — and the
+    superseded rows must never resurface through load()."""
+    from dedup_spark.checkpoint import SignatureStore
+
+    store = SignatureStore(spark, cache_dir, RECALL_CONFIG, compact_every=99)
+    key = ("r", "mod.py", "c1")
+
+    def ingest(h, mh, sh):
+        store.save(spark.createDataFrame([(*key, h, [mh], sh, 1)], SIG_SCHEMA))
+
+    def probe(h):
+        files = spark.createDataFrame([(*key, h)], "repo string, path string, commit string, hash string")
+        row = store.with_cached_signatures(files).collect()[0]
+        return row["cache_hit"], row["simhash"]
+
+    for step, (h, sh) in enumerate([("H1", 11), ("H2", 22), ("H3", 33)]):
+        ingest(h, step + 1, sh)
+        # current hash hits with THIS generation's signature
+        hit, sig = probe(h)
+        assert hit and sig == sh, (step, h)
+        # every superseded hash must miss (stale row never resurfaces)
+        for old_h, old_sh in [("H1", 11), ("H2", 22), ("H3", 33)][:step]:
+            hit, sig = probe(old_h)
+            assert not hit and sig is None, (step, old_h)
+        # load() serves exactly one row for the key: the newest
+        rows = [r for r in store.load().collect()
+                if (r["repo"], r["path"], r["commit"]) == key]
+        assert len(rows) == 1 and rows[0]["hash"] == h and rows[0]["simhash"] == sh
+        store.compact()  # boundary BETWEEN rewrites, not just at the end
+        assert len(store.generations()) == 1
+        # compaction changes neither answer
+        hit, sig = probe(h)
+        assert hit and sig == sh, ("post-compact", step, h)
+
+    # after the final compaction the store holds one row per (key, hash)
+    # — the two superseded hashes survive only for probe lineage, and a
+    # fourth rewrite on top of the compacted store still upserts cleanly
+    assert spark.read.parquet(store._data_dir).count() == 3
+    ingest("H4", 4, 44)
+    hit, sig = probe("H4")
+    assert hit and sig == 44
+    assert not probe("H3")[0]
