@@ -233,15 +233,16 @@ class _BitW:
 
 def _frame_header(d: bytes, i: int) -> dict:
     """Parse the 4-byte header at i (caller guarantees sync); MPEG-1
-    Layer I/II only — everything else raises the typed error."""
+    Layers I-III only — everything else raises the typed error. Joint
+    stereo is accepted only as Layer III pure MS (mode_extension 2);
+    intensity stereo (any layer) raises."""
     b1, b2, b3 = d[i + 1], d[i + 2], d[i + 3]
     ver = (b1 >> 3) & 3
     layer = 4 - ((b1 >> 1) & 3)
     if ver != 3:
         raise AudioDecodeError("MPEG-2/2.5 LSF streams unsupported")
-    if layer not in (1, 2):
-        raise AudioDecodeError(f"Layer {'III' if layer == 3 else '?'} "
-                               "sample decode unsupported")
+    if layer == 4:
+        raise AudioDecodeError("reserved MPEG layer code")
     protection = (b1 & 1) == 0  # bit clear -> CRC-16 present
     br_idx = (b2 >> 4) & 0xF
     sr_idx = (b2 >> 2) & 3
@@ -249,8 +250,13 @@ def _frame_header(d: bytes, i: int) -> dict:
         raise AudioDecodeError("free/invalid bitrate or bad sample rate")
     padding = (b2 >> 1) & 1
     mode = (b3 >> 6) & 3  # 0 stereo, 1 joint, 2 dual, 3 mono
+    mode_ext = (b3 >> 4) & 3
+    ms = False
     if mode == 1:
-        raise AudioDecodeError("intensity/joint stereo unsupported")
+        if layer == 3 and mode_ext == 2:
+            ms = True  # pure mid/side joint stereo: decoded exactly
+        else:
+            raise AudioDecodeError("intensity/joint stereo unsupported")
     from dedup_spark.functions.containers import _BR_V1, _RATES
 
     rate = _RATES[3][sr_idx]
@@ -264,7 +270,7 @@ def _frame_header(d: bytes, i: int) -> dict:
     return {
         "layer": layer, "rate": rate, "bitrate": bitrate, "size": size,
         "samples": samples, "channels": 1 if mode == 3 else 2,
-        "protection": protection,
+        "protection": protection, "ms": ms,
     }
 
 
@@ -536,22 +542,30 @@ def _decode_mpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
             raise AudioDecodeError("layer/rate/mode changed mid-stream")
         if i + h["size"] > len(d):
             raise AudioDecodeError("truncated final MPEG frame")
-        if bits is None:  # unpack the whole payload once, not per frame
-            bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8))
-        b = _Bits(d, (i + 4) * 8)
-        if h["protection"]:
-            b.read(16)  # CRC-16 parsed positionally, not verified
         nch = h["channels"]
-        if h["layer"] == 1:
-            frames.append(_decode_layer1(b, nch, bits))
+        if h["layer"] == 3:
+            frames.append((i, h))  # bit reservoir: decoded stream-wide
         else:
-            frames.append(_decode_layer2(b, nch, bits))
+            if bits is None:  # unpack the whole payload once, not per frame
+                bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8))
+            b = _Bits(d, (i + 4) * 8)
+            if h["protection"]:
+                b.read(16)  # CRC-16 parsed positionally, not verified
+            if h["layer"] == 1:
+                frames.append(_decode_layer1(b, nch, bits))
+            else:
+                frames.append(_decode_layer2(b, nch, bits))
         if len(frames) > _MAX_FRAMES:
             raise AudioDecodeError("MPEG stream exceeds frame cap")
         i += h["size"]
     if first is None:
         raise AudioDecodeError("no MPEG audio frames")
-    sb = np.concatenate(frames, axis=1)  # (nch, T, 32)
+    if first["layer"] == 3:
+        from dedup_spark.functions.mpeg3 import decode_l3_stream
+
+        sb = decode_l3_stream(d, frames, first["channels"], first["rate"])
+    else:
+        sb = np.concatenate(frames, axis=1)  # (nch, T, 32)
     pcm = np.stack([_synth(sb[ch], _SYN) for ch in range(sb.shape[0])])
     return pcm.mean(axis=0), first["rate"], first["layer"]
 

@@ -551,15 +551,17 @@ def _fake_samples(payload: bytes):
 def decode_samples(payload: bytes, fake: bool = False) -> tuple:
     """bytes → (mono float64 samples, sample_rate, decoder).
 
-    REAL decode for WAV/RIFF PCM, FLAC and MPEG-1 audio Layers I/II
-    (stdlib + numpy — ``functions/audiocodec.py`` and
-    ``functions/mpegaudio.py``; FLAC covers constant/verbatim/fixed/
-    LPC subframes, Rice residuals and stereo decorrelation, MPEG
-    covers the full Layer I/II bitstream + requantization with a
-    documented non-ISO-table polyphase prototype); MP3 (Layer III) /
-    AAC / OGG keep the honest-stub policy: ``fake=True`` falls back to
-    the deterministic fake (also for corrupt payloads), ``fake=False``
-    raises."""
+    REAL decode for WAV/RIFF PCM, FLAC and MPEG-1 audio Layers I-III
+    (stdlib + numpy — ``functions/audiocodec.py``, ``functions/
+    mpegaudio.py`` and ``functions/mpeg3.py``; FLAC covers constant/
+    verbatim/fixed/LPC subframes, Rice residuals and stereo
+    decorrelation; MPEG covers the full Layer I/II bitstream and the
+    Layer III side-info/reservoir/scalefactor/Huffman-subset/hybrid-
+    IMDCT chain, with the documented non-ISO-table polyphase prototype
+    and Huffman-table-subset deltas); AAC / OGG (and L3 streams
+    selecting Huffman tables outside the verifiable subset) keep the
+    honest-stub policy: ``fake=True`` falls back to the deterministic
+    fake (also for corrupt payloads), ``fake=False`` raises."""
     from dedup_spark.functions.audiocodec import (
         AudioDecodeError,
         decode_flac,
@@ -666,8 +668,8 @@ def media_near_dup_clusters(
     modality's signature path (image → DCT pHash, audio → band-energy
     fingerprint, video → frame-hash majority), and cluster EVERYTHING
     the signature paths could not fingerprint — unknown magics AND
-    recognized-but-undecodable formats (MP3, Matroska, corrupt
-    files) — with the decode-free byte-shingle path, so
+    recognized-but-undecodable formats (AAC, Vorbis, non-MJPEG
+    Matroska, corrupt files) — with the decode-free byte-shingle path, so
     one bad file can never kill the job and every asset lands in
     exactly one cluster table row.
 
@@ -1006,16 +1008,18 @@ def documents_as_wav_assets(spark, sf_dir: str) -> DataFrame:
 
 
 def documents_as_mpeg_assets(spark, sf_dir: str) -> DataFrame:
-    """Fixture adapter for the REAL MPEG-1 audio decode path: byte-
-    derived samples encoded as Layer I (even text length) or Layer II
-    (odd), alternating mono/stereo on length % 4, so the format-blind
-    geometry oracle (`mpeg_decode_meta`) value-verifies both layer
-    bitstream decoders — allocation, scalefactors, grouping,
-    requantization — through one query."""
+    """Fixture adapter for the REAL MPEG-1 audio decode paths: byte-
+    derived samples encoded as Layer I / Layer II / Layer III cycling
+    on text length % 3, alternating mono/stereo on length % 4, so the
+    format-blind geometry oracle (`mpeg_decode_meta`) value-verifies
+    all three layer bitstream decoders — L1/L2 allocation,
+    scalefactors and grouping, and the full L3 chain (side info,
+    Huffman, requantize, hybrid IMDCT) — through one query."""
 
     def make(raw: bytes) -> bytes:
         import numpy as np
 
+        from dedup_spark.functions.mpeg3 import encode_mp3_pcm16
         from dedup_spark.functions.mpegaudio import (
             encode_mp1_pcm16,
             encode_mp2_pcm16,
@@ -1024,9 +1028,12 @@ def documents_as_mpeg_assets(spark, sf_dir: str) -> DataFrame:
         x, _rate = _fake_samples(raw)
         if len(raw) % 4 >= 2:  # stereo variants
             x = np.stack([x, np.roll(x, 1)], axis=1)
-        if len(raw) % 2 == 0:
+        sel = len(raw) % 3
+        if sel == 0:
             return encode_mp1_pcm16(x, 32000)
-        return encode_mp2_pcm16(x, 48000)
+        if sel == 1:
+            return encode_mp2_pcm16(x, 48000)
+        return encode_mp3_pcm16(x, 32000)
 
     return _documents_as_media_assets(spark, sf_dir, "audio", "audio/mpeg", make)
 
@@ -1069,8 +1076,10 @@ CONTAINER_META_SCHEMA = StructType(
 
 
 def media_container_meta(assets: DataFrame) -> DataFrame:
-    """REAL container-level metadata for the compressed formats whose
-    SAMPLE decode stays honestly stubbed: MP3 frame-header walk,
+    """REAL container-level metadata, decode-free by design (the
+    ffprobe analog runs on every media file, decodable or not — MP3
+    sample decode itself is real since ``functions/mpeg3.py``): MP3
+    frame-header walk,
     Matroska/EBML element walk, MP4/ISO-BMFF box walk (pure stdlib,
     public specs — ``functions/containers.py``). This is the engine's
     native analog of the reference's ffprobe metadata pass

@@ -820,13 +820,14 @@ def q_y4m_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mpeg_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MPEG-1 audio decode at scale: every document rendered into
-    a Layer I or Layer II CBR stream (mono/stereo alternating) by the
-    engine's own encoder, then decoded back through the real frame
-    walk + allocation/scalefactor/grouping bitstream decoder +
-    polyphase synthesis (fake=False; decoder == 'mp1'/'mp2' on every
-    row). Sample count, rate and layer value-verified format-blind:
-    the decoder must emit exactly ceil(n/384)*384 (Layer I) or
-    ceil(n/1152)*1152 (Layer II) samples."""
+    a Layer I, Layer II or Layer III (MP3) CBR stream (mono/stereo
+    alternating) by the engine's own encoders, then decoded back
+    through the real frame walk + the layer's bitstream decoder (L1/L2
+    allocation/scalefactors/grouping; L3 side info + bit reservoir +
+    Huffman + requantize + hybrid IMDCT) + polyphase synthesis
+    (fake=False; decoder == 'mp1'/'mp2'/'mp3' on every row). Sample
+    count, rate and layer value-verified format-blind against the
+    layer's exact frame-padding arithmetic."""
     return _decoded_meta_query(spark, sf_dir, "mpeg")
 
 
@@ -1334,15 +1335,23 @@ FROM documents
 """,
     "mpeg_decode_meta": """
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
-       CAST(CASE WHEN L % 2 = 0 THEN ((n + 383) // 384) * 384
-                 ELSE ((n + 1151) // 1152) * 1152 END AS BIGINT) AS n_samples,
-       CAST(CASE WHEN L % 2 = 0 THEN 32000 ELSE 48000 END AS BIGINT) AS sample_rate,
-       CASE WHEN L % 2 = 0 THEN 'mp1' ELSE 'mp2' END AS decoder
+       CAST(CASE WHEN L % 3 = 0 THEN ((n + 383) // 384) * 384
+                 WHEN L % 3 = 1 THEN ((n + 1151) // 1152) * 1152
+                 ELSE (G0 + G0 % 2) * 576 END AS BIGINT) AS n_samples,
+       CAST(CASE WHEN L % 3 = 1 THEN 48000 ELSE 32000 END AS BIGINT) AS sample_rate,
+       CASE WHEN L % 3 = 0 THEN 'mp1' WHEN L % 3 = 1 THEN 'mp2'
+            ELSE 'mp3' END AS decoder
 FROM (
-  SELECT doc_id,
-         octet_length(encode(text)) AS L,
-         greatest(16, octet_length(encode(text))) AS n
-  FROM documents
+  SELECT doc_id, L, n,
+         -- the L3 encoder pads to whole granules (ceil(ceil(n/32)/18),
+         -- min 2), then to whole 2-granule frames
+         greatest(2, ((n + 31) // 32 + 17) // 18) AS G0
+  FROM (
+    SELECT doc_id,
+           octet_length(encode(text)) AS L,
+           greatest(16, octet_length(encode(text))) AS n
+    FROM documents
+  )
 )
 """,
     "y4m_decode_meta": """

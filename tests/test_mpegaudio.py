@@ -138,7 +138,10 @@ def test_typed_errors_on_corrupt_and_unsupported():
         bytes([p[0], p[1] ^ 0x08]) + p[2:]: "LSF",  # MPEG-2 version bit
         bytes([p[0], p[1], p[2] | 0xF0]) + p[3:]: "bitrate",  # idx 15
         bytes([p[0], p[1], p[2], 0x40]) + p[4:]: "joint stereo",
-        bytes([p[0], 0xFB]) + p[2:]: "Layer III",
+        # layer bits flipped to III: the frame is now parsed by the
+        # REAL Layer III path, whose side-info read of Layer II data
+        # trips the typed reservoir check
+        bytes([p[0], 0xFB]) + p[2:]: "reservoir underflow",
     }
     for payload, needle in cases.items():
         with pytest.raises(AudioDecodeError, match=needle):
@@ -179,7 +182,9 @@ def test_decode_samples_routes_mpeg():
     ):
         y, r, dec = decode_samples(enc(x, rate), fake=False)
         assert dec == tag and r == rate
-    # Layer III header (no real Layer III decode) -> honest stub policy
+    # Layer III decodes for REAL now (tests/test_mpeg3.py); the
+    # container-layer fixture's filler payload is NOT a conforming
+    # stream, so it still falls to the honest stub policy
     from dedup_spark.functions.containers import encode_mp3
 
     fake_mp3 = encode_mp3(4)
