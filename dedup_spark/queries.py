@@ -861,13 +861,15 @@ def q_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode at scale: every document rendered into an
-    actual Y4M raw-video stream (engine's own encoder), then parsed by
-    the real YUV4MPEG2 decoder, frame-sampled, per-frame pHashed and
-    majority-voted into one clip fingerprint — ``fake=False``, so a
-    silent fall-back to the stub is impossible (decoder == 'y4m' on
-    every row). Rows-only contract by nature (frame DCTs have no
-    DuckDB mirror); determinism and the Hamming-gate semantics are
-    pytest-gated in tests/test_videocodec.py."""
+    actual Y4M raw-video stream OR an MPEG-1 intra-coded elementary
+    stream (engine's own encoders, alternating by text length), then
+    parsed by the real YUV4MPEG2 / MPEG-1 I-picture decoder,
+    frame-sampled, per-frame pHashed and majority-voted into one clip
+    fingerprint — ``fake=False``, so a silent fall-back to the stub
+    is impossible (decoder == 'y4m'/'m1v' on every row). Rows-only
+    contract by nature (frame DCTs have no DuckDB mirror);
+    determinism and the Hamming-gate semantics are pytest-gated in
+    tests/test_videocodec.py and tests/test_mpeg1video.py."""
     from dedup_spark.operators.multimodal import (
         documents_as_y4m_assets,
         video_fingerprint,
@@ -1359,9 +1361,10 @@ SELECT CAST(doc_id AS BIGINT) AS asset_id,
        CAST(8 AS BIGINT) AS n_frames,
        CAST(w - w % 2 AS BIGINT) AS width,
        CAST(h - h % 2 AS BIGINT) AS height,
-       'y4m' AS decoder
+       CASE WHEN L % 2 = 0 THEN 'y4m' ELSE 'm1v' END AS decoder
 FROM (
   SELECT doc_id,
+         octet_length(encode(text)) AS L,
          16 + octet_length(encode(text)) % 48 AS w,
          16 + (octet_length(encode(text)) // 7) % 48 AS h
   FROM documents

@@ -1,0 +1,160 @@
+"""MPEG-1 video (intra pictures) codec tests.
+
+Pins: encode->decode round-trip fidelity (dequantizer reconstruction
+bound), DC predictor and escape level-extension paths, P/B picture
+skipping (keyframe parity), typed errors on every unsupported/corrupt
+construct, decode_frames routing, and the cross-container flagship:
+the SAME clip as Y4M, MJPEG-in-Matroska and MPEG-1 ES lands in ONE
+video near-dup cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dedup_spark.functions.mpeg1video import decode_m1v, encode_m1v
+from dedup_spark.functions.videocodec import VideoDecodeError
+
+
+def _clip(n_frames: int = 4, h: int = 57, w: int = 85, seed: int = 3
+          ) -> np.ndarray:
+    """Deterministic test clip: blocky gradient content (odd dims to
+    exercise the macroblock padding + header-crop path)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, (h // 2 + 1, w // 2 + 1)).astype(np.float64)
+    img = np.kron(base, np.ones((2, 2)))[:h, :w]
+    return np.stack(
+        [np.roll(img, 5 * i, axis=1) for i in range(n_frames)]
+    ).astype(np.uint8)
+
+
+def test_roundtrip_geometry_and_fidelity():
+    frames = _clip()
+    p = encode_m1v(frames, fps=25)
+    out, fps = decode_m1v(p)
+    assert fps == 25.0
+    assert out.shape == frames.shape
+    err = np.abs(out.astype(float) - frames.astype(float))
+    # q_scale=4 flat-16 matrix: AC step 8 -> reconstruction within the
+    # oddified-midpoint bound plus IDCT rounding
+    assert err.mean() < 3.0 and err.max() <= 16.0
+
+
+def test_finer_quantizer_scale_tightens_reconstruction():
+    frames = _clip(2)
+    e4 = np.abs(decode_m1v(encode_m1v(frames, q_scale=4))[0].astype(float)
+                - frames.astype(float)).mean()
+    e2 = np.abs(decode_m1v(encode_m1v(frames, q_scale=2))[0].astype(float)
+                - frames.astype(float)).mean()
+    assert e2 < e4
+
+
+def test_escape_level_extensions_roundtrip():
+    """High-contrast content forces |level| > 127 escape extensions
+    (the 16-bit run/level form) through both coder sides."""
+    img = np.zeros((32, 32))
+    img[::2] = 255.0  # maximal vertical AC energy
+    frames = np.stack([img, img.T]).astype(np.uint8)
+    p = encode_m1v(frames, q_scale=1)
+    out, _ = decode_m1v(p)
+    assert out.shape == frames.shape
+    assert np.abs(out.astype(float) - frames.astype(float)).mean() < 8.0
+
+
+def test_pb_pictures_skipped_keyframe_parity():
+    """A P-picture header between two I-pictures is skipped, not
+    decoded — the native analog of the reference's keyframe-only
+    fingerprinting (video_fingerprint.rs:59-103)."""
+    frames = _clip(2, h=32, w=32)
+    p = bytearray(encode_m1v(frames))
+    # craft a P-picture header (type 2) + junk, inserted before the
+    # sequence end code
+    fake_p = bytes([0, 0, 1, 0]) + bytes([0x00, 0x10 | 0x08, 0xFF, 0xFF])
+    assert p[-4:] == b"\x00\x00\x01\xb7"
+    q = bytes(p[:-4]) + fake_p + b"junkjunk" + b"\x00\x00\x01\xb7"
+    out, _ = decode_m1v(q)
+    assert out.shape[0] == 2  # both I pictures, P skipped
+    ref, _ = decode_m1v(bytes(p))
+    assert np.array_equal(out, ref)
+
+
+def test_only_pb_pictures_raises():
+    hdr = encode_m1v(_clip(1, h=16, w=16))
+    seq_end = hdr.find(b"\x00\x00\x01\x00")  # first picture start
+    fake_p = bytes([0, 0, 1, 0]) + bytes([0x00, 0x10 | 0x08, 0xFF, 0xFF])
+    stream = hdr[:seq_end] + fake_p + b"\x00\x00\x01\xb7"
+    with pytest.raises(VideoDecodeError, match="no decodable I-pictures"):
+        decode_m1v(stream)
+
+
+def test_typed_errors():
+    frames = _clip(1, h=16, w=16)
+    p = bytearray(encode_m1v(frames))
+    with pytest.raises(VideoDecodeError, match="not an MPEG-1"):
+        decode_m1v(b"junk")
+    with pytest.raises(VideoDecodeError, match="truncated|exhausted|no decodable"):
+        decode_m1v(bytes(p[:20]))
+    # clear load_intra_quantizer_matrix: stream now relies on the
+    # default matrix -> typed rejection (documented subset)
+    q = bytearray(p)
+    # sequence header: 32 start + 12+12+4+4+18+1+10+1 = 94 bits; the
+    # load flag is bit 94 (byte 11, bit 6)
+    q[11] &= ~(1 << 1)
+    with pytest.raises(VideoDecodeError, match="default intra quantizer"):
+        decode_m1v(bytes(q))
+
+
+def test_ac_vlc_outside_subset_raises():
+    """Flipping a bit inside the first block's coefficient data makes
+    the decoder hit a non-EOB/ESCAPE prefix -> typed error (or a
+    detectably corrupt structure), never silent garbage."""
+    frames = _clip(1, h=16, w=16)
+    p = bytearray(encode_m1v(frames))
+    sl = p.find(b"\x00\x00\x01\x01")  # first slice
+    saw_typed = 0
+    for off in range(6, 14):
+        q = bytearray(p)
+        q[sl + off] ^= 0xFF
+        try:
+            decode_m1v(bytes(q))
+        except VideoDecodeError:
+            saw_typed += 1
+    assert saw_typed >= 6  # corruption is detected, not mis-decoded
+
+
+def test_decode_frames_routes_m1v():
+    from dedup_spark.operators.multimodal import decode_frames
+
+    frames = _clip(3)
+    out, fps, dec = decode_frames(encode_m1v(frames), fake=False)
+    assert dec == "m1v" and out.shape == frames.shape
+    # max_frames sampling grid matches the fingerprint's
+    out2, _, _ = decode_frames(encode_m1v(frames), fake=False, max_frames=2)
+    assert out2.shape[0] == 2
+
+
+def test_cross_container_cluster_y4m_mkv_m1v(spark):
+    """Flagship: the SAME clip as raw Y4M, MJPEG-in-Matroska and
+    MPEG-1 intra ES forms ONE video near-dup cluster; different
+    content stays out."""
+    from dedup_spark.functions.videocodec import encode_mkv_mjpeg, encode_y4m
+    from dedup_spark.operators.multimodal import video_near_dup_clusters
+
+    a = _clip(4, h=48, w=64)
+    b = _clip(4, h=48, w=64, seed=99)
+    rows = [
+        (1, "video", bytearray(encode_y4m(a)), ""),
+        (2, "video", bytearray(encode_mkv_mjpeg(a, quality=90)), ""),
+        (3, "video", bytearray(encode_m1v(a)), ""),
+        (4, "video", bytearray(encode_y4m(b)), ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    out = {r["asset_id"]: r for r in video_near_dup_clusters(df).collect()}
+    assert out[1]["decoder"] == "y4m"
+    assert out[2]["decoder"] == "mkv-mjpeg"
+    assert out[3]["decoder"] == "m1v"
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
+    assert out[4]["cluster_id"] != out[1]["cluster_id"]
