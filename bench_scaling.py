@@ -249,11 +249,66 @@ def main() -> None:
     pair_list = [(a, a * 4) for a in all_levels if a * 4 in all_levels]
 
     # host calibration per N->4N pair (Spark-free, after the Spark
-    # subprocesses — never concurrently)
+    # subprocesses — never concurrently). The CURRENT window's probe is
+    # telemetry only: ceilings used for judgement come from the BEST
+    # aggregate per level across the full calibration history — the
+    # exact min-wall policy the pipeline headline itself uses, so both
+    # sides of E_vs_kernel_ceiling are steal-free estimates. (A single
+    # contended window used to overwrite the ceiling and inflate the
+    # ratio to nonsense — 0.28 kernel ceiling -> 2.4 "efficiency".)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from scripts.host_calibration import calibrate
 
     calib = {f"{a}->{b}": calibrate(a, b, reps=5) for a, b in pair_list}
+
+    cal_history = []
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            cal_history = prev.get("calibration_history", [])
+            # absorb a legacy single-window host_calibration block once
+            if not cal_history and prev.get("host_calibration"):
+                cal_history.append(
+                    {"provenance": "legacy single-window block",
+                     "pairs": prev["host_calibration"]}
+                )
+        except (json.JSONDecodeError, OSError):
+            pass
+    cal_history.append({"provenance": "this invocation's window", "pairs": calib})
+
+    def _best_cal(pair: str) -> dict:
+        """Min-wall analog for the probes: best aggregate per level
+        across every recorded calibration window, ceiling from those."""
+        out = {}
+        for probe in ("alu", "kernel"):
+            hi_n = max(
+                (h["pairs"][pair][probe]["agg_at_N"]
+                 for h in cal_history
+                 if pair in h.get("pairs", {}) and probe in h["pairs"][pair]),
+                default=0.0,
+            )
+            hi_4n = max(
+                (h["pairs"][pair][probe]["agg_at_4N"]
+                 for h in cal_history
+                 if pair in h.get("pairs", {}) and probe in h["pairs"][pair]),
+                default=0.0,
+            )
+            if hi_n > 0:
+                out[probe] = {
+                    "agg_at_N": hi_n,
+                    "agg_at_4N": hi_4n,
+                    "ceiling_E": round((hi_4n / hi_n) / 4.0, 3),
+                }
+        pc = next(
+            (h["pairs"][pair] for h in cal_history if pair in h.get("pairs", {})),
+            {},
+        )
+        out["n_cores"] = pc.get("n_cores")
+        out["four_n_cores"] = pc.get("four_n_cores")
+        return out
+
+    best_cal = {p: _best_cal(p) for p in calib}
 
     pairs = {}
     for a, b in pair_list:
@@ -262,13 +317,16 @@ def main() -> None:
             continue
         e_raw = round((best[kb]["files_per_sec"] / best[ka]["files_per_sec"]) / 4.0, 3)
         entry = {"E_raw": e_raw}
-        cal = calib.get(f"{a}->{b}")
-        if cal:
-            entry["host_ceiling_alu"] = cal["alu"]["ceiling_E"]
+        cal = best_cal.get(f"{a}->{b}")
+        if cal and "kernel" in cal:
+            entry["host_ceiling_alu"] = cal.get("alu", {}).get("ceiling_E")
             entry["host_ceiling_kernel"] = cal["kernel"]["ceiling_E"]
             entry["E_vs_kernel_ceiling"] = round(
                 e_raw / cal["kernel"]["ceiling_E"], 3
             )
+            win = calib.get(f"{a}->{b}")
+            if win:
+                entry["window_ceiling_kernel"] = win["kernel"]["ceiling_E"]
         entry["stage_efficiency"] = {
             k: round(best[ka]["stages"][k] / (4.0 * best[kb]["stages"][k]), 3)
             for k in best[ka].get("stages", {})
@@ -285,14 +343,19 @@ def main() -> None:
         "n_files": n,
         "levels": {str(c): best[str(c)] for c in all_levels},
         "pairs": pairs,
-        "host_calibration": calib,
+        "host_calibration": best_cal,
+        "calibration_window": calib,
+        "calibration_history": cal_history,
         "protocol": (
             "single-JVM local[k] curve; each level its own subprocess, 2 trials, "
             "min wall; fixed shuffle partitioning (64); identical deterministic "
             "input; recall + n_clusters asserted per level. Host calibration = "
             "Spark-free synchronized multiprocessing probes (ALU + the actual "
             "signature kernel) at the same core counts — the max any job can "
-            "scale on this shared-tenancy VM."
+            "scale on this shared-tenancy VM. host_calibration = best aggregate "
+            "per level across calibration_history (min-wall analog, matches the "
+            "pipeline headline policy); calibration_window = this invocation's "
+            "own probe, telemetry only."
         ),
         "headline_policy": (
             "min wall per level across runs at this n_files, then one ratio per "
