@@ -846,14 +846,20 @@ class _ProgressiveDecoder:
         pass (Ah == 0) decodes point-transformed DC differences; a
         refinement appends one magnitude bit per block (T.81 G.1.2.1 —
         OR-ing bit<<Al is exact for negative values too, because the
-        first pass stored floor-shifted multiples of 2^Al)."""
+        first pass stored floor-shifted multiples of 2^Al).
+
+        Hot path runs on the same local-variable bit-window arithmetic
+        as the baseline ``_decode_scan`` loop (acc/navail refilled
+        byte-wise from the unstuffed restart segment, bytes-backed
+        Huffman LUTs); accept/reject behavior and decoded planes are
+        pinned by the cross-mode hypothesis matrix."""
         tables = {}
         for c, td, _ta in scomps:
             if ah == 0:  # refinement scans use no Huffman table
                 t = hufftables.get((0, td))
                 if t is None:
                     raise ImageDecodeError("missing DC Huffman table")
-                tables[c["id"]] = t
+                tables[c["id"]] = (t.lut_val_b, t.lut_len_b)
         pred = {c["id"]: 0 for c, _, _ in scomps}
         if len(scomps) > 1:
             walk_units = [
@@ -871,124 +877,278 @@ class _ProgressiveDecoder:
             bh, bw = self._noninterleaved_blocks(c)
             walk_units = [[(c, by, bx)] for by in range(bh) for bx in range(bw)]
         next_rst = 0
+        seg_idx = 0
+        seg = br.segs[0] + b"\x00" * 8
+        seg_bits = (len(seg) - 8) * 8
+        acc = navail = spos = 0
         for ui, unit in enumerate(walk_units):
             if restart_interval and ui and ui % restart_interval == 0:
-                if br.align_to_marker() != next_rst:
+                if seg_bits - ((spos << 3) - navail) >= 8:
+                    raise ImageDecodeError(
+                        "restart marker with unconsumed entropy data"
+                    )
+                if seg_idx >= len(br.markers):
+                    raise ImageDecodeError("expected restart marker")
+                if br.markers[seg_idx] != next_rst:
                     raise ImageDecodeError("restart marker out of sequence")
                 next_rst = (next_rst + 1) & 7
                 pred = {k: 0 for k in pred}
+                seg = br.segs[seg_idx + 1] + b"\x00" * 8
+                seg_bits = (len(seg) - 8) * 8
+                seg_idx += 1
+                acc = navail = spos = 0
             for c, by, bx in unit:
                 arr, idx = self._dc_slot(c, by, bx)
                 if ah == 0:
-                    s = tables[c["id"]].decode(br)
+                    dval, dlen = tables[c["id"]]
+                    while navail < 16:
+                        acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                        spos += 1
+                        navail += 8
+                    v16 = (acc >> (navail - 16)) & 0xFFFF
+                    ln = dlen[v16]
+                    if ln == 0:
+                        raise ImageDecodeError("invalid Huffman code in entropy data")
+                    s = dval[v16]
+                    navail -= ln
                     if s > 11:
                         raise ImageDecodeError("invalid DC magnitude")
-                    pred[c["id"]] += _extend(br.receive(s), s)
+                    if s:
+                        while navail < s:
+                            acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                            spos += 1
+                            navail += 8
+                        r = (acc >> (navail - s)) & ((1 << s) - 1)
+                        navail -= s
+                        diff = r if r >= (1 << (s - 1)) else r - (1 << s) + 1
+                    else:
+                        diff = 0
+                    if (spos << 3) - navail > seg_bits:
+                        raise ImageDecodeError("JPEG entropy data exhausted")
+                    pred[c["id"]] += diff
                     arr[idx] = pred[c["id"]] << al
-                elif br.receive(1):
-                    arr[idx] |= 1 << al
+                else:
+                    if navail < 1:
+                        acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                        spos += 1
+                        navail += 8
+                    bit = (acc >> (navail - 1)) & 1
+                    navail -= 1
+                    if (spos << 3) - navail > seg_bits:
+                        raise ImageDecodeError("JPEG entropy data exhausted")
+                    if bit:
+                        arr[idx] |= 1 << al
 
     def _decode_ac_scan(self, br, c, ta, ss, se, ah, al, hufftables, restart_interval):
         """Luma AC scan: EOB-run first pass (G.1.2.2) or one-bit
         refinement with correction bits (G.1.2.3). Non-interleaved by
         spec — the restart interval counts BLOCKS here, and both the
-        DC predictor-equivalent (EOBRUN) and the walk reset on RSTn."""
+        DC predictor-equivalent (EOBRUN) and the walk reset on RSTn.
+
+        Hot path: the same local-variable bit-window/bytes-LUT loop as
+        the baseline scan. Coefficient stores avoid per-element numpy
+        scalar writes — the first pass collects (block, k, value)
+        triples and scatters them once per scan; the refinement works
+        on a per-block ``tolist()`` copy and writes the band back with
+        one slice assign. The segment pad is 512 bytes and exhaustion
+        is checked once per block (plus at every EOBRUN receive):
+        zero-pad refills decode harmlessly inside one block's bounded
+        walk, and the net-consumed check still fires before any result
+        escapes — a stream the per-symbol reader rejected is still
+        rejected, with the same typed error."""
         act = hufftables.get((1, ta))
         if act is None:
             raise ImageDecodeError("missing AC Huffman table")
+        aval, alen = act.lut_val_b, act.lut_len_b
         bh, bw = self._noninterleaved_blocks(c)
+        coef = self.coef
+        p1 = 1 << al
+        m1 = -p1
         eobrun = 0
         next_rst = 0
         bi = 0
+        pad = 512
+        seg_idx = 0
+        seg = br.segs[0] + b"\x00" * pad
+        seg_bits = (len(seg) - pad) * 8
+        acc = navail = spos = 0
+        sc_b: list[int] = []  # first-pass scatter: flat block index
+        sc_k: list[int] = []  # ... zigzag position
+        sc_v: list[int] = []  # ... dequantized-domain value << al
         for by in range(bh):
             for bx in range(bw):
                 if restart_interval and bi and bi % restart_interval == 0:
-                    if br.align_to_marker() != next_rst:
+                    if seg_bits - ((spos << 3) - navail) >= 8:
+                        raise ImageDecodeError(
+                            "restart marker with unconsumed entropy data"
+                        )
+                    if seg_idx >= len(br.markers):
+                        raise ImageDecodeError("expected restart marker")
+                    if br.markers[seg_idx] != next_rst:
                         raise ImageDecodeError("restart marker out of sequence")
                     next_rst = (next_rst + 1) & 7
                     eobrun = 0
+                    seg = br.segs[seg_idx + 1] + b"\x00" * pad
+                    seg_bits = (len(seg) - pad) * 8
+                    seg_idx += 1
+                    acc = navail = spos = 0
                 bi += 1
-                z = self.coef[by, bx]
                 if ah == 0:
-                    eobrun = self._ac_first_block(br, act, z, ss, se, al, eobrun)
-                else:
-                    eobrun = self._ac_refine_block(br, act, z, ss, se, al, eobrun)
-
-    @staticmethod
-    def _ac_first_block(br, act, z, ss, se, al, eobrun) -> int:
-        if eobrun > 0:
-            return eobrun - 1
-        k = ss
-        while k <= se:
-            rs = act.decode(br)
-            r, s = rs >> 4, rs & 0xF
-            if s == 0:
-                if r == 15:  # ZRL: 16 zero coefficients
-                    k += 16
-                    continue
-                eobrun = (1 << r) - 1
-                if r:
-                    eobrun += br.receive(r)
-                break
-            k += r
-            if k > se:
-                raise ImageDecodeError("AC run past spectral band end")
-            z[k] = _extend(br.receive(s), s) << al
-            k += 1
-        return eobrun
-
-    @staticmethod
-    def _ac_refine_block(br, act, z, ss, se, al, eobrun) -> int:
-        """G.1.2.3: within the band, already-nonzero coefficients take
-        one correction bit each; zero-history coefficients are counted
-        by the run lengths, and a newly significant coefficient
-        arrives as s == 1 with an explicit sign bit."""
-        p1 = 1 << al
-        k = ss
-
-        def correct(k_):
-            if br.receive(1) and (z[k_] & p1) == 0:
-                z[k_] += p1 if z[k_] >= 0 else -p1
-
-        if eobrun == 0:
-            while k <= se:
-                rs = act.decode(br)
-                r, s = rs >> 4, rs & 0xF
-                val = 0
-                if s == 0:
-                    if r != 15:
-                        # NO -1 here (unlike the first pass): the
-                        # current block's tail is consumed by the
-                        # correction walk below, which decrements
-                        eobrun = 1 << r
-                        if r:
-                            eobrun += br.receive(r)
-                        break
-                    # ZRL: skip 16 zero-history coefficients below
-                elif s == 1:
-                    val = p1 if br.receive(1) else -p1
-                else:
-                    raise ImageDecodeError("invalid refinement AC code")
-                while k <= se:
-                    if z[k] != 0:
-                        correct(k)
-                    else:
-                        if r == 0:
+                    # ---- first pass (G.1.2.2) -----------------------
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        while navail < 16:
+                            acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                            spos += 1
+                            navail += 8
+                        v16 = (acc >> (navail - 16)) & 0xFFFF
+                        ln = alen[v16]
+                        if ln == 0:
+                            raise ImageDecodeError(
+                                "invalid Huffman code in entropy data"
+                            )
+                        rs = aval[v16]
+                        navail -= ln
+                        s = rs & 0xF
+                        if s == 0:
+                            r = rs >> 4
+                            if r == 15:  # ZRL: 16 zero coefficients
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                while navail < r:
+                                    acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                                    spos += 1
+                                    navail += 8
+                                eobrun += (acc >> (navail - r)) & ((1 << r) - 1)
+                                navail -= r
                             break
-                        r -= 1
-                    k += 1
-                if val:
-                    if k > se:
-                        raise ImageDecodeError("refinement coefficient past band")
-                    z[k] = val
-                k += 1
-        if eobrun > 0:
-            while k <= se:
-                if z[k] != 0:
-                    correct(k)
-                k += 1
-            eobrun -= 1
-        return eobrun
+                        k += rs >> 4
+                        if k > se:
+                            raise ImageDecodeError("AC run past spectral band end")
+                        while navail < s:
+                            acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                            spos += 1
+                            navail += 8
+                        rv = (acc >> (navail - s)) & ((1 << s) - 1)
+                        navail -= s
+                        # stride is the MCU-padded row width, not the
+                        # non-interleaved walk width bw
+                        sc_b.append(by * coef.shape[1] + bx)
+                        sc_k.append(k)
+                        sc_v.append(
+                            (rv if rv >= (1 << (s - 1)) else rv - (1 << s) + 1)
+                            << al
+                        )
+                        k += 1
+                    if (spos << 3) - navail > seg_bits:
+                        raise ImageDecodeError("JPEG entropy data exhausted")
+                else:
+                    # ---- refinement (G.1.2.3) -----------------------
+                    # within the band, already-nonzero coefficients
+                    # take one correction bit each; zero-history
+                    # coefficients are counted by the run lengths, and
+                    # a newly significant coefficient arrives as
+                    # s == 1 with an explicit sign bit
+                    z = coef[by, bx]
+                    zl = z.tolist()
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            while navail < 16:
+                                acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                                spos += 1
+                                navail += 8
+                            v16 = (acc >> (navail - 16)) & 0xFFFF
+                            ln = alen[v16]
+                            if ln == 0:
+                                raise ImageDecodeError(
+                                    "invalid Huffman code in entropy data"
+                                )
+                            rs = aval[v16]
+                            navail -= ln
+                            r, s = rs >> 4, rs & 0xF
+                            val = 0
+                            if s == 0:
+                                if r != 15:
+                                    # NO -1 here (unlike the first
+                                    # pass): the current block's tail
+                                    # is consumed by the correction
+                                    # walk below, which decrements
+                                    eobrun = 1 << r
+                                    if r:
+                                        while navail < r:
+                                            acc = (
+                                                (acc << 8) | seg[spos]
+                                            ) & 0xFFFFFFFF
+                                            spos += 1
+                                            navail += 8
+                                        eobrun += (acc >> (navail - r)) & (
+                                            (1 << r) - 1
+                                        )
+                                        navail -= r
+                                    break
+                                # ZRL: skip 16 zero-history coeffs below
+                            elif s == 1:
+                                if navail < 1:
+                                    acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                                    spos += 1
+                                    navail += 8
+                                val = p1 if (acc >> (navail - 1)) & 1 else m1
+                                navail -= 1
+                            else:
+                                raise ImageDecodeError(
+                                    "invalid refinement AC code"
+                                )
+                            while k <= se:
+                                zk = zl[k]
+                                if zk != 0:
+                                    if navail < 1:
+                                        acc = (
+                                            (acc << 8) | seg[spos]
+                                        ) & 0xFFFFFFFF
+                                        spos += 1
+                                        navail += 8
+                                    bit = (acc >> (navail - 1)) & 1
+                                    navail -= 1
+                                    if bit and (zk & p1) == 0:
+                                        zl[k] = zk + (p1 if zk >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val:
+                                if k > se:
+                                    raise ImageDecodeError(
+                                        "refinement coefficient past band"
+                                    )
+                                zl[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            zk = zl[k]
+                            if zk != 0:
+                                if navail < 1:
+                                    acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                                    spos += 1
+                                    navail += 8
+                                bit = (acc >> (navail - 1)) & 1
+                                navail -= 1
+                                if bit and (zk & p1) == 0:
+                                    zl[k] = zk + (p1 if zk >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+                    if (spos << 3) - navail > seg_bits:
+                        raise ImageDecodeError("JPEG entropy data exhausted")
+                    z[ss : se + 1] = zl[ss : se + 1]
+        if sc_b:
+            flat = coef.reshape(-1, 64)
+            flat[sc_b, sc_k] = sc_v
 
     # ---- reconstruction ---------------------------------------------------
 
