@@ -1,44 +1,66 @@
-"""MPEG-1 video (ISO/IEC 11172-2) intra-picture decode + fixture encoder.
+"""MPEG-1/MPEG-2 video intra-picture decode + fixture encoders.
 
 The reference fingerprints compressed video by extracting KEYFRAMES
 with ffmpeg and pHashing them (/root/reference/src/
 video_fingerprint.rs:59-103) — exactly the I-picture subset of a
-video stream. This module decodes MPEG-1 elementary-stream I-pictures
-for real and SKIPS P/B pictures (scan to the next start code), which
-is the native analog of keyframe-only extraction; legacy MPEG-1
-corpora join Y4M and the three MJPEG containers on the real-decode
-video path.
+video stream. This module decodes MPEG-1 (ISO/IEC 11172-2) AND MPEG-2
+(ISO/IEC 13818-2) elementary-stream I-pictures for real and SKIPS P/B
+pictures (scan to the next start code), which is the native analog of
+keyframe-only extraction; legacy MPEG-1/2 corpora (VCD/DVD/broadcast
+lineage) join Y4M and the three MJPEG containers on the real-decode
+video path. The variant is detected per the specs: a
+sequence_extension (start code B5, id 0001) immediately after the
+sequence header makes the stream MPEG-2; its absence makes it MPEG-1.
 
-What is EXACT per the public spec:
+What is EXACT per the public specs:
   * start-code framing; sequence header (dimensions, pel aspect,
     picture rate, loaded intra/non-intra quantizer matrices), GOP and
-    picture headers, slice layer (vertical position, quantizer_scale);
+    picture headers, slice layer (vertical position, quantizer scale,
+    MPEG-2 intra_slice flag block);
+  * MPEG-2 sequence_extension (size extensions folded into the
+    dimensions, chroma_format, frame-rate extension arithmetic) and
+    picture_coding_extension (intra_dc_precision, picture_structure,
+    q_scale_type, intra_vlc_format, alternate_scan, composite skip);
   * macroblock layer for intra pictures: address-increment stuffing/
     escape, the 2-entry I-picture macroblock_type code ('1' intra,
     '01' intra+quant), per-component DC predictors with slice reset
-    to 128;
-  * intra DC reconstruction (F0 = 8 * (pred + diff)) and the AC
-    dequantizer (2*QFS*q*W/16 with oddification and +-2048 clamp),
-    4:2:0 block order (4Y + Cb + Cr), zigzag order, float IDCT (the
-    spec leaves IDCT realization implementation-defined within IEEE
-    1180 bounds).
+    to 2^(7+intra_dc_precision);
+  * intra DC reconstruction (F0 = pred << (3 - intra_dc_precision);
+    MPEG-1 is the precision-0 form F0 = 8 * pred) and the AC
+    dequantizers — MPEG-1: (2*QFS*q*W)/16 with per-coefficient
+    oddification; MPEG-2: (2*QF*W*qs)/32 truncated toward zero with
+    BLOCK mismatch control (13818-2 7.4.4: if the coefficient sum is
+    even, the (7,7) coefficient's LSB is toggled) — both with the
+    +-2048 saturation, 4:2:0 block order (4Y + Cb + Cr), zigzag
+    order, float IDCT (the specs leave IDCT realization
+    implementation-defined within IEEE 1180 bounds).
 
 Documented deltas (same policy as the audio codecs — no conformance
 vectors or codec libraries exist in this container to verify opaque
 code pages against):
-  * Of the spec's Annex-B VLC pages, the shipped subset is: the
-    dct_dc_size luminance/chrominance codes, macroblock address
-    increment '1' (+1), EOB ('10') and the fully fixed-length ESCAPE
-    run/level coding ('000001' + 6-bit run + 8/16-bit level). Any
-    other AC code or increment prefix raises the typed
-    ``VideoDecodeError`` — never a silent mis-decode — and the media
-    orchestrator reroutes the file to byte-shingle near-dup. The
-    fixture encoder escape-codes every AC coefficient, so the full
-    layer stack is exercised end-to-end by REAL conforming streams.
+  * Of the specs' Annex-B VLC pages, the shipped subset is: the
+    dct_dc_size luminance/chrominance codes (sizes 0-8, shared by
+    both specs), macroblock address increment '1' (+1), EOB ('10',
+    Table B-14) and the fully fixed-length ESCAPE run/level coding
+    (MPEG-1: '000001' + 6-bit run + 8/16-bit level; MPEG-2: '000001'
+    + 6-bit run + 12-bit two's-complement level). Any other AC code
+    or increment prefix raises the typed ``VideoDecodeError`` — never
+    a silent mis-decode — and the media orchestrator reroutes the
+    file to byte-shingle near-dup. The fixture encoders escape-code
+    every AC coefficient, so the full layer stack is exercised
+    end-to-end by REAL conforming streams.
   * Streams relying on the DEFAULT quantizer matrices are rejected
     with the typed error (the default intra matrix is an opaque table
-    page); the fixture encoder always loads explicit matrices, which
-    the spec allows for any stream.
+    page); the fixture encoders always load explicit matrices, which
+    both specs allow for any stream.
+  * MPEG-2 constructs outside the subset raise the typed error:
+    non-4:2:0 chroma, field/interlaced pictures (picture_structure
+    != frame, frame_pred_frame_dct == 0), concealment motion
+    vectors, the NONLINEAR quantiser_scale mapping (q_scale_type 1 —
+    Table 7-6 is an opaque page), intra_vlc_format 1 (Table B-15)
+    and alternate_scan 1 (the alternate scan matrix is an opaque
+    page). Linear q_scale, zigzag scan and Table-B-14 EOB/ESCAPE are
+    the subset — all of them choosable by any conforming encoder.
   * P/B pictures are skipped, not decoded (keyframe parity with the
     reference, which fingerprints keyframes only).
 """
@@ -134,18 +156,26 @@ class _BitW:
 _MAX_FRAMES_CAP = 1 << 14
 
 
-def decode_m1v(payload: bytes, max_frames: int | None = None
-               ) -> tuple[np.ndarray, float]:
-    """MPEG-1 video elementary stream -> (luma frames uint8 (n,h,w),
-    fps). I-pictures decode for real; P/B pictures are skipped
-    (keyframe parity — module docstring). Typed VideoDecodeError on
-    every unsupported/corrupt construct."""
+def decode_mpeg_video(payload: bytes, max_frames: int | None = None
+                      ) -> tuple[np.ndarray, float, str]:
+    """MPEG-1/2 video elementary stream -> (luma frames uint8 (n,h,w),
+    fps, variant 'm1v'|'m2v'). I-pictures decode for real; P/B
+    pictures are skipped (keyframe parity — module docstring). Typed
+    VideoDecodeError on every unsupported/corrupt construct."""
     try:
         return _decode_m1v(payload, max_frames)
     except VideoDecodeError:
         raise
     except (ValueError, IndexError, OverflowError, MemoryError) as exc:
-        raise VideoDecodeError(f"corrupt MPEG-1 video: {exc!r}") from exc
+        raise VideoDecodeError(f"corrupt MPEG video: {exc!r}") from exc
+
+
+def decode_m1v(payload: bytes, max_frames: int | None = None
+               ) -> tuple[np.ndarray, float]:
+    """Back-compat wrapper over :func:`decode_mpeg_video` (drops the
+    variant tag)."""
+    frames, fps, _variant = decode_mpeg_video(payload, max_frames)
+    return frames, fps
 
 
 def _next_start(d: bytes, i: int) -> int:
@@ -153,19 +183,19 @@ def _next_start(d: bytes, i: int) -> int:
     return d.find(b"\x00\x00\x01", i)
 
 
-def _decode_m1v(payload: bytes, max_frames) -> tuple[np.ndarray, float]:
+def _decode_m1v(payload: bytes, max_frames) -> tuple[np.ndarray, float, str]:
     d = payload or b""
     if d[:4] != b"\x00\x00\x01\xb3":
-        raise VideoDecodeError("not an MPEG-1 video elementary stream")
+        raise VideoDecodeError("not an MPEG video elementary stream")
     b = _Bits(d, 32)
     w = b.read(12)
     h = b.read(12)
     if not w or not h or w * h > (1 << 26):
-        raise VideoDecodeError("bad MPEG-1 dimensions")
-    b.read(4)  # pel aspect
+        raise VideoDecodeError("bad MPEG dimensions")
+    b.read(4)  # pel aspect (MPEG-2: aspect_ratio_information)
     rate_code = b.read(4)
     if rate_code not in _FPS:
-        raise VideoDecodeError("reserved MPEG-1 picture rate")
+        raise VideoDecodeError("reserved MPEG picture rate")
     fps = _FPS[rate_code]
     b.read(18 + 1 + 10 + 1)  # bit_rate, marker, vbv, constrained
     if b.read(1):  # load_intra_quantizer_matrix
@@ -182,9 +212,31 @@ def _decode_m1v(payload: bytes, max_frames) -> tuple[np.ndarray, float]:
         for _ in range(64):
             b.read(8)
 
+    # MPEG-2 detection (13818-2 6.2.2): a sequence_extension with
+    # identifier 0001 MUST immediately follow the sequence header
+    i = (b.p + 7) // 8
+    mpeg2 = False
+    j = _next_start(d, i)
+    if j >= 0 and j + 5 <= len(d) and d[j + 3] == 0xB5 and d[j + 4] >> 4 == 1:
+        mpeg2 = True
+        eb = _Bits(d, (j + 4) * 8)
+        eb.read(4)   # extension id (checked above)
+        eb.read(8)   # profile_and_level_indication
+        eb.read(1)   # progressive_sequence
+        if eb.read(2) != 1:
+            raise VideoDecodeError("MPEG-2 chroma format is not 4:2:0")
+        w |= eb.read(2) << 12  # horizontal_size_extension
+        h |= eb.read(2) << 12  # vertical_size_extension
+        if not w or not h or w * h > (1 << 26):
+            raise VideoDecodeError("bad MPEG-2 extended dimensions")
+        eb.read(12 + 1 + 8 + 1)  # bit_rate_ext, marker, vbv_ext, low_delay
+        fr_n = eb.read(2)
+        fr_d = eb.read(5)
+        fps = fps * (fr_n + 1) / (fr_d + 1)
+        i = (eb.p + 7) // 8
+
     mb_w, mb_h = -(-w // 16), -(-h // 16)
     frames: list[np.ndarray] = []
-    i = (b.p + 7) // 8
     n_skipped = 0
     while True:
         j = _next_start(d, i)
@@ -198,10 +250,15 @@ def _decode_m1v(payload: bytes, max_frames) -> tuple[np.ndarray, float]:
             pb.read(10)  # temporal reference
             ptype = pb.read(3)
             if ptype == 1:
-                frame, i = _decode_i_picture(d, j, mb_w, mb_h, iq)
+                if mpeg2:
+                    dc_prec, slice_at = _picture_coding_extension(d, j)
+                else:
+                    dc_prec, slice_at = 0, j
+                frame, i = _decode_i_picture(
+                    d, slice_at, mb_w, mb_h, iq, mpeg2, dc_prec)
                 frames.append(frame[:h, :w])
                 if len(frames) > _MAX_FRAMES_CAP:
-                    raise VideoDecodeError("MPEG-1 frame cap exceeded")
+                    raise VideoDecodeError("MPEG frame cap exceeded")
                 continue
             n_skipped += 1  # P/B picture: keyframe parity — skip it
         i = j + 4  # skip to next start code (P/B data, GOP, user data)
@@ -212,12 +269,58 @@ def _decode_m1v(payload: bytes, max_frames) -> tuple[np.ndarray, float]:
     if max_frames is not None and stack.shape[0] > max_frames:
         idx = np.linspace(0, stack.shape[0] - 1, max_frames).round().astype(int)
         stack = stack[idx]
-    return stack, fps
+    return stack, fps, ("m2v" if mpeg2 else "m1v")
+
+
+def _picture_coding_extension(d: bytes, pic_at: int) -> tuple[int, int]:
+    """Parse the picture_coding_extension (13818-2 6.2.3.1) that must
+    follow an MPEG-2 picture header. Returns (intra_dc_precision,
+    byte offset from which to scan for the picture's slices).
+    Constructs outside the intra-decode subset raise the typed error
+    (module docstring)."""
+    j = _next_start(d, pic_at + 4)
+    if j < 0 or j + 5 > len(d) or d[j + 3] != 0xB5 or d[j + 4] >> 4 != 8:
+        raise VideoDecodeError("MPEG-2 picture lacks its coding extension")
+    b = _Bits(d, (j + 4) * 8)
+    b.read(4)        # extension id (checked above)
+    b.read(16)       # f_code[2][2]
+    dc_prec = b.read(2)
+    if dc_prec == 3:
+        raise VideoDecodeError("reserved MPEG-2 intra_dc_precision 3")
+    if b.read(2) != 0b11:
+        raise VideoDecodeError(
+            "MPEG-2 field picture (outside the intra-decode subset)")
+    b.read(1)        # top_field_first
+    if b.read(1) != 1:
+        raise VideoDecodeError(
+            "MPEG-2 frame_pred_frame_dct 0 (field DCT possible — "
+            "outside the intra-decode subset)")
+    if b.read(1):
+        raise VideoDecodeError(
+            "MPEG-2 concealment motion vectors (outside the subset)")
+    if b.read(1):
+        raise VideoDecodeError(
+            "MPEG-2 nonlinear quantiser_scale (Table 7-6 is outside "
+            "the verifiable subset)")
+    if b.read(1):
+        raise VideoDecodeError(
+            "MPEG-2 intra_vlc_format 1 (Table B-15 is outside the "
+            "verifiable subset)")
+    if b.read(1):
+        raise VideoDecodeError(
+            "MPEG-2 alternate_scan (the alternate scan matrix is "
+            "outside the verifiable subset)")
+    b.read(1 + 1 + 1)  # repeat_first_field, chroma_420_type, progressive
+    if b.read(1):      # composite_display_flag
+        b.read(20)
+    return dc_prec, j
 
 
 def _decode_i_picture(d: bytes, pic_at: int, mb_w: int, mb_h: int,
-                      iq: np.ndarray) -> tuple[np.ndarray, int]:
-    """Decode one I-picture starting at its 00 00 01 00 header; returns
+                      iq: np.ndarray, mpeg2: bool = False,
+                      dc_prec: int = 0) -> tuple[np.ndarray, int]:
+    """Decode one I-picture; scanning for slices starts after the
+    header (or picture coding extension) at ``pic_at``; returns
     (luma (16*mb_h, 16*mb_w) uint8, byte index after the picture)."""
     luma = np.zeros((mb_h * 16, mb_w * 16), dtype=np.float64)
     i = pic_at + 4
@@ -231,7 +334,7 @@ def _decode_i_picture(d: bytes, pic_at: int, mb_w: int, mb_h: int,
         if not (0x01 <= code <= 0xAF):
             i = j
             break
-        _decode_slice(d, j, code, mb_w, mb_h, iq, luma)
+        _decode_slice(d, j, code, mb_w, mb_h, iq, luma, mpeg2, dc_prec)
         seen_slice = True
         i = j + 4
     if not seen_slice:
@@ -240,15 +343,23 @@ def _decode_i_picture(d: bytes, pic_at: int, mb_w: int, mb_h: int,
 
 
 def _decode_slice(d: bytes, at: int, vpos: int, mb_w: int, mb_h: int,
-                  iq: np.ndarray, luma: np.ndarray) -> None:
+                  iq: np.ndarray, luma: np.ndarray, mpeg2: bool,
+                  dc_prec: int) -> None:
     b = _Bits(d, (at + 4) * 8)
     q_scale = b.read(5)
     if q_scale == 0:
         raise VideoDecodeError("forbidden quantizer_scale 0")
+    if mpeg2:
+        # q_scale_type 0 (enforced at the picture coding extension):
+        # quantiser_scale = 2 * quantiser_scale_code (13818-2 7.4.2.2)
+        q_scale *= 2
+        if b.peek(1):  # intra_slice_flag block (13818-2 6.2.4)
+            b.read(1 + 1 + 7)  # flag, intra_slice, reserved_bits
     while b.read(1):  # extra_bit_slice
         b.read(8)
-    # DC predictors reset at slice start (value 128 in QFS/8 units)
-    pred = [128.0, 128.0, 128.0]
+    # DC predictors reset at slice start (13818-2 7.2.1: value
+    # 2^(7 + intra_dc_precision); MPEG-1 is the precision-0 case)
+    pred = [float(1 << (7 + dc_prec))] * 3
     mb_addr = (vpos - 1) * mb_w - 1
     while True:
         # macroblock_address_increment: stuffing / escape / subset '1'
@@ -277,10 +388,12 @@ def _decode_slice(d: bytes, at: int, vpos: int, mb_w: int, mb_h: int,
             q_scale = b.read(5)
             if q_scale == 0:
                 raise VideoDecodeError("forbidden quantizer_scale 0")
+            if mpeg2:
+                q_scale *= 2
         my, mx = divmod(mb_addr, mb_w)
         for blk in range(6):
             comp = 0 if blk < 4 else blk - 3  # 0=Y, 1=Cb, 2=Cr
-            zz = _decode_block(b, comp, pred, iq, q_scale)
+            zz = _decode_block(b, comp, pred, iq, q_scale, mpeg2, dc_prec)
             if blk < 4:
                 f = np.empty(64)
                 f[_ZIGZAG] = zz
@@ -307,7 +420,8 @@ def _slice_done(d: bytes, b: _Bits) -> bool:
 
 
 def _decode_block(b: _Bits, comp: int, pred: list, iq: np.ndarray,
-                  q_scale: int) -> np.ndarray:
+                  q_scale: int, mpeg2: bool = False,
+                  dc_prec: int = 0) -> np.ndarray:
     """One intra block -> 64 reconstructed coefficients (zigzag order)."""
     zz = np.zeros(64)
     table = _DC_LUM_DEC if comp == 0 else _DC_CHROM_DEC
@@ -326,35 +440,56 @@ def _decode_block(b: _Bits, comp: int, pred: list, iq: np.ndarray,
     else:
         diff = 0
     pred[comp] += diff
-    if not 0.0 <= pred[comp] <= 255.0:
+    if not 0.0 <= pred[comp] <= float((1 << (8 + dc_prec)) - 1):
         raise VideoDecodeError("intra DC predictor out of range")
-    zz[0] = 8.0 * pred[comp]
+    zz[0] = pred[comp] * float(1 << (3 - dc_prec))
     k = 0
     while True:
-        if b.peek(2) == 0b10:  # EOB
+        if b.peek(2) == 0b10:  # EOB (Table B-14 in both specs)
             b.read(2)
+            if mpeg2:
+                # 13818-2 7.4.4 mismatch control: if the coefficient
+                # sum is even, toggle the LSB of the (7,7) coefficient
+                # (zigzag index 63)
+                total = int(zz.sum())
+                if total % 2 == 0:
+                    f77 = int(zz[63])
+                    zz[63] = f77 - 1 if f77 % 2 else f77 + 1
             return zz
         if b.peek(6) == 0b000001:  # ESCAPE: fixed-length run/level
             b.read(6)
             run = b.read(6)
-            lv = b.read(8)
-            if lv == 0:
-                lv = b.read(8)  # +128..+255
-                if lv < 128:
-                    raise VideoDecodeError("invalid escape level extension")
-                level = lv
-            elif lv == 128:
-                level = b.read(8) - 256  # -255..-128
-                if level > -128:
-                    raise VideoDecodeError("invalid escape level extension")
+            if mpeg2:
+                lv = b.read(12)  # two's-complement signed_level
+                if lv == 0 or lv == 0x800:
+                    raise VideoDecodeError("forbidden MPEG-2 escape level")
+                level = lv - 4096 if lv >= 0x800 else lv
             else:
-                level = lv - 256 if lv > 128 else lv
+                lv = b.read(8)
+                if lv == 0:
+                    lv = b.read(8)  # +128..+255
+                    if lv < 128:
+                        raise VideoDecodeError("invalid escape level extension")
+                    level = lv
+                elif lv == 128:
+                    level = b.read(8) - 256  # -255..-128
+                    if level > -128:
+                        raise VideoDecodeError("invalid escape level extension")
+                else:
+                    level = lv - 256 if lv > 128 else lv
             k += run + 1
             if k > 63:
                 raise VideoDecodeError("AC run overruns the block")
-            f = (2 * level * q_scale * iq[_ZIGZAG[k]]) // 16
-            if f % 2 == 0:
-                f -= 1 if f > 0 else (-1 if f < 0 else 0)
+            if mpeg2:
+                # 13818-2 7.4.2.3 intra AC: (2*QF*W*qs)/32 truncated
+                # toward zero, no per-coefficient oddification (block
+                # mismatch control at EOB instead)
+                num = 2 * level * int(iq[_ZIGZAG[k]]) * q_scale
+                f = -((-num) // 32) if num < 0 else num // 32
+            else:
+                f = (2 * level * q_scale * iq[_ZIGZAG[k]]) // 16
+                if f % 2 == 0:
+                    f -= 1 if f > 0 else (-1 if f < 0 else 0)
             zz[k] = max(-2048, min(2047, f))
             continue
         raise VideoDecodeError(
@@ -371,12 +506,30 @@ def encode_m1v(frames: np.ndarray, fps: int = 25, q_scale: int = 4) -> bytes:
     docstring). frames: uint8 (n, h, w) luma; chroma encoded flat
     gray. Dimensions are padded to macroblock multiples internally;
     the sequence header carries the true size, so decode crops back."""
+    return _encode_mpeg(frames, fps, q_scale, mpeg2=False, dc_prec=0)
+
+
+def encode_m2v(frames: np.ndarray, fps: int = 25, q_scale: int = 4,
+               dc_prec: int = 0) -> bytes:
+    """MPEG-2 video fixture encoder: the MPEG-1 layout plus the
+    sequence_extension and per-picture picture_coding_extension
+    (progressive frame pictures, 4:2:0, linear q_scale, Table-B-14
+    escapes with 12-bit signed levels). ``dc_prec`` exercises
+    intra_dc_precision 0-2 (DC diffs must stay within the shared
+    size-8 dct_dc_size subset — raises ValueError otherwise)."""
+    if not 0 <= dc_prec <= 2:
+        raise ValueError("intra_dc_precision must be 0..2")
+    return _encode_mpeg(frames, fps, q_scale, mpeg2=True, dc_prec=dc_prec)
+
+
+def _encode_mpeg(frames: np.ndarray, fps: int, q_scale: int, mpeg2: bool,
+                 dc_prec: int) -> bytes:
     frames = np.asarray(frames)
     if frames.ndim != 3:
         raise ValueError("frames must be (n, h, w) luma")
     n, h, w = frames.shape
     if not (0 < w < 4096 and 0 < h < 4096):
-        raise ValueError("dimensions out of MPEG-1 12-bit range")
+        raise ValueError("dimensions out of MPEG 12-bit range")
     rate_code = {24: 2, 25: 3, 30: 5, 50: 6, 60: 8}.get(fps, 3)
     iq = np.full(64, 16, dtype=np.int64)
     iq[0] = 8  # DC entry (fixed DC quantizer, kept spec-shaped)
@@ -397,19 +550,40 @@ def encode_m1v(frames: np.ndarray, fps: int = 25, q_scale: int = 4) -> bytes:
     wtr.write(0, 1)   # no non-intra matrix
     out += wtr.bytes()
 
+    if mpeg2:
+        ew = _BitW()
+        ew.write(0x000001B5, 32)
+        ew.write(0b0001, 4)   # sequence_extension id
+        ew.write(0x48, 8)     # profile_and_level: Main@Main
+        ew.write(1, 1)        # progressive_sequence
+        ew.write(0b01, 2)     # chroma_format 4:2:0
+        ew.write(0, 2)        # horizontal_size_extension
+        ew.write(0, 2)        # vertical_size_extension
+        ew.write(0, 12)       # bit_rate_extension
+        ew.write(1, 1)        # marker
+        ew.write(0, 8)        # vbv_buffer_size_extension
+        ew.write(0, 1)        # low_delay
+        ew.write(0, 2)        # frame_rate_extension_n
+        ew.write(0, 5)        # frame_rate_extension_d
+        out += ew.bytes()
+
     mb_w, mb_h = -(-w // 16), -(-h // 16)
     pad = np.pad(frames.astype(np.float64),
                  ((0, 0), (0, mb_h * 16 - h), (0, mb_w * 16 - w)),
                  mode="edge")
-    # escape levels carry at most +-255: bump q_scale so the largest
-    # AC coefficient stays codable (what a real encoder's rate control
-    # does); one vectorized DCT pre-pass over every block
-    blocks = pad.reshape(n, mb_h * 2, 8, mb_w * 2, 8).transpose(0, 1, 3, 2, 4)
-    coeffs = np.einsum("ij,nabjk,lk->nabil", _DCT8, blocks, _DCT8)
-    coeffs.reshape(n, mb_h * 2, mb_w * 2, 64)[..., 0] = 0.0  # ignore DC
-    max_ac = float(np.abs(coeffs).max())
-    # level = F/(2q) with the flat W=16 matrix; keep |level| <= 254
-    q_scale = min(31, max(q_scale, -(-int(max_ac) // 508)))
+    if not mpeg2:
+        # MPEG-1 escape levels carry at most +-255: bump q_scale so the
+        # largest AC coefficient stays codable (what a real encoder's
+        # rate control does); one vectorized DCT pre-pass over every
+        # block. MPEG-2's 12-bit levels never need the bump (|AC| of an
+        # 8-bit plane is < 2048 already at quantiser_scale_code 1).
+        blocks = pad.reshape(
+            n, mb_h * 2, 8, mb_w * 2, 8).transpose(0, 1, 3, 2, 4)
+        coeffs = np.einsum("ij,nabjk,lk->nabil", _DCT8, blocks, _DCT8)
+        coeffs.reshape(n, mb_h * 2, mb_w * 2, 64)[..., 0] = 0.0  # ignore DC
+        max_ac = float(np.abs(coeffs).max())
+        # level = F/(2q) with the flat W=16 matrix; keep |level| <= 254
+        q_scale = min(31, max(q_scale, -(-int(max_ac) // 508)))
     for fi in range(n):
         pw = _BitW()
         pw.write(0x00000100, 32)      # picture start
@@ -418,13 +592,32 @@ def encode_m1v(frames: np.ndarray, fps: int = 25, q_scale: int = 4) -> bytes:
         pw.write(0xFFFF, 16)          # vbv_delay (unconstrained)
         pw.write(0, 1)                # no extra bits
         out += pw.bytes()
+        if mpeg2:
+            pe = _BitW()
+            pe.write(0x000001B5, 32)
+            pe.write(0b1000, 4)   # picture_coding_extension id
+            pe.write(0xFFFF, 16)  # f_code[2][2]: all unused
+            pe.write(dc_prec, 2)  # intra_dc_precision
+            pe.write(0b11, 2)     # picture_structure: frame
+            pe.write(0, 1)        # top_field_first
+            pe.write(1, 1)        # frame_pred_frame_dct
+            pe.write(0, 1)        # concealment_motion_vectors
+            pe.write(0, 1)        # q_scale_type: linear
+            pe.write(0, 1)        # intra_vlc_format: Table B-14
+            pe.write(0, 1)        # alternate_scan: zigzag
+            pe.write(0, 1)        # repeat_first_field
+            pe.write(1, 1)        # chroma_420_type (= progressive_frame)
+            pe.write(1, 1)        # progressive_frame
+            pe.write(0, 1)        # composite_display_flag
+            out += pe.bytes()
         img = pad[fi]
         for row in range(mb_h):
             sw = _BitW()
             sw.write(0x00000100 | (row + 1), 32)
             sw.write(q_scale, 5)
-            sw.write(0, 1)  # no extra slice bits
-            pred = [128.0, 128.0, 128.0]
+            sw.write(0, 1)  # MPEG-1: no extra slice bits; MPEG-2: no
+            #                 intra_slice_flag block AND no extra bits
+            pred = [float(1 << (7 + dc_prec))] * 3
             for col in range(mb_w):
                 sw.write(1, 1)  # address increment 1
                 sw.write(1, 1)  # macroblock_type: intra
@@ -438,16 +631,25 @@ def encode_m1v(frames: np.ndarray, fps: int = 25, q_scale: int = 4) -> bytes:
                         zz = f.reshape(-1)[_ZIGZAG]
                     else:
                         zz = None  # flat gray chroma: DC 128, no AC
-                    _encode_block(sw, zz, comp, pred, iq, q_scale)
+                    _encode_block(sw, zz, comp, pred, iq, q_scale,
+                                  mpeg2, dc_prec)
             out += sw.bytes()
     out += b"\x00\x00\x01\xb7"
     return bytes(out)
 
 
 def _encode_block(w: _BitW, zz, comp: int, pred: list, iq: np.ndarray,
-                  q_scale: int) -> None:
-    dc = 128.0 if zz is None else zz[0] / 8.0
-    diff = int(np.clip(np.round(dc - pred[comp]), -255, 255))
+                  q_scale: int, mpeg2: bool = False,
+                  dc_prec: int = 0) -> None:
+    # DC in QF units: F0 = QF << (3 - dc_prec), so QF = dc / 2^(3-prec)
+    dc_px = float(1 << (7 + dc_prec)) if zz is None else (
+        zz[0] / float(1 << (3 - dc_prec)))
+    diff = int(np.round(dc_px - pred[comp]))
+    if mpeg2 and not -255 <= diff <= 255:
+        raise ValueError(
+            "DC diff outside the shared size-8 dct_dc_size subset "
+            "(lower dc_prec or smooth the fixture)")
+    diff = max(-255, min(255, diff))
     pred[comp] += diff
     size = 0 if diff == 0 else max(1, abs(diff).bit_length())
     nbits, code = (_DC_LUM if comp == 0 else _DC_CHROM)[size]
@@ -456,20 +658,25 @@ def _encode_block(w: _BitW, zz, comp: int, pred: list, iq: np.ndarray,
         v = diff if diff >= 0 else diff + ((1 << size) - 1)
         w.write(v, size)
     if zz is not None:
+        qs = q_scale * 2 if mpeg2 else q_scale
         run = 0
         for k in range(1, 64):
-            # invert the dequantizer's oddified midpoint: the decoder
-            # reconstructs (2*level*q*W)/16 oddified, so quantize to
-            # the nearest level and let tests pin the reconstruction
-            level = int(np.round(zz[k] * 16.0
-                                 / (2.0 * q_scale * iq[_ZIGZAG[k]])))
-            level = max(-255, min(255, level))
+            # invert the dequantizer's midpoint: the decoder
+            # reconstructs (2*level*q*W)/16 oddified (MPEG-1) or
+            # (2*level*W*qs)/32 truncated (MPEG-2); quantize to the
+            # nearest level and let tests pin the reconstruction
+            level = int(np.round(zz[k] * (32.0 if mpeg2 else 16.0)
+                                 / (2.0 * qs * iq[_ZIGZAG[k]])))
+            level = (max(-2047, min(2047, level)) if mpeg2
+                     else max(-255, min(255, level)))
             if level == 0:
                 run += 1
                 continue
             w.write(0b000001, 6)
             w.write(run, 6)
-            if level > 127:
+            if mpeg2:
+                w.write(level & 0xFFF, 12)
+            elif level > 127:
                 w.write(0, 8)
                 w.write(level, 8)
             elif level < -127:

@@ -806,17 +806,18 @@ def decode_frames(
     + raw planes), for Motion-JPEG in all three containers —
     MJPEG-in-AVI (RIFF walk), MJPEG-in-Matroska (EBML SimpleBlock
     walk) and MJPEG-in-MP4, each frame through the baseline-JPEG
-    codec — AND for MPEG-1 video elementary streams (I-pictures
-    decoded for real, P/B skipped: keyframe parity with the
-    reference's ffmpeg keyframe extraction) — ``functions/
-    videocodec.py`` and ``functions/mpeg1video.py``. Other compressed
+    codec — AND for MPEG-1/MPEG-2 video elementary streams
+    (I-pictures decoded for real, P/B skipped: keyframe parity with
+    the reference's ffmpeg keyframe extraction; variant from the
+    sequence_extension probe) — ``functions/videocodec.py`` and
+    ``functions/mpeg1video.py``. Other compressed
     codecs (VP9/H.264 in Matroska/MP4, non-MJPEG AVI) keep the
     honest-stub policy: ``fake=True`` falls back to a deterministic
     fake frame stack (byte-derived pixels, length-derived duration),
     ``fake=False`` raises."""
     import numpy as np
 
-    from dedup_spark.functions.mpeg1video import decode_m1v
+    from dedup_spark.functions.mpeg1video import decode_mpeg_video
     from dedup_spark.functions.videocodec import (
         VideoDecodeError,
         decode_avi_mjpeg,
@@ -831,8 +832,8 @@ def decode_frames(
             frames, fps = decode_y4m(raw)
             return frames, fps, "y4m"
         if raw[:4] == b"\x00\x00\x01\xb3":
-            frames, fps = decode_m1v(raw, max_frames=max_frames)
-            return frames, fps, "m1v"
+            # variant detected from the bitstream: 'm1v' or 'm2v'
+            return decode_mpeg_video(raw, max_frames=max_frames)
         if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
             frames, fps = decode_avi_mjpeg(raw, max_frames=max_frames)
             return frames, fps, "avi-mjpeg"
@@ -935,24 +936,28 @@ def video_near_dup_clusters(
 def documents_as_y4m_assets(spark, sf_dir: str, n_frames: int = 8) -> DataFrame:
     """Fixture adapter for the REAL raw/legacy video decode paths:
     byte-derived pixels, rolled per frame, encoded as an actual Y4M
-    stream (even text length) or as an MPEG-1 video elementary stream
-    of escape-coded I-pictures (odd) — so the format-blind geometry
-    oracle (`y4m_decode_meta`) value-verifies BOTH the raw-plane
-    parser and the full MPEG-1 intra layer stack through one query
-    (same pattern as the WAV/FLAC and baseline/progressive JPEG
+    stream (text length % 3 == 0), an MPEG-1 video elementary stream
+    of escape-coded I-pictures (% 3 == 1) or an MPEG-2 stream with
+    sequence/picture-coding extensions (% 3 == 2) — so the
+    format-blind geometry oracle (`y4m_decode_meta`) value-verifies
+    the raw-plane parser AND both MPEG intra layer stacks through one
+    query (same pattern as the WAV/FLAC and baseline/progressive JPEG
     fixtures)."""
     import numpy as np
 
     def make(raw: bytes) -> bytes:
-        from dedup_spark.functions.mpeg1video import encode_m1v
+        from dedup_spark.functions.mpeg1video import encode_m1v, encode_m2v
         from dedup_spark.functions.videocodec import encode_y4m
 
         img, w, h = _fake_pixels(raw)
         img = img[: h - h % 2, : w - w % 2]  # C420 needs even dims
         stack = np.stack([np.roll(img, 7 * i, axis=1) for i in range(n_frames)])
-        if len(raw) % 2 == 0:
+        sel = len(raw) % 3
+        if sel == 0:
             return encode_y4m(stack)
-        return encode_m1v(stack)
+        if sel == 1:
+            return encode_m1v(stack)
+        return encode_m2v(stack)
 
     return _documents_as_media_assets(
         spark, sf_dir, "video", "video/x-yuv4mpeg", make

@@ -861,15 +861,16 @@ def q_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode at scale: every document rendered into an
-    actual Y4M raw-video stream OR an MPEG-1 intra-coded elementary
-    stream (engine's own encoders, alternating by text length), then
-    parsed by the real YUV4MPEG2 / MPEG-1 I-picture decoder,
-    frame-sampled, per-frame pHashed and majority-voted into one clip
-    fingerprint — ``fake=False``, so a silent fall-back to the stub
-    is impossible (decoder == 'y4m'/'m1v' on every row). Rows-only
-    contract by nature (frame DCTs have no DuckDB mirror);
-    determinism and the Hamming-gate semantics are pytest-gated in
-    tests/test_videocodec.py and tests/test_mpeg1video.py."""
+    actual Y4M raw-video stream, an MPEG-1 intra-coded elementary
+    stream OR an MPEG-2 one (engine's own encoders, cycling by text
+    length), then parsed by the real YUV4MPEG2 / MPEG-1/2 I-picture
+    decoder, frame-sampled, per-frame pHashed and majority-voted into
+    one clip fingerprint — ``fake=False``, so a silent fall-back to
+    the stub is impossible (decoder == 'y4m'/'m1v'/'m2v' on every
+    row). Rows-only contract by nature (frame DCTs have no DuckDB
+    mirror); determinism and the Hamming-gate semantics are
+    pytest-gated in tests/test_videocodec.py and
+    tests/test_mpeg1video.py."""
     from dedup_spark.operators.multimodal import (
         documents_as_y4m_assets,
         video_fingerprint,
@@ -1361,7 +1362,7 @@ SELECT CAST(doc_id AS BIGINT) AS asset_id,
        CAST(8 AS BIGINT) AS n_frames,
        CAST(w - w % 2 AS BIGINT) AS width,
        CAST(h - h % 2 AS BIGINT) AS height,
-       CASE WHEN L % 2 = 0 THEN 'y4m' ELSE 'm1v' END AS decoder
+       CASE L % 3 WHEN 0 THEN 'y4m' WHEN 1 THEN 'm1v' ELSE 'm2v' END AS decoder
 FROM (
   SELECT doc_id,
          octet_length(encode(text)) AS L,

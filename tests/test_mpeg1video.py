@@ -1,11 +1,12 @@
-"""MPEG-1 video (intra pictures) codec tests.
+"""MPEG-1/MPEG-2 video (intra pictures) codec tests.
 
 Pins: encode->decode round-trip fidelity (dequantizer reconstruction
 bound), DC predictor and escape level-extension paths, P/B picture
 skipping (keyframe parity), typed errors on every unsupported/corrupt
-construct, decode_frames routing, and the cross-container flagship:
-the SAME clip as Y4M, MJPEG-in-Matroska and MPEG-1 ES lands in ONE
-video near-dup cluster.
+construct, decode_frames routing, MPEG-2 variant detection /
+intra_dc_precision / subset rejections, and the cross-container
+flagship: the SAME clip as Y4M, MJPEG-in-Matroska, MPEG-1 ES and
+MPEG-2 ES lands in ONE video near-dup cluster.
 """
 
 from __future__ import annotations
@@ -13,7 +14,12 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from dedup_spark.functions.mpeg1video import decode_m1v, encode_m1v
+from dedup_spark.functions.mpeg1video import (
+    decode_m1v,
+    decode_mpeg_video,
+    encode_m1v,
+    encode_m2v,
+)
 from dedup_spark.functions.videocodec import VideoDecodeError
 
 
@@ -91,7 +97,7 @@ def test_only_pb_pictures_raises():
 def test_typed_errors():
     frames = _clip(1, h=16, w=16)
     p = bytearray(encode_m1v(frames))
-    with pytest.raises(VideoDecodeError, match="not an MPEG-1"):
+    with pytest.raises(VideoDecodeError, match="not an MPEG"):
         decode_m1v(b"junk")
     with pytest.raises(VideoDecodeError, match="truncated|exhausted|no decodable"):
         decode_m1v(bytes(p[:20]))
@@ -134,10 +140,123 @@ def test_decode_frames_routes_m1v():
     assert out2.shape[0] == 2
 
 
-def test_cross_container_cluster_y4m_mkv_m1v(spark):
-    """Flagship: the SAME clip as raw Y4M, MJPEG-in-Matroska and
-    MPEG-1 intra ES forms ONE video near-dup cluster; different
-    content stays out."""
+def test_m2v_variant_detection_and_roundtrip():
+    """The sequence_extension probe is the spec's variant signal: the
+    same clip encodes as both variants and decodes with the matching
+    tag and the same fidelity bound."""
+    frames = _clip()
+    o1, fps1, v1 = decode_mpeg_video(encode_m1v(frames, fps=30))
+    o2, fps2, v2 = decode_mpeg_video(encode_m2v(frames, fps=30))
+    assert (v1, v2) == ("m1v", "m2v")
+    assert fps1 == fps2 == 30.0
+    assert o1.shape == o2.shape == frames.shape
+    for out in (o1, o2):
+        err = np.abs(out.astype(float) - frames.astype(float))
+        assert err.mean() < 3.0 and err.max() <= 16.0
+
+
+def test_m2v_intra_dc_precision_levels():
+    """intra_dc_precision 0/1 round-trip through the shared
+    dct_dc_size subset; finer DC precision cannot be less accurate.
+    Precision 2 on high-contrast content overflows the size-8 subset
+    and raises the documented encoder-side guard."""
+    frames = _clip(2)
+    errs = []
+    for p in (0, 1):
+        out, _, v = decode_mpeg_video(encode_m2v(frames, dc_prec=p))
+        assert v == "m2v"
+        errs.append(
+            np.abs(out.astype(float) - frames.astype(float)).mean())
+    assert errs[1] <= errs[0] + 0.05
+    # at precision 2 DC lives in quarter-steps (QF = 4*dc): a dark
+    # block's first diff from the 512 reset is ~-480, outside the
+    # shared size-8 subset -> documented encoder-side guard
+    dark = np.full((1, 16, 16), 8, dtype=np.uint8)
+    with pytest.raises(ValueError, match="dct_dc_size subset"):
+        encode_m2v(dark, dc_prec=2)
+
+
+def test_m2v_escape_levels_are_12_bit_signed():
+    """MPEG-2's Table-B-16 escape carries one 12-bit two's-complement
+    level (no MPEG-1 double-byte extension): high-contrast content
+    with |level| > 255 round-trips without any q_scale bump."""
+    img = np.zeros((32, 32))
+    img[::2] = 255.0
+    frames = np.stack([img, img.T]).astype(np.uint8)
+    out, _, v = decode_mpeg_video(encode_m2v(frames, q_scale=1))
+    assert v == "m2v"
+    assert np.abs(out.astype(float) - frames.astype(float)).mean() < 8.0
+
+
+def test_m2v_subset_rejections_are_typed():
+    """Each picture-coding-extension construct outside the documented
+    intra subset raises the typed error, never a silent mis-decode.
+    The extension layout after the 4-bit id is f_code(16),
+    intra_dc_precision(2), picture_structure(2), top_field_first(1),
+    frame_pred_frame_dct(1), concealment(1), q_scale_type(1),
+    intra_vlc_format(1), alternate_scan(1)."""
+    frames = _clip(1, h=16, w=16)
+    base = bytearray(encode_m2v(frames))
+    pce = base.find(b"\x00\x00\x01\xb5", base.find(b"\x00\x00\x01\x00"))
+    assert pce > 0 and base[pce + 4] >> 4 == 8
+    # bit offsets from the extension's first payload bit (after the
+    # 32-bit start code): id(4) + f_code(16) = 20 -> dc_prec at 20
+    def flip(bit_off):
+        q = bytearray(base)
+        byte, bit = (pce + 4) + bit_off // 8, 7 - bit_off % 8
+        q[byte] ^= 1 << bit
+        return bytes(q)
+
+    cases = {
+        22 + 0: "field picture",            # picture_structure '11'->'01'
+        22 + 3: "frame_pred_frame_dct",     # 1 -> 0
+        22 + 4: "concealment",              # 0 -> 1
+        22 + 5: "nonlinear",                # q_scale_type 0 -> 1
+        22 + 6: "intra_vlc_format",         # 0 -> 1
+        22 + 7: "alternate_scan",           # 0 -> 1
+    }
+    for off, pat in cases.items():
+        with pytest.raises(VideoDecodeError, match=pat):
+            decode_mpeg_video(flip(off))
+
+
+def test_m2v_missing_coding_extension_raises():
+    frames = _clip(1, h=16, w=16)
+    p = bytearray(encode_m2v(frames))
+    pce = p.find(b"\x00\x00\x01\xb5", p.find(b"\x00\x00\x01\x00"))
+    q = bytes(p[:pce]) + bytes(p[pce + 9 :])  # excise the extension
+    with pytest.raises(VideoDecodeError,
+                       match="lacks its coding extension|no decodable"):
+        decode_mpeg_video(q)
+
+
+def test_m2v_non_420_chroma_rejected():
+    frames = _clip(1, h=16, w=16)
+    p = bytearray(encode_m2v(frames))
+    se = p.find(b"\x00\x00\x01\xb5")
+    # sequence_extension payload: id(4) + profile(8) + progressive(1)
+    # -> chroma_format is payload bits 13-14 = byte 1 bits 5-6 (MSB
+    # numbering); XOR both turns 01 (4:2:0) into 10 (4:2:2)
+    q = bytearray(p)
+    q[se + 5] ^= 0b00000110
+    with pytest.raises(VideoDecodeError, match="not 4:2:0"):
+        decode_mpeg_video(bytes(q))
+
+
+def test_decode_frames_routes_m2v():
+    from dedup_spark.operators.multimodal import decode_frames
+
+    frames = _clip(3)
+    out, fps, dec = decode_frames(encode_m2v(frames), fake=False)
+    assert dec == "m2v" and out.shape == frames.shape
+    out2, _, _ = decode_frames(encode_m2v(frames), fake=False, max_frames=2)
+    assert out2.shape[0] == 2
+
+
+def test_cross_container_cluster_y4m_mkv_m1v_m2v(spark):
+    """Flagship: the SAME clip as raw Y4M, MJPEG-in-Matroska, MPEG-1
+    intra ES and MPEG-2 intra ES forms ONE video near-dup cluster;
+    different content stays out."""
     from dedup_spark.functions.videocodec import encode_mkv_mjpeg, encode_y4m
     from dedup_spark.operators.multimodal import video_near_dup_clusters
 
@@ -148,6 +267,7 @@ def test_cross_container_cluster_y4m_mkv_m1v(spark):
         (2, "video", bytearray(encode_mkv_mjpeg(a, quality=90)), ""),
         (3, "video", bytearray(encode_m1v(a)), ""),
         (4, "video", bytearray(encode_y4m(b)), ""),
+        (5, "video", bytearray(encode_m2v(a)), ""),
     ]
     df = spark.createDataFrame(
         rows, "asset_id long, kind string, payload binary, mime string"
@@ -156,5 +276,7 @@ def test_cross_container_cluster_y4m_mkv_m1v(spark):
     assert out[1]["decoder"] == "y4m"
     assert out[2]["decoder"] == "mkv-mjpeg"
     assert out[3]["decoder"] == "m1v"
-    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
+    assert out[5]["decoder"] == "m2v"
+    assert (out[1]["cluster_id"] == out[2]["cluster_id"]
+            == out[3]["cluster_id"] == out[5]["cluster_id"])
     assert out[4]["cluster_id"] != out[1]["cluster_id"]
