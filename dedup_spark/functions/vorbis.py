@@ -1,0 +1,1122 @@
+"""Ogg/Vorbis audio decode + fixture encoder (Vorbis I, Xiph.Org).
+
+Compressed-audio parity for the one remaining mainstream codec that is
+honestly implementable in this container: unlike MP3/AAC, EVERY Vorbis
+entropy codebook, floor configuration and residue configuration
+travels inside the stream's own setup header — there are no opaque
+spec table pages to transcribe, so a real decoder follows from the
+public bitstream rules alone. The reference fingerprints all audio via
+ffmpeg/symphonia decode (/root/reference/src/audio_fingerprint.rs:
+9-121); this module gives Ogg/Vorbis corpora the same real-decode path
+WAV/FLAC/MP1/MP2/MP3 already have.
+
+Implemented per the public Vorbis I specification:
+  * Ogg packet reassembly (RFC 3533 lacing, continued packets,
+    granule-position truncation of the final partial block);
+  * LSb-first bitpacking, ilog, float32 pack/unpack (21-bit mantissa,
+    biased-788 exponent);
+  * codebooks: ordered and sparse/unordered codeword-length lists,
+    the spec's canonical codeword assignment (pinned in tests against
+    the worked example of §3.2.1), scalar-context decode and VQ
+    lookup types 1 (implicit lattice) and 2 (explicit), sequence_p;
+  * floor type 1: class/subclass/masterbook config, Y-post decode,
+    low/high-neighbor prediction with room folding (§7.2.4),
+    step2_flag sparsity, Bresenham render_line in the dB domain and
+    the inverse-dB amplitude table;
+  * residue types 1 and 2 (classword cascade, 8 passes, partition VQ
+    adds; type 2 channel interleave); type 0 raises the typed error
+    (deprecated in practice — documented subset cut);
+  * mapping (submaps, square-polar channel coupling, mux) and mode
+    headers; audio packets with mixed 2^n block sizes, the assembled
+    Vorbis window (zero-padded slopes driven by the prev/next window
+    flags) and centered overlap-add.
+
+Documented deltas:
+  * floor type 0 (LSP, deprecated) and residue type 0 raise the typed
+    ``AudioDecodeError`` — never a silent mis-decode; the media
+    orchestrator reroutes such files to byte-shingle near-dup.
+  * The floor-1 inverse-dB table is generated from its closed form
+    exp((i-255) * ln(1.0649863e-7) / -255) — the spec prints the 256
+    rounded values; the generated curve matches the printed endpoints
+    exactly and every interior entry to float precision, far below
+    the band-energy fingerprint's quantization.
+
+Fixture encoder: mono, one floor (flat line at a per-packet amplitude
+post), residue type 2 with a 2-class cascade (class 1 unused — the
+zero-partition path), scalar VQ book (dim 1, lookup type 1), two block
+sizes with per-frame mode selection, one packet per Ogg page, EOS
+granule = requested sample count.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from dedup_spark.functions.audiocodec import AudioDecodeError
+
+
+# ------------------------------------------------------- bitpacking -------
+
+def ilog(x: int) -> int:
+    """Vorbis ilog: bits needed for x (ilog(0)=0, ilog(1)=1, ilog(7)=3)."""
+    return max(0, int(x).bit_length()) if x > 0 else 0
+
+
+class _EOP(AudioDecodeError):
+    """End-of-packet. A typed error in header packets; during audio
+    packet decode the spec makes it a NON-error (§1.1.3 / 8.6.2): the
+    partially decoded frame is used, so the audio path catches this
+    subclass specifically."""
+
+
+class _BitsLSB:
+    """LSb-first bit reader over one reassembled packet."""
+
+    __slots__ = ("d", "p", "n")
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.p = 0
+        self.n = len(data) * 8
+
+    def read(self, nbits: int) -> int:
+        p = self.p
+        if p + nbits > self.n:
+            raise _EOP("vorbis packet exhausted")
+        d = self.d
+        v = 0
+        got = 0
+        while got < nbits:
+            byte = d[p >> 3]
+            off = p & 7
+            take = min(8 - off, nbits - got)
+            v |= ((byte >> off) & ((1 << take) - 1)) << got
+            got += take
+            p += take
+        self.p = p
+        return v
+
+    def read1(self) -> int:
+        p = self.p
+        if p >= self.n:
+            raise _EOP("vorbis packet exhausted")
+        self.p = p + 1
+        return (self.d[p >> 3] >> (p & 7)) & 1
+
+
+class _BitWLSB:
+    """LSb-first bit writer (the packer the spec defines)."""
+
+    __slots__ = ("out", "acc", "nb")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nb = 0
+
+    def write(self, v: int, nbits: int) -> None:
+        self.acc |= (v & ((1 << nbits) - 1)) << self.nb
+        self.nb += nbits
+        while self.nb >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nb -= 8
+
+    def bytes(self) -> bytes:
+        if self.nb:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nb = 0
+        return bytes(self.out)
+
+
+def float32_unpack(x: int) -> float:
+    """Vorbis float: 21-bit mantissa, sign, 10-bit exponent biased 788."""
+    mant = x & 0x1FFFFF
+    exp = (x & 0x7FE00000) >> 21
+    if x & 0x80000000:
+        mant = -mant
+    return float(mant) * (2.0 ** (exp - 788))
+
+
+def float32_pack(v: float) -> int:
+    """Inverse of float32_unpack (fixture encoder side): normalize the
+    mantissa into [2^20, 2^21) so the value round-trips exactly for
+    dyadic rationals."""
+    if v == 0.0:
+        return 0
+    sign = 0x80000000 if v < 0 else 0
+    v = abs(v)
+    exp = math.floor(math.log2(v)) - 20
+    mant = int(round(v / (2.0 ** exp)))
+    if mant >= 1 << 21:
+        mant >>= 1
+        exp += 1
+    if not -788 <= exp <= 1023 - 788:
+        raise ValueError("float out of vorbis float32 range")
+    return sign | ((exp + 788) << 21) | mant
+
+
+# --------------------------------------------------------- codebooks ------
+
+def assign_codewords(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """Spec §3.2.1 canonical codeword assignment: entries in order get
+    the lowest available codeword of their length (first-transmitted
+    bit = MSB of the returned code). Returns {entry: (len, code)}.
+    Raises the typed error on over/under-specified trees (the spec's
+    single-entry special case is outside the fixture subset)."""
+    marker = [0] * 33
+    out: dict[int, tuple[int, int]] = {}
+    for i, length in enumerate(lengths):
+        if length <= 0:
+            continue
+        if length > 32:
+            raise AudioDecodeError("vorbis codeword length > 32")
+        entry = marker[length]
+        if length < 32 and (entry >> length):
+            raise AudioDecodeError("overspecified vorbis codebook")
+        out[i] = (length, entry)
+        for j in range(length, 0, -1):
+            if marker[j] & 1:
+                if j == 1:
+                    marker[1] += 1
+                else:
+                    marker[j] = marker[j - 1] << 1
+                break
+            marker[j] += 1
+        for j in range(length + 1, 33):
+            if (marker[j] >> 1) == entry:
+                entry = marker[j]
+                marker[j] = marker[j - 1] << 1
+            else:
+                break
+    # completeness: the Kraft sum of a full prefix tree is exactly 1
+    # (the spec makes under-specification an error; over-specification
+    # raised inside the loop)
+    if out:
+        kraft = sum(1 << (32 - ln) for ln, _c in out.values())
+        if kraft != 1 << 32:
+            raise AudioDecodeError("underspecified vorbis codebook")
+    return out
+
+
+class _Codebook:
+    """One parsed codebook: decode trie + optional VQ lookup table."""
+
+    __slots__ = ("dims", "entries", "trie", "maxlen", "vq", "seq_p")
+
+    def __init__(self, dims: int, lengths: list[int],
+                 vq: np.ndarray | None, seq_p: bool) -> None:
+        self.dims = dims
+        self.entries = len(lengths)
+        codes = assign_codewords(lengths)
+        # (len, code) -> entry lookup dict; decode walks bit by bit
+        self.trie = {lc: e for e, lc in codes.items()}
+        self.maxlen = max((lc[0] for lc in codes.values()), default=0)
+        self.vq = vq  # (entries, dims) float array or None
+        self.seq_p = seq_p
+
+    def decode_entry(self, b: _BitsLSB) -> int:
+        code = 0
+        trie = self.trie
+        for ln in range(1, self.maxlen + 1):
+            code = (code << 1) | b.read1()
+            e = trie.get((ln, code))
+            if e is not None:
+                return e
+        raise AudioDecodeError("invalid vorbis codeword")
+
+    def decode_vector(self, b: _BitsLSB) -> np.ndarray:
+        if self.vq is None:
+            raise AudioDecodeError(
+                "codebook used in VQ context has no lookup table")
+        return self.vq[self.decode_entry(b)]
+
+
+def _parse_codebook(b: _BitsLSB) -> _Codebook:
+    if b.read(24) != 0x564342:
+        raise AudioDecodeError("bad vorbis codebook sync")
+    dims = b.read(16)
+    entries = b.read(24)
+    if dims <= 0 or entries <= 0 or entries > 1 << 22:
+        raise AudioDecodeError("bad vorbis codebook geometry")
+    lengths = [0] * entries
+    if not b.read1():  # unordered
+        sparse = b.read1()
+        for i in range(entries):
+            if sparse:
+                if b.read1():
+                    lengths[i] = b.read(5) + 1
+            else:
+                lengths[i] = b.read(5) + 1
+    else:  # ordered
+        cur_len = b.read(5) + 1
+        cur = 0
+        while cur < entries:
+            num = b.read(ilog(entries - cur))
+            if cur + num > entries:
+                raise AudioDecodeError("ordered codebook length overrun")
+            for i in range(cur, cur + num):
+                lengths[i] = cur_len
+            cur += num
+            cur_len += 1
+            if cur_len > 32:
+                raise AudioDecodeError("ordered codebook length > 32")
+    lookup = b.read(4)
+    vq = None
+    seq_p = False
+    if lookup in (1, 2):
+        min_v = float32_unpack(b.read(32))
+        delta = float32_unpack(b.read(32))
+        value_bits = b.read(4) + 1
+        seq_p = bool(b.read1())
+        if lookup == 1:
+            lv = 0
+            while (lv + 1) ** dims <= entries:
+                lv += 1
+            n_mult = lv
+        else:
+            n_mult = entries * dims
+        mult = np.array([b.read(value_bits) for _ in range(n_mult)],
+                        dtype=np.float64)
+        vq = np.empty((entries, dims), dtype=np.float64)
+        if lookup == 1:
+            for e in range(entries):
+                last = 0.0
+                idiv = 1
+                for d in range(dims):
+                    off = (e // idiv) % n_mult
+                    vq[e, d] = mult[off] * delta + min_v + last
+                    if seq_p:
+                        last = vq[e, d]
+                    idiv *= n_mult
+        else:
+            for e in range(entries):
+                last = 0.0
+                for d in range(dims):
+                    vq[e, d] = mult[e * dims + d] * delta + min_v + last
+                    if seq_p:
+                        last = vq[e, d]
+    elif lookup != 0:
+        raise AudioDecodeError("reserved vorbis codebook lookup type")
+    return _Codebook(dims, lengths, vq, seq_p)
+
+
+# -------------------------------------------------------- floor type 1 ----
+
+# closed form of the spec's printed floor1_inverse_dB_table (module
+# docstring): endpoints 1.0649863e-07 and 1.0, exponential in between
+_INV_DB = np.exp((np.arange(256) - 255.0)
+                 * (-math.log(1.0649863e-07) / 255.0)).astype(np.float64)
+
+_FLOOR1_RANGES = (256, 128, 86, 64)
+
+
+class _Floor1:
+    __slots__ = ("partition_class", "class_dims", "class_subs",
+                 "class_master", "sub_books", "multiplier", "rangebits",
+                 "x_list")
+
+    def __init__(self, b: _BitsLSB, n_books: int) -> None:
+        parts = b.read(5)
+        self.partition_class = [b.read(4) for _ in range(parts)]
+        maxc = max(self.partition_class, default=-1)
+        self.class_dims = []
+        self.class_subs = []
+        self.class_master = []
+        self.sub_books = []
+        for _ in range(maxc + 1):
+            dim = b.read(3) + 1
+            sub = b.read(2)
+            master = b.read(8) if sub else -1
+            if master >= n_books:
+                raise AudioDecodeError("floor1 masterbook out of range")
+            books = []
+            for _k in range(1 << sub):
+                bk = b.read(8) - 1
+                if bk >= n_books:
+                    raise AudioDecodeError("floor1 subclass book out of range")
+                books.append(bk)
+            self.class_dims.append(dim)
+            self.class_subs.append(sub)
+            self.class_master.append(master)
+            self.sub_books.append(books)
+        self.multiplier = b.read(2) + 1
+        self.rangebits = b.read(4)
+        xs = [0, 1 << self.rangebits]
+        for c in self.partition_class:
+            for _ in range(self.class_dims[c]):
+                xs.append(b.read(self.rangebits))
+        if len(xs) > 65 or len(set(xs)) != len(xs):
+            raise AudioDecodeError("floor1 X list invalid")
+        self.x_list = xs
+
+    def decode(self, b: _BitsLSB, books: list[_Codebook]
+               ) -> list[int] | None:
+        """Returns the Y post list, or None for an unused (silent)
+        floor channel."""
+        if not b.read1():
+            return None
+        rng = _FLOOR1_RANGES[self.multiplier - 1]
+        ybits = ilog(rng - 1)
+        ys = [b.read(ybits), b.read(ybits)]
+        for c in self.partition_class:
+            cdim = self.class_dims[c]
+            csub = self.class_subs[c]
+            cval = 0
+            if csub:
+                cval = books[self.class_master[c]].decode_entry(b)
+            for _j in range(cdim):
+                bk = self.sub_books[c][cval & ((1 << csub) - 1)]
+                cval >>= csub
+                ys.append(books[bk].decode_entry(b) if bk >= 0 else 0)
+        return ys
+
+    def curve(self, ys: list[int], n2: int) -> np.ndarray:
+        """Amplitude curve over n2 spectral bins (§7.2.4 synthesis)."""
+        rng = _FLOOR1_RANGES[self.multiplier - 1]
+        xs = self.x_list
+        nv = len(xs)
+        final = [0] * nv
+        flag = [False] * nv
+        final[0], final[1] = ys[0], ys[1]
+        flag[0] = flag[1] = True
+        for i in range(2, nv):
+            lo = _low_neighbor(xs, i)
+            hi = _high_neighbor(xs, i)
+            pred = _render_point(xs[lo], final[lo], xs[hi], final[hi], xs[i])
+            val = ys[i]
+            highroom = rng - pred
+            lowroom = pred
+            room = 2 * min(highroom, lowroom)
+            if val:
+                flag[lo] = flag[hi] = flag[i] = True
+                if val >= room:
+                    final[i] = (val - lowroom + pred if highroom > lowroom
+                                else pred - val + highroom - 1)
+                elif val % 2:
+                    final[i] = pred - (val + 1) // 2
+                else:
+                    final[i] = pred + val // 2
+            else:
+                final[i] = pred
+        order = sorted(range(nv), key=lambda k: xs[k])
+        out = np.zeros(n2, dtype=np.float64)
+        hx = 0
+        lx = 0
+        ly = min(max(final[order[0]], 0), rng - 1) * self.multiplier
+        for k in order[1:]:
+            if not flag[k]:
+                continue
+            hy = min(max(final[k], 0), rng - 1) * self.multiplier
+            hx = xs[k]
+            _render_line(lx, ly, hx, hy, out)
+            lx, ly = hx, hy
+        if hx < n2:
+            out[hx:n2] = ly
+        return _INV_DB[np.clip(out[:n2].astype(np.int64), 0, 255)]
+
+
+def _low_neighbor(v: list[int], i: int) -> int:
+    best = -1
+    for j in range(i):
+        if v[j] < v[i] and (best < 0 or v[j] > v[best]):
+            best = j
+    return best
+
+
+def _high_neighbor(v: list[int], i: int) -> int:
+    best = -1
+    for j in range(i):
+        if v[j] > v[i] and (best < 0 or v[j] < v[best]):
+            best = j
+    return best
+
+
+def _render_point(x0: int, y0: int, x1: int, y1: int, x: int) -> int:
+    dy = y1 - y0
+    adx = x1 - x0
+    err = abs(dy) * (x - x0)
+    off = err // adx
+    return y0 - off if dy < 0 else y0 + off
+
+
+def _render_line(x0: int, y0: int, x1: int, y1: int, v: np.ndarray) -> None:
+    dy = y1 - y0
+    adx = x1 - x0
+    base = int(dy / adx)  # truncation toward zero, per the spec's '/'
+    sy = base - 1 if dy < 0 else base + 1
+    ady = abs(dy) - abs(base) * adx
+    x = x0
+    y = y0
+    err = 0
+    if x0 < len(v):
+        v[x0] = y
+    for x in range(x0 + 1, min(x1, len(v))):
+        err += ady
+        if err >= adx:
+            err -= adx
+            y += sy
+        else:
+            y += base
+        v[x] = y
+
+
+# ------------------------------------------------------------ residue -----
+
+class _Residue:
+    __slots__ = ("rtype", "begin", "end", "psize", "classifications",
+                 "classbook", "books")
+
+    def __init__(self, rtype: int, b: _BitsLSB, n_books: int) -> None:
+        if rtype == 0:
+            raise AudioDecodeError(
+                "residue type 0 (deprecated) is outside the implemented "
+                "subset — see module docstring")
+        if rtype not in (1, 2):
+            raise AudioDecodeError("reserved vorbis residue type")
+        self.rtype = rtype
+        self.begin = b.read(24)
+        self.end = b.read(24)
+        self.psize = b.read(24) + 1
+        self.classifications = b.read(6) + 1
+        self.classbook = b.read(8)
+        if self.classbook >= n_books:
+            raise AudioDecodeError("residue classbook out of range")
+        cascade = []
+        for _ in range(self.classifications):
+            low = b.read(3)
+            high = b.read(5) if b.read1() else 0
+            cascade.append((high << 3) | low)
+        self.books: list[list[int]] = []
+        for c in range(self.classifications):
+            row = []
+            for p in range(8):
+                if cascade[c] & (1 << p):
+                    bk = b.read(8)
+                    if bk >= n_books:
+                        raise AudioDecodeError("residue book out of range")
+                    row.append(bk)
+                else:
+                    row.append(-1)
+            self.books.append(row)
+
+    def decode(self, b: _BitsLSB, books: list[_Codebook],
+               do_not_decode: list[bool], actual_size: int) -> np.ndarray:
+        """Decode one residue for ``len(do_not_decode)`` channels of
+        ``actual_size`` values each. Type 2 interleaves the channels
+        into one vector (decoded unless ALL channels are silent)."""
+        ch = len(do_not_decode)
+        if self.rtype == 2:
+            vec = self._decode_vectors(
+                b, books, [all(do_not_decode)], actual_size * ch)
+            out = np.zeros((ch, actual_size), dtype=np.float64)
+            for j in range(ch):
+                out[j] = vec[0][j::ch]
+            return out
+        return self._decode_vectors(b, books, do_not_decode, actual_size)
+
+    def _decode_vectors(self, b: _BitsLSB, books: list[_Codebook],
+                        do_not_decode: list[bool], size: int) -> np.ndarray:
+        ch = len(do_not_decode)
+        out = np.zeros((ch, size), dtype=np.float64)
+        begin = min(self.begin, size)
+        end = min(self.end, size)
+        n_read = end - begin
+        if n_read <= 0:
+            return out
+        try:
+            self._passes(b, books, do_not_decode, out, begin, n_read)
+        except _EOP:
+            pass  # §8.6.2: partial residue vectors are used, not an error
+        return out
+
+    def _passes(self, b, books, do_not_decode, out, begin, n_read) -> None:
+        ch = len(do_not_decode)
+        parts = n_read // self.psize
+        cbook = books[self.classbook]
+        cdim = cbook.dims
+        classif = np.zeros((ch, parts + cdim), dtype=np.int64)
+        for p in range(8):
+            pc = 0
+            while pc < parts:
+                if p == 0:
+                    for j in range(ch):
+                        if do_not_decode[j]:
+                            continue
+                        temp = cbook.decode_entry(b)
+                        for i in range(cdim - 1, -1, -1):
+                            classif[j, pc + i] = temp % self.classifications
+                            temp //= self.classifications
+                for _i in range(cdim):
+                    if pc >= parts:
+                        break
+                    for j in range(ch):
+                        if do_not_decode[j]:
+                            continue
+                        vq = self.books[classif[j, pc]][p]
+                        if vq < 0:
+                            continue
+                        book = books[vq]
+                        off = begin + pc * self.psize
+                        k = 0
+                        while k < self.psize:
+                            v = book.decode_vector(b)
+                            out[j, off + k : off + k + book.dims] += v
+                            k += book.dims
+                    pc += 1
+
+
+# ------------------------------------------------- mapping and modes ------
+
+class _Mapping:
+    __slots__ = ("submaps", "coupling", "mux", "floor_of", "residue_of")
+
+    def __init__(self, b: _BitsLSB, ch: int, n_floors: int,
+                 n_residues: int) -> None:
+        self.submaps = b.read(4) + 1 if b.read1() else 1
+        self.coupling: list[tuple[int, int]] = []
+        if b.read1():
+            steps = b.read(8) + 1
+            bits = ilog(ch - 1)
+            for _ in range(steps):
+                m = b.read(bits)
+                a = b.read(bits)
+                if m == a or m >= ch or a >= ch:
+                    raise AudioDecodeError("invalid vorbis coupling step")
+                self.coupling.append((m, a))
+        if b.read(2):
+            raise AudioDecodeError("nonzero vorbis mapping reserved bits")
+        if self.submaps > 1:
+            self.mux = [b.read(4) for _ in range(ch)]
+            if any(m >= self.submaps for m in self.mux):
+                raise AudioDecodeError("vorbis mux out of range")
+        else:
+            self.mux = [0] * ch
+        self.floor_of = []
+        self.residue_of = []
+        for _ in range(self.submaps):
+            b.read(8)  # unused time configuration
+            f = b.read(8)
+            r = b.read(8)
+            if f >= n_floors or r >= n_residues:
+                raise AudioDecodeError("vorbis submap references invalid")
+            self.floor_of.append(f)
+            self.residue_of.append(r)
+
+
+# ------------------------------------------------------------ windows -----
+
+def _vorbis_window(n: int) -> np.ndarray:
+    i = np.arange(n // 2)
+    return np.sin(0.5 * np.pi
+                  * np.sin(np.pi / n * (i + 0.5)) ** 2).astype(np.float64)
+
+
+def _assemble_window(n: int, prev_short: bool, next_short: bool,
+                     bs0: int) -> np.ndarray:
+    """Full n-point window: left/right slopes sized by the NEIGHBOR
+    block size (spec §4.3.1), zero-padded outside the slope, flat 1
+    in between. For n == bs0 both slopes are the full half."""
+    w = np.ones(n, dtype=np.float64)
+    left = _vorbis_window(bs0 if prev_short else n)
+    right = _vorbis_window(bs0 if next_short else n)
+    ln = len(left)
+    ls = n // 4 - ln // 2 if prev_short else 0
+    w[:ls] = 0.0
+    w[ls : ls + ln] = left
+    rn = len(right)
+    rs = (3 * n) // 4 - rn // 2 if next_short else n - rn
+    w[rs : rs + rn] = right[::-1]
+    w[rs + rn :] = 0.0
+    return w
+
+
+def _imdct_matrix(n: int) -> np.ndarray:
+    """Vorbis IMDCT basis: X[i] = sum_j Y[j] cos(2pi/n (i + 0.5 + n/4)
+    (j + 0.5)); forward analysis is (4/n) * C.T @ (w * x)."""
+    i = np.arange(n)[:, None]
+    j = np.arange(n // 2)[None, :]
+    return np.cos(2.0 * np.pi / n * (i + 0.5 + n / 4.0) * (j + 0.5))
+
+
+_MATRIX_CACHE: dict[int, np.ndarray] = {}
+
+
+def _imdct(Y: np.ndarray) -> np.ndarray:
+    n = 2 * len(Y)
+    C = _MATRIX_CACHE.get(n)
+    if C is None:
+        C = _imdct_matrix(n)
+        _MATRIX_CACHE[n] = C
+    return C @ Y
+
+
+# ---------------------------------------------------- header parsing ------
+
+class _Setup:
+    __slots__ = ("channels", "rate", "bs0", "bs1", "books", "floors",
+                 "residues", "mappings", "modes")
+
+
+def _parse_ident(pkt: bytes) -> tuple[int, int, int, int]:
+    b = _BitsLSB(pkt[7:])
+    version = b.read(32)
+    if version != 0:
+        raise AudioDecodeError("unsupported vorbis version")
+    ch = b.read(8)
+    rate = b.read(32)
+    if ch == 0 or rate == 0:
+        raise AudioDecodeError("vorbis id header: bad channels/rate")
+    b.read(96)  # bitrate max/nominal/min
+    bs = b.read(4)
+    bs0 = 1 << bs
+    bs1 = 1 << b.read(4)
+    if not (64 <= bs0 <= 8192 and bs0 <= bs1 <= 8192):
+        raise AudioDecodeError("vorbis id header: bad block sizes")
+    if not b.read1():
+        raise AudioDecodeError("vorbis id header: framing bit unset")
+    return ch, rate, bs0, bs1
+
+
+def _parse_setup(pkt: bytes, ch: int) -> _Setup:
+    b = _BitsLSB(pkt[7:])
+    s = _Setup()
+    s.channels = ch
+    n_books = b.read(8) + 1
+    s.books = [_parse_codebook(b) for _ in range(n_books)]
+    for _ in range(b.read(6) + 1):  # time domain transforms
+        if b.read(16) != 0:
+            raise AudioDecodeError("nonzero vorbis time transform")
+    s.floors = []
+    for _ in range(b.read(6) + 1):
+        ftype = b.read(16)
+        if ftype != 1:
+            raise AudioDecodeError(
+                "floor type 0 (deprecated LSP) is outside the implemented "
+                "subset" if ftype == 0 else "reserved vorbis floor type")
+        s.floors.append(_Floor1(b, n_books))
+    s.residues = []
+    for _ in range(b.read(6) + 1):
+        s.residues.append(_Residue(b.read(16), b, n_books))
+    s.mappings = []
+    for _ in range(b.read(6) + 1):
+        if b.read(16) != 0:
+            raise AudioDecodeError("reserved vorbis mapping type")
+        s.mappings.append(_Mapping(b, ch, len(s.floors), len(s.residues)))
+    s.modes = []
+    for _ in range(b.read(6) + 1):
+        blockflag = b.read1()
+        if b.read(16) != 0 or b.read(16) != 0:
+            raise AudioDecodeError("reserved vorbis mode window/transform")
+        mapping = b.read(8)
+        if mapping >= len(s.mappings):
+            raise AudioDecodeError("vorbis mode mapping out of range")
+        s.modes.append((blockflag, mapping))
+    if not b.read1():
+        raise AudioDecodeError("vorbis setup framing bit unset")
+    return s
+
+
+# --------------------------------------------------- packet assembly ------
+
+def _ogg_packets(d: bytes) -> tuple[list[bytes], int]:
+    """Reassemble the first logical stream's packets from Ogg pages
+    (RFC 3533 lacing; a 255 lacing value continues the packet).
+    Returns (packets, final granule position)."""
+    i = 0
+    packets: list[bytes] = []
+    cur = bytearray()
+    serial0 = None
+    granule = 0
+    while i + 27 <= len(d):
+        if d[i : i + 4] != b"OggS":
+            break
+        nsegs = d[i + 26]
+        if i + 27 + nsegs > len(d):
+            raise AudioDecodeError("truncated ogg segment table")
+        serial = int.from_bytes(d[i + 14 : i + 18], "little")
+        if serial0 is None:
+            serial0 = serial
+        page_granule = int.from_bytes(d[i + 6 : i + 14], "little", signed=True)
+        body = i + 27 + nsegs
+        if serial == serial0:
+            if not (d[i + 5] & 0x01) and cur:
+                # a non-continuation page while a packet is open:
+                # the open packet was truncated
+                raise AudioDecodeError("ogg packet left open across pages")
+            off = body
+            for k in range(nsegs):
+                seg = d[i + 27 + k]
+                if off + seg > len(d):
+                    raise AudioDecodeError("truncated ogg page body")
+                cur += d[off : off + seg]
+                off += seg
+                if seg < 255:
+                    packets.append(bytes(cur))
+                    cur = bytearray()
+            if page_granule >= 0:
+                granule = page_granule
+            i = off
+        else:
+            i = body + sum(d[i + 27 : i + 27 + nsegs])
+    if not packets:
+        raise AudioDecodeError("no ogg packets")
+    return packets, granule
+
+
+# ------------------------------------------------------------- decode -----
+
+def decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
+    """Ogg/Vorbis -> (mono float64 in [-1, 1], sample rate). Real
+    decode per the Vorbis I spec; typed AudioDecodeError on every
+    unsupported/corrupt construct."""
+    try:
+        return _decode_vorbis(payload)
+    except AudioDecodeError:
+        raise
+    except (ValueError, IndexError, OverflowError, MemoryError,
+            ZeroDivisionError) as exc:
+        raise AudioDecodeError(f"corrupt vorbis stream: {exc!r}") from exc
+
+
+def _decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
+    packets, granule = _ogg_packets(payload or b"")
+    if len(packets) < 3:
+        raise AudioDecodeError("vorbis stream lacks its three headers")
+    if packets[0][:7] != b"\x01vorbis":
+        raise AudioDecodeError("first packet is not a vorbis id header")
+    if packets[1][:7] != b"\x03vorbis":
+        raise AudioDecodeError("second packet is not a vorbis comment header")
+    if packets[2][:7] != b"\x05vorbis":
+        raise AudioDecodeError("third packet is not a vorbis setup header")
+    ch, rate, bs0, bs1 = _parse_ident(packets[0])
+    s = _parse_setup(packets[2], ch)
+    s.rate = rate
+    s.bs0, s.bs1 = bs0, bs1
+    mode_bits = ilog(len(s.modes) - 1)
+
+    out: list[np.ndarray] = []
+    tail: np.ndarray | None = None  # (ch, prev_n/2) windowed right half
+    prev_n = 0
+    for pkt in packets[3:]:
+        b = _BitsLSB(pkt)
+        try:
+            if b.read1() != 0:
+                raise AudioDecodeError("header packet in the audio stream")
+            mode_idx = b.read(mode_bits)
+        except _EOP:
+            continue  # zero/short packet: decodes to nothing
+        if mode_idx >= len(s.modes):
+            raise AudioDecodeError("vorbis mode number out of range")
+        blockflag, map_idx = s.modes[mode_idx]
+        n = bs1 if blockflag else bs0
+        prev_short = next_short = False
+        if blockflag and bs0 != bs1:
+            prev_short = not b.read1()
+            next_short = not b.read1()
+        mapping = s.mappings[map_idx]
+
+        # floors (EOP mid-floor: this and later channels are unused)
+        floor_ys: list[list[int] | None] = []
+        for c in range(ch):
+            fl = s.floors[mapping.floor_of[mapping.mux[c]]]
+            try:
+                floor_ys.append(fl.decode(b, s.books))
+            except _EOP:
+                floor_ys.append(None)
+        no_residue = [y is None for y in floor_ys]
+        # coupling forces both channels of a step to decode
+        for m, a in mapping.coupling:
+            if not (no_residue[m] and no_residue[a]):
+                no_residue[m] = no_residue[a] = False
+
+        # residues per submap
+        spectrum = np.zeros((ch, n // 2), dtype=np.float64)
+        for sm in range(mapping.submaps):
+            chans = [c for c in range(ch) if mapping.mux[c] == sm]
+            dnd = [no_residue[c] for c in chans]
+            res = s.residues[mapping.residue_of[sm]]
+            dec = res.decode(b, s.books, dnd, n // 2)
+            for k, c in enumerate(chans):
+                spectrum[c] = dec[k]
+
+        # inverse coupling (§4.3.5), last step first
+        for m, a in reversed(mapping.coupling):
+            M = spectrum[m].copy()
+            A = spectrum[a].copy()
+            pos = M > 0
+            apos = A > 0
+            new_m = np.where(pos, np.where(apos, M, M + A),
+                             np.where(apos, M, M - A))
+            new_a = np.where(pos, np.where(apos, M - A, M),
+                             np.where(apos, M + A, M))
+            spectrum[m], spectrum[a] = new_m, new_a
+
+        # dot product with the floor curve
+        for c in range(ch):
+            if floor_ys[c] is None:
+                spectrum[c] = 0.0
+            else:
+                fl = s.floors[mapping.floor_of[mapping.mux[c]]]
+                spectrum[c] *= fl.curve(floor_ys[c], n // 2)
+
+        # IMDCT + window + centered overlap-add
+        w = _assemble_window(n, prev_short, next_short, bs0)
+        pcm = np.stack([_imdct(spectrum[c]) * w for c in range(ch)])
+        if tail is not None:
+            hop = prev_n // 4 + n // 4
+            seg = np.zeros((ch, hop), dtype=np.float64)
+            # previous tail begins at the previous window center
+            m = min(hop, tail.shape[1])
+            seg[:, :m] += tail[:, :m]
+            # current block's left part overlapping [c_prev, c_cur):
+            # the block begins at c_cur - n/2 = c_prev + prev_n/4 - n/4
+            start = prev_n // 4 - n // 4
+            if start >= 0:
+                m2 = min(hop - start, n // 2)
+                seg[:, start : start + m2] += pcm[:, :m2]
+            else:
+                m2 = min(hop, n // 2 + start)
+                seg[:, :m2] += pcm[:, -start : -start + m2]
+            out.append(seg)
+        tail = pcm[:, n // 2 :]
+        prev_n = n
+    if not out:
+        raise AudioDecodeError("vorbis stream has no decodable audio")
+    pcm_all = np.concatenate(out, axis=1)
+    total = min(pcm_all.shape[1], granule) if granule > 0 else pcm_all.shape[1]
+    mono = pcm_all[:, :total].mean(axis=0)
+    return np.clip(mono, -1.0, 1.0), rate
+
+
+# ------------------------------------------------------------- encode -----
+#
+# Fixture encoder (module docstring): mono, flat per-packet floor,
+# residue type 2 with a scalar VQ book, two block sizes. Every header
+# element goes through the same bitpacking rules the decoder reads, so
+# conforming structure is exercised end-to-end; an independent
+# test-side bit-reader pins the header layout in tests.
+
+_ENC_BS0, _ENC_BS1 = 256, 1024
+_ENC_VQ_MIN, _ENC_VQ_DELTA, _ENC_VQ_N = -2.0, 0.0625, 64
+_ENC_FLOOR_BOOK_N = 128
+_ENC_RES_END, _ENC_RES_PSIZE = 512, 64
+_ENC_FLOOR_POSTS = (128, 256, 64, 384)
+_DB_STEP = -math.log(1.0649863e-07) / 255.0
+
+
+def _write_codeword(w: _BitWLSB, code: int, ln: int) -> None:
+    """Huffman codewords transmit MSB (first tree branch) first."""
+    for bit in range(ln - 1, -1, -1):
+        w.write((code >> bit) & 1, 1)
+
+
+def _enc_ident(rate: int) -> bytes:
+    w = _BitWLSB()
+    w.write(0, 32)            # version
+    w.write(1, 8)             # channels
+    w.write(rate, 32)
+    w.write(0, 96)            # bitrate max/nominal/min
+    w.write(_ENC_BS0.bit_length() - 1, 4)
+    w.write(_ENC_BS1.bit_length() - 1, 4)
+    w.write(1, 1)             # framing
+    return b"\x01vorbis" + w.bytes()
+
+
+def _enc_comment() -> bytes:
+    vendor = b"dedup_spark vorbis fixture"
+    w = _BitWLSB()
+    w.write(len(vendor), 32)
+    for c in vendor:
+        w.write(c, 8)
+    w.write(0, 32)            # no user comments
+    w.write(1, 1)             # framing
+    return b"\x03vorbis" + w.bytes()
+
+
+def _enc_setup() -> bytes:
+    w = _BitWLSB()
+    w.write(3 - 1, 8)  # three codebooks
+    # book 0: floor Y posts, scalar, 128 entries, uniform 7-bit tree
+    w.write(0x564342, 24)
+    w.write(1, 16)
+    w.write(_ENC_FLOOR_BOOK_N, 24)
+    w.write(0, 1)  # unordered
+    w.write(0, 1)  # not sparse
+    for _ in range(_ENC_FLOOR_BOOK_N):
+        w.write(7 - 1, 5)
+    w.write(0, 4)  # lookup 0
+    # book 1: residue classbook, 2 entries, 1-bit tree
+    w.write(0x564342, 24)
+    w.write(1, 16)
+    w.write(2, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(1 - 1, 5)
+    w.write(1 - 1, 5)
+    w.write(0, 4)
+    # book 2: residue VQ, dim 1, 64 entries, uniform 6-bit, lookup 1
+    w.write(0x564342, 24)
+    w.write(1, 16)
+    w.write(_ENC_VQ_N, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    for _ in range(_ENC_VQ_N):
+        w.write(6 - 1, 5)
+    w.write(1, 4)  # lookup type 1
+    w.write(float32_pack(_ENC_VQ_MIN), 32)
+    w.write(float32_pack(_ENC_VQ_DELTA), 32)
+    w.write(6 - 1, 4)  # value_bits
+    w.write(0, 1)      # sequence_p
+    for i in range(_ENC_VQ_N):
+        w.write(i, 6)
+    # time transforms
+    w.write(0, 6)
+    w.write(0, 16)
+    # one floor, type 1
+    w.write(0, 6)
+    w.write(1, 16)
+    w.write(2, 5)      # partitions
+    w.write(0, 4)      # partition 0 -> class 0
+    w.write(0, 4)      # partition 1 -> class 0
+    w.write(2 - 1, 3)  # class 0 dimensions
+    w.write(0, 2)      # subclasses
+    w.write(0 + 1, 8)  # subclass book 0 -> book 0
+    w.write(2 - 1, 2)  # multiplier
+    w.write(9, 4)      # rangebits
+    for x in _ENC_FLOOR_POSTS:
+        w.write(x, 9)
+    # one residue, type 2
+    w.write(0, 6)
+    w.write(2, 16)
+    w.write(0, 24)                  # begin
+    w.write(_ENC_RES_END, 24)       # end
+    w.write(_ENC_RES_PSIZE - 1, 24)
+    w.write(2 - 1, 6)               # classifications
+    w.write(1, 8)                   # classbook -> book 1
+    w.write(0b001, 3)               # class 0 cascade low (pass 0)
+    w.write(0, 1)                   # no high bits
+    w.write(0, 3)                   # class 1 cascade: no books
+    w.write(0, 1)
+    w.write(2, 8)                   # class 0 pass 0 -> book 2
+    # one mapping, type 0
+    w.write(0, 6)
+    w.write(0, 16)
+    w.write(0, 1)  # one submap
+    w.write(0, 1)  # no coupling
+    w.write(0, 2)  # reserved
+    w.write(0, 8)  # time config
+    w.write(0, 8)  # floor 0
+    w.write(0, 8)  # residue 0
+    # two modes: 0 = short blocks, 1 = long blocks
+    w.write(2 - 1, 6)
+    for flag in (0, 1):
+        w.write(flag, 1)
+        w.write(0, 16)
+        w.write(0, 16)
+        w.write(0, 8)
+    w.write(1, 1)  # framing
+    return b"\x05vorbis" + w.bytes()
+
+
+def encode_vorbis_pcm16(x: np.ndarray, rate: int = 8000,
+                        mixed_blocks: bool = True) -> bytes:
+    """int16 mono PCM -> Ogg/Vorbis bytes (one packet per page, EOS
+    granule = len(x)). ``mixed_blocks`` interleaves short blocks into
+    the long-block stream so window switching is exercised."""
+    from dedup_spark.functions.containers import _ogg_page
+
+    x = np.asarray(x, dtype=np.float64).reshape(-1) / 32768.0
+    n_samples = len(x)
+    if n_samples == 0:
+        raise ValueError("empty signal")
+    serial = 0x7153EED
+    pages = [
+        _ogg_page(serial, 0, 0, 0x02, _enc_ident(rate)),
+        _ogg_page(serial, 1, 0, 0x00, _enc_comment()),
+        _ogg_page(serial, 2, 0, 0x00, _enc_setup()),
+    ]
+    # block-size schedule: frame k covers [c_k - n_k/2, c_k + n_k/2),
+    # c_0 = 0, c_{k+1} = c_k + n_k/4 + n_{k+1}/4
+    sizes = []
+    center = 0
+    k = 0
+    while center < n_samples:
+        if mixed_blocks and k % 5 == 2:
+            n = _ENC_BS0
+        else:
+            n = _ENC_BS1
+        if sizes:
+            center += sizes[-1] // 4 + n // 4
+        sizes.append(n)
+        k += 1
+    sizes.append(_ENC_BS1)  # one past-the-end frame completes the lap
+    xpad = np.concatenate([np.zeros(_ENC_BS1), x, np.zeros(3 * _ENC_BS1)])
+    center = 0
+    produced = 0
+    seq = 3
+    for k, n in enumerate(sizes):
+        prev_n = sizes[k - 1] if k else n
+        next_n = sizes[k + 1] if k + 1 < len(sizes) else n
+        prev_short = prev_n == _ENC_BS0 and n != prev_n
+        next_short = next_n == _ENC_BS0 and n != next_n
+        wnd = _assemble_window(n, prev_short, next_short, _ENC_BS0)
+        seg = xpad[_ENC_BS1 + center - n // 2 : _ENC_BS1 + center + n // 2]
+        C = _MATRIX_CACHE.get(n)
+        if C is None:
+            C = _imdct_matrix(n)
+            _MATRIX_CACHE[n] = C
+        # analysis normalization 4/n: OLA of w * C @ C.T @ (w x) has
+        # gain n/4 with this basis (power-complementary slopes)
+        Y = (4.0 / n) * (C.T @ (wnd * seg))
+        pkt = _enc_audio_packet(Y, n, prev_short, next_short)
+        if k:
+            produced += prev_n // 4 + n // 4
+        last = k == len(sizes) - 1
+        gran = min(produced, n_samples)
+        pages.append(_ogg_page(serial, seq, gran, 0x04 if last else 0x00,
+                               pkt))
+        seq += 1
+        if k + 1 < len(sizes):
+            center += n // 4 + sizes[k + 1] // 4
+    return b"".join(pages)
+
+
+def _enc_audio_packet(Y: np.ndarray, n: int, prev_short: bool,
+                      next_short: bool) -> bytes:
+    w = _BitWLSB()
+    w.write(0, 1)                       # audio packet
+    long_block = n == _ENC_BS1
+    w.write(1 if long_block else 0, 1)  # mode number (1 bit)
+    if long_block:
+        w.write(0 if prev_short else 1, 1)
+        w.write(0 if next_short else 1, 1)
+    # flat floor at the amplitude that keeps |residue| inside the book
+    peak = float(np.abs(Y).max())
+    top = _ENC_VQ_MIN + (_ENC_VQ_N - 1) * _ENC_VQ_DELTA
+    if peak > 0:
+        idx = 255 + math.ceil(math.log(max(peak / top, 1e-30)) / _DB_STEP)
+    else:
+        idx = 2
+    ystar = max(1, min(127, (min(max(idx, 0), 255) + 1) // 2))
+    amp = _INV_DB[2 * ystar]
+    w.write(1, 1)       # floor nonzero
+    w.write(ystar, 7)   # Y[0] (raw ilog(range-1) bits)
+    w.write(ystar, 7)   # Y[1]
+    for _ in range(len(_ENC_FLOOR_POSTS)):
+        _write_codeword(w, 0, 7)  # val 0: post rides the flat prediction
+    # residue type 2: per partition one classword (class 0) then the
+    # scalar VQ codewords; uniform books make entry == codeword
+    q = np.clip(np.round((Y / amp - _ENC_VQ_MIN) / _ENC_VQ_DELTA),
+                0, _ENC_VQ_N - 1).astype(np.int64)
+    parts = min(_ENC_RES_END, n // 2) // _ENC_RES_PSIZE
+    for p in range(parts):
+        _write_codeword(w, 0, 1)  # classbook entry 0 -> class 0
+        base = p * _ENC_RES_PSIZE
+        for i in range(_ENC_RES_PSIZE):
+            _write_codeword(w, int(q[base + i]), 6)
+    return bytes(w.bytes())
+

@@ -55,6 +55,7 @@ _MAGIC_KINDS = {
     "ffd8ffe0": "image",  # JPEG/JFIF (see 3-byte prefix rule below)
     "49443303": "audio",  # MP3/ID3
     "664c6143": "audio",  # FLAC ("fLaC")
+    "4f676753": "audio",  # Ogg ("OggS") — Vorbis et al.
     "1a45dfa3": "video",  # Matroska/WebM
     "59555634": "video",  # "YUV4" — YUV4MPEG2 raw video
     "000001b3": "video",  # MPEG-1 video elementary stream (sequence hdr)
@@ -120,7 +121,9 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
         .when(hx.startswith("59555634"), "video")                     # "YUV4" Y4M
         .when(hx.startswith("49443303"), "audio")                     # MP3/ID3
         .when(hx.startswith("664c6143"), "audio")                     # FLAC
+        .when(hx.startswith("4f676753"), "audio")                     # Ogg ("OggS")
         .when(hx.startswith("1a45dfa3"), "video")                     # Matroska/WebM
+        .when(hx.startswith("000001b3"), "video")                     # MPEG-1/2 ES
         .when(F.substring(hx, 9, 8) == "66747970", "video")           # ISO-BMFF "ftyp"
         .otherwise("blob")
     )
@@ -552,15 +555,18 @@ def _fake_samples(payload: bytes):
 def decode_samples(payload: bytes, fake: bool = False) -> tuple:
     """bytes → (mono float64 samples, sample_rate, decoder).
 
-    REAL decode for WAV/RIFF PCM, FLAC and MPEG-1 audio Layers I-III
-    (stdlib + numpy — ``functions/audiocodec.py``, ``functions/
-    mpegaudio.py`` and ``functions/mpeg3.py``; FLAC covers constant/
-    verbatim/fixed/LPC subframes, Rice residuals and stereo
-    decorrelation; MPEG covers the full Layer I/II bitstream and the
-    Layer III side-info/reservoir/scalefactor/Huffman-subset/hybrid-
-    IMDCT chain, with the documented non-ISO-table polyphase prototype
-    and Huffman-table-subset deltas); AAC / OGG (and L3 streams
-    selecting Huffman tables outside the verifiable subset) keep the
+    REAL decode for WAV/RIFF PCM, FLAC, MPEG-1 audio Layers I-III and
+    Ogg/Vorbis (stdlib + numpy — ``functions/audiocodec.py``,
+    ``functions/mpegaudio.py``, ``functions/mpeg3.py`` and
+    ``functions/vorbis.py``; FLAC covers constant/verbatim/fixed/LPC
+    subframes, Rice residuals and stereo decorrelation; MPEG covers
+    the full Layer I/II bitstream and the Layer III side-info/
+    reservoir/scalefactor/Huffman-subset/hybrid-IMDCT chain, with the
+    documented non-ISO-table polyphase prototype and
+    Huffman-table-subset deltas; Vorbis reads every codebook/floor/
+    residue config from the stream's own setup header — floor-0 and
+    residue-0 are the documented subset cuts); AAC (and L3/Vorbis
+    streams selecting constructs outside the subsets) keeps the
     honest-stub policy: ``fake=True`` falls back to the deterministic
     fake (also for corrupt payloads), ``fake=False`` raises."""
     from dedup_spark.functions.audiocodec import (
@@ -569,6 +575,7 @@ def decode_samples(payload: bytes, fake: bool = False) -> tuple:
         decode_wav,
     )
     from dedup_spark.functions.mpegaudio import decode_mpeg
+    from dedup_spark.functions.vorbis import decode_vorbis
 
     raw = payload or b""
     try:
@@ -578,6 +585,9 @@ def decode_samples(payload: bytes, fake: bool = False) -> tuple:
         if raw[:4] == b"fLaC":
             x, rate = decode_flac(raw)
             return x, rate, "flac"
+        if raw[:4] == b"OggS":
+            x, rate = decode_vorbis(raw)
+            return x, rate, "vorbis"
         if raw[:3] == b"ID3" or (
             len(raw) >= 4 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
         ):
@@ -1008,21 +1018,27 @@ def documents_as_jpeg_assets(spark, sf_dir: str) -> DataFrame:
 
 def documents_as_wav_assets(spark, sf_dir: str) -> DataFrame:
     """Fixture adapter for the REAL audio decode paths: byte-derived
-    samples encoded as 16-bit PCM WAV or (alternating
-    deterministically by text length, like the JPEG fixture) as FLAC —
+    samples encoded as 16-bit PCM WAV, FLAC or Ogg/Vorbis (cycling
+    deterministically on text length % 3, like the video fixture) —
     so the format-blind geometry oracle (`wav_decode_meta`)
-    value-verifies BOTH real audio parsers through one query."""
+    value-verifies all three real audio stacks through one query
+    (Vorbis sample count is exact: the EOS granule truncates the
+    final lapped block to the encoder's input length)."""
 
     def make(raw: bytes) -> bytes:
         from dedup_spark.functions.audiocodec import (
             encode_flac_pcm16,
             encode_wav_pcm16,
         )
+        from dedup_spark.functions.vorbis import encode_vorbis_pcm16
 
         x, rate = _fake_samples(raw)
-        if len(raw) % 2 == 0:
+        sel = len(raw) % 3
+        if sel == 0:
             return encode_wav_pcm16(x, rate)
-        return encode_flac_pcm16(x, rate)
+        if sel == 1:
+            return encode_flac_pcm16(x, rate)
+        return encode_vorbis_pcm16(x, rate)
 
     return _documents_as_media_assets(spark, sf_dir, "audio", "audio/wav", make)
 

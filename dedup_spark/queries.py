@@ -709,14 +709,15 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode at scale: every document rendered into an
-    actual 16-bit PCM WAV (engine's own stdlib encoder), then decoded
-    through the real RIFF parser and fingerprinted (65-band log-energy
-    envelope, Haitsma-Kalker-style) — ``fake=False``, so a silent
-    fall-back to the stub is impossible (decoder is 'wav' or 'flac'
-    — the fixture alternates both real parsers — on every
+    actual 16-bit PCM WAV, FLAC or Ogg/Vorbis stream (engine's own
+    encoders, cycling by text length), then decoded through the real
+    parser stacks and fingerprinted (65-band log-energy envelope,
+    Haitsma-Kalker-style) — ``fake=False``, so a silent fall-back to
+    the stub is impossible (decoder ∈ {wav, flac, vorbis} on every
     row). Rows-only contract by nature (a windowed FFT has no DuckDB
     mirror); determinism and the Hamming-gate semantics are
-    pytest-gated in tests/test_audiocodec.py."""
+    pytest-gated in tests/test_audiocodec.py and
+    tests/test_vorbis.py."""
     from dedup_spark.operators.multimodal import (
         audio_fingerprint,
         documents_as_wav_assets,
@@ -1333,7 +1334,8 @@ FROM documents
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
        CAST(greatest(16, octet_length(encode(text))) AS BIGINT) AS n_samples,
        CAST(8000 AS BIGINT) AS sample_rate,
-       CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'wav' ELSE 'flac' END AS decoder
+       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'wav'
+            WHEN 1 THEN 'flac' ELSE 'vorbis' END AS decoder
 FROM documents
 """,
     "mpeg_decode_meta": """

@@ -217,6 +217,8 @@ def test_kind_column_matches_python(spark):
         b"\x89PNGftyp!!",  # crafted: 4-byte magic family must WIN over offset-4 ftyp
         b"GIF89a\x04\x00\x04\x00\x00\x00\x00",  # GIF -> image
         b"fLaC\x80\x00\x00\x22" + bytes(34),  # FLAC -> audio
+        b"\x00\x00\x01\xb3\x02\x00\x20" + bytes(8),  # MPEG-1/2 ES -> video
+        b"OggS\x00\x02" + bytes(24),  # Ogg -> audio
     ]
     rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
     df = spark.createDataFrame(rows, "i long, payload binary")

@@ -1,0 +1,306 @@
+"""Ogg/Vorbis codec tests.
+
+Independent anchors: the Vorbis I spec §3.2.1 codeword-assignment
+worked example (published expected codewords), a test-side LSb-first
+bit reader that re-parses the encoder's identification header field by
+field, and a test-side bit WRITER that builds a floor-type-0 setup
+header from scratch to pin the typed subset rejection. Plus: TDAC
+window/transform exactness without entropy coding, round-trip SNR for
+pure tones and noise under both block schedules, EOS-granule
+truncation, typed errors on corrupt streams, decode_samples routing,
+and the cross-format flagship (one recording as WAV + FLAC + MP3 +
+Vorbis in ONE audio near-dup cluster).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dedup_spark.functions.audiocodec import AudioDecodeError
+from dedup_spark.functions.vorbis import (
+    _assemble_window,
+    _imdct_matrix,
+    assign_codewords,
+    decode_vorbis,
+    encode_vorbis_pcm16,
+    float32_pack,
+    float32_unpack,
+)
+
+
+def _tone(seconds: float = 0.6, rate: int = 8000) -> np.ndarray:
+    t = np.arange(int(rate * seconds)) / rate
+    x = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 1310 * t)
+    return (x * 32767).astype(np.int16)
+
+
+def _snr(ref: np.ndarray, out: np.ndarray, trim: int = 512) -> float:
+    a = ref[trim:-trim].astype(np.float64) / 32768.0
+    b = out[trim : len(ref) - trim]
+    err = b - a
+    return 10 * np.log10(np.mean(a**2) / max(np.mean(err**2), 1e-30))
+
+
+# ---------------------------------------------------- spec anchors --------
+
+def test_codeword_assignment_matches_spec_example():
+    """Vorbis I §3.2.1 worked example: lengths [2,4,4,4,4,2,3,3] must
+    assign exactly the published codewords."""
+    got = assign_codewords([2, 4, 4, 4, 4, 2, 3, 3])
+    assert got == {
+        0: (2, 0b00), 1: (4, 0b0100), 2: (4, 0b0101), 3: (4, 0b0110),
+        4: (4, 0b0111), 5: (2, 0b10), 6: (3, 0b110), 7: (3, 0b111),
+    }
+
+
+def test_codeword_assignment_rejects_bad_trees():
+    with pytest.raises(AudioDecodeError, match="overspecified"):
+        assign_codewords([1, 1, 1])
+    with pytest.raises(AudioDecodeError, match="underspecified"):
+        assign_codewords([1, 2])  # leaves '11' unassigned
+
+
+def test_float32_pack_unpack_roundtrip():
+    for v in (0.0, 1.0, -1.0, 0.0625, -2.0, 255.5, 2.0**-30, -(2.0**20)):
+        assert float32_unpack(float32_pack(v)) == v
+    # hand-computed: mantissa 3, exponent 788 (bias zero) -> 3.0
+    assert float32_unpack((788 << 21) | 3) == 3.0
+    assert float32_unpack(0x80000000 | (788 << 21) | 3) == -3.0
+
+
+class _LSBReader:
+    """Independent LSb-first reader (deliberately NOT the module's)."""
+
+    def __init__(self, d: bytes) -> None:
+        self.bits = [(byte >> k) & 1 for byte in d for k in range(8)]
+        self.p = 0
+
+    def read(self, n: int) -> int:
+        v = sum(self.bits[self.p + k] << k for k in range(n))
+        self.p += n
+        return v
+
+
+def test_ident_header_fields_via_independent_reader():
+    blob = encode_vorbis_pcm16(_tone(0.1), rate=8000)
+    # first page: 27-byte header + 1-segment table + ident packet
+    assert blob[:4] == b"OggS"
+    nsegs = blob[26]
+    pkt = blob[27 + nsegs :]
+    assert pkt[:7] == b"\x01vorbis"
+    r = _LSBReader(pkt[7:])
+    assert r.read(32) == 0          # version
+    assert r.read(8) == 1           # channels
+    assert r.read(32) == 8000       # rate
+    r.read(96)                      # bitrates
+    assert 1 << r.read(4) == 256    # blocksize 0
+    assert 1 << r.read(4) == 1024   # blocksize 1
+    assert r.read(1) == 1           # framing
+
+
+class _LSBWriter:
+    """Independent LSb-first writer for crafting header packets."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        self.bits += [(v >> k) & 1 for k in range(n)]
+
+    def bytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            out.append(sum(b << k for k, b in enumerate(self.bits[i : i + 8])))
+        return bytes(out)
+
+
+def _craft_stream(setup_body: bytes) -> bytes:
+    """Valid ident+comment pages followed by a crafted setup packet."""
+    from dedup_spark.functions.containers import _ogg_page
+    from dedup_spark.functions.vorbis import _enc_comment, _enc_ident
+
+    return b"".join([
+        _ogg_page(7, 0, 0, 0x02, _enc_ident(8000)),
+        _ogg_page(7, 1, 0, 0x00, _enc_comment()),
+        _ogg_page(7, 2, 0, 0x04, b"\x05vorbis" + setup_body),
+    ])
+
+
+def test_floor_type0_rejected_typed():
+    w = _LSBWriter()
+    w.write(0, 8)           # one codebook
+    w.write(0x564342, 24)   # sync
+    w.write(1, 16)          # dims
+    w.write(2, 24)          # entries
+    w.write(0, 1)           # unordered
+    w.write(0, 1)           # not sparse
+    w.write(0, 5)           # len 1
+    w.write(0, 5)           # len 1
+    w.write(0, 4)           # lookup 0
+    w.write(0, 6)           # one time transform
+    w.write(0, 16)
+    w.write(0, 6)           # one floor
+    w.write(0, 16)          # floor TYPE 0 -> must be rejected
+    with pytest.raises(AudioDecodeError, match="floor type 0"):
+        decode_vorbis(_craft_stream(w.bytes()))
+
+
+def test_residue_type0_rejected_typed():
+    w = _LSBWriter()
+    w.write(0, 8)
+    w.write(0x564342, 24)
+    w.write(1, 16)
+    w.write(2, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(0, 5)
+    w.write(0, 5)
+    w.write(0, 4)
+    w.write(0, 6)
+    w.write(0, 16)
+    w.write(0, 6)           # one floor, type 1, minimal config
+    w.write(1, 16)
+    w.write(0, 5)           # 0 partitions
+    w.write(0, 2)           # multiplier 1
+    w.write(0, 4)           # rangebits 0
+    w.write(0, 6)           # one residue
+    w.write(0, 16)          # residue TYPE 0 -> rejected
+    with pytest.raises(AudioDecodeError, match="residue type 0"):
+        decode_vorbis(_craft_stream(w.bytes()))
+
+
+# ------------------------------------------------------ transforms --------
+
+def test_tdac_lapping_exact_without_entropy():
+    """Analysis (4/n C.T w x) -> synthesis (C Y) * w, overlap-added,
+    reconstructs the interior exactly — for equal AND mixed block
+    schedules (the window-assembly contract)."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(4096)
+    for sizes in ([1024] * 7, [1024, 1024, 256, 256, 1024, 1024, 1024]):
+        bs0 = 256
+        xpad = np.concatenate([np.zeros(1024), x, np.zeros(4096)])
+        center = 0
+        rec = np.zeros(8192)
+        prev = None
+        prev_n = 0
+        out_at = 0
+        for k, n in enumerate(sizes):
+            pn = sizes[k - 1] if k else n
+            nn = sizes[k + 1] if k + 1 < len(sizes) else n
+            w = _assemble_window(n, pn == bs0 and n != pn,
+                                 nn == bs0 and n != nn, bs0)
+            seg = xpad[1024 + center - n // 2 : 1024 + center + n // 2]
+            C = _imdct_matrix(n)
+            Y = (4.0 / n) * (C.T @ (w * seg))
+            pcm = (C @ Y) * w
+            if prev is not None:
+                hop = prev_n // 4 + n // 4
+                segm = np.zeros(hop)
+                m = min(hop, len(prev))
+                segm[:m] += prev[:m]
+                start = prev_n // 4 - n // 4
+                if start >= 0:
+                    segm[start : start + n // 2] += pcm[: n // 2]
+                else:
+                    segm[:hop] += pcm[-start : -start + hop]
+                rec[out_at : out_at + hop] = segm
+                out_at += hop
+            prev = pcm[n // 2 :]
+            prev_n = n
+            if k + 1 < len(sizes):
+                center += n // 4 + sizes[k + 1] // 4
+        m = min(out_at, len(x))
+        assert np.max(np.abs(rec[:m] - x[:m])) < 1e-9
+
+
+# ------------------------------------------------------- round trip -------
+
+def test_roundtrip_tone_and_noise_both_schedules():
+    rate = 8000
+    rng = np.random.RandomState(5)
+    noise = (np.clip(rng.randn(rate), -1, 1) * 8000).astype(np.int16)
+    for x in (_tone(1.0), noise):
+        for mixed in (False, True):
+            y, r = decode_vorbis(encode_vorbis_pcm16(x, rate,
+                                                     mixed_blocks=mixed))
+            assert r == rate and len(y) == len(x)
+            assert _snr(x, y) > 20.0
+
+
+def test_eos_granule_truncates_exactly():
+    for n in (16, 100, 1000, 2049):
+        x = _tone(1.0)[:n]
+        y, _ = decode_vorbis(encode_vorbis_pcm16(x, 8000))
+        assert len(y) == n
+
+
+def test_typed_errors_on_corrupt_streams():
+    blob = bytearray(encode_vorbis_pcm16(_tone(0.2), 8000))
+    with pytest.raises(AudioDecodeError):
+        decode_vorbis(b"not ogg at all")
+    with pytest.raises(AudioDecodeError):
+        decode_vorbis(bytes(blob[:40]))  # truncated mid-header
+    # corrupt the codebook sync inside the setup packet
+    i = bytes(blob).find(b"\x05vorbis")
+    q = bytearray(blob)
+    q[i + 7] ^= 0xFF
+    with pytest.raises(AudioDecodeError):
+        decode_vorbis(bytes(q))
+
+
+def test_corrupt_payload_reroutes_to_stub_policy():
+    from dedup_spark.operators.multimodal import decode_samples
+
+    bad = b"OggS" + bytes(60)
+    with pytest.raises(NotImplementedError):
+        decode_samples(bad, fake=False)
+    x, rate, dec = decode_samples(bad, fake=True)
+    assert dec == "fake" and len(x) > 0
+
+
+def test_decode_samples_routes_vorbis():
+    from dedup_spark.operators.multimodal import decode_samples
+
+    x = _tone(0.3)
+    out, rate, dec = decode_samples(encode_vorbis_pcm16(x, 8000), fake=False)
+    assert dec == "vorbis" and rate == 8000 and len(out) == len(x)
+
+
+def test_cross_format_cluster_wav_flac_mp3_vorbis(spark):
+    """Flagship: ONE recording as WAV, FLAC, MP3 and Ogg/Vorbis lands
+    in ONE audio near-dup cluster at the documented media-similarity
+    85 gate (same recording-like broadband clip and Hamming radius as
+    the five-codec MPEG test); a different recording stays out."""
+    from test_mpeg3 import rec_clip
+
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.functions.audiocodec import (
+        encode_flac_pcm16,
+        encode_wav_pcm16,
+    )
+    from dedup_spark.functions.mpeg3 import encode_mp3_pcm16
+    from dedup_spark.operators.multimodal import audio_near_dup_clusters
+
+    clip = rec_clip(16000, 32000)
+    other = rec_clip(16000, 32000, seed=99, nlines=9)
+    rows = [
+        (1, "audio", bytearray(encode_wav_pcm16(clip, 32000)), ""),
+        (2, "audio", bytearray(encode_flac_pcm16(clip, 32000)), ""),
+        (3, "audio", bytearray(encode_mp3_pcm16(clip, 32000)), ""),
+        (4, "audio", bytearray(encode_vorbis_pcm16(clip, 32000)), ""),
+        (5, "audio", bytearray(encode_wav_pcm16(other, 32000)), ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    cfg = DedupConfig(similarity_threshold=0.85, simhash_radius=9)
+    out = {r["asset_id"]: r for r in audio_near_dup_clusters(df, cfg).collect()}
+    assert out[1]["decoder"] == "wav"
+    assert out[2]["decoder"] == "flac"
+    assert out[3]["decoder"] == "mp3"
+    assert out[4]["decoder"] == "vorbis"
+    assert (out[1]["cluster_id"] == out[2]["cluster_id"]
+            == out[3]["cluster_id"] == out[4]["cluster_id"])
+    assert out[5]["cluster_id"] != out[1]["cluster_id"]
