@@ -91,6 +91,16 @@ def detect_kind_from_magic(payload: bytes | None) -> str:
     # audio-only m4a reroutes downstream (decode fails → blob path)
     if len(payload) >= 8 and payload[4:8] == b"ftyp":
         return "video"
+    # raw MPEG-audio frame sync (MP3 without an ID3 tag): 11-bit sync
+    # plus VALIDATED header fields (layer != reserved, version !=
+    # reserved, bitrate != bad, samplerate != reserved) so arbitrary
+    # 0xFF-led binaries stay blobs; a false positive only costs the
+    # decode-fail reroute back to the byte-shingle path
+    b1, b2 = payload[1], payload[2]
+    if (payload[0] == 0xFF and (b1 & 0xE0) == 0xE0 and (b1 & 0x06) != 0
+            and (b1 & 0x18) != 0x08 and (b2 & 0xF0) != 0xF0
+            and (b2 & 0x0C) != 0x0C):
+        return "audio"
     return "blob"
 
 
@@ -125,8 +135,24 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
         .when(hx.startswith("1a45dfa3"), "video")                     # Matroska/WebM
         .when(hx.startswith("000001b3"), "video")                     # MPEG-1/2 ES
         .when(F.substring(hx, 9, 8) == "66747970", "video")           # ISO-BMFF "ftyp"
+        .when(
+            # raw MPEG-audio frame sync with validated header fields
+            # (same predicate as the Python sniffer, byte for byte)
+            hx.startswith("ff")
+            & (_hex_byte(hx, 1).bitwiseAND(0xE0) == 0xE0)
+            & (_hex_byte(hx, 1).bitwiseAND(0x06) != 0)
+            & (_hex_byte(hx, 1).bitwiseAND(0x18) != 0x08)
+            & (_hex_byte(hx, 2).bitwiseAND(0xF0) != 0xF0)
+            & (_hex_byte(hx, 2).bitwiseAND(0x0C) != 0x0C),
+            "audio",
+        )
         .otherwise("blob")
     )
+
+
+def _hex_byte(hx: "F.Column", i: int) -> "F.Column":
+    """Byte i of a lowercase-hex string column, as a long."""
+    return F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
 
 
 def decode_asset(payload: bytes, kind: str, fake: bool = False) -> dict:

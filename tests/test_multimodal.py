@@ -219,6 +219,9 @@ def test_kind_column_matches_python(spark):
         b"fLaC\x80\x00\x00\x22" + bytes(34),  # FLAC -> audio
         b"\x00\x00\x01\xb3\x02\x00\x20" + bytes(8),  # MPEG-1/2 ES -> video
         b"OggS\x00\x02" + bytes(24),  # Ogg -> audio
+        b"\xff\xfb\x90\x00" + bytes(16),  # raw MP3 frame sync -> audio
+        b"\xff\xff\xff\xff" + bytes(16),  # sync but bad bitrate -> blob
+        b"\xff\xe0\x00\x00" + bytes(16),  # sync but reserved layer -> blob
     ]
     rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
     df = spark.createDataFrame(rows, "i long, payload binary")
@@ -324,3 +327,49 @@ def test_media_near_dup_clusters_routes_by_kind(spark):
     ids = {out[i]["cluster_id"] for i in (1, 3, 5, 6)}
     assert len(ids) == 4
     assert out[5]["cluster_size"] == 1
+
+
+def test_media_orchestrator_routes_round5_codecs(spark):
+    """The round-5 decoders ride the SAME orchestrator sniff: Ogg →
+    audio/vorbis, MPEG-1/2 elementary streams → video/m1v|m2v, MP3 →
+    audio/mp3 — real frame/sample decode (not the blob reroute), and
+    same-content cross-format pairs merge within their kind."""
+    import numpy as np
+
+    from test_mpeg3 import rec_clip
+
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.functions.mpeg1video import encode_m1v, encode_m2v
+    from dedup_spark.functions.mpeg3 import encode_mp3_pcm16
+    from dedup_spark.functions.videocodec import encode_y4m
+    from dedup_spark.functions.vorbis import encode_vorbis_pcm16
+    from dedup_spark.operators.multimodal import media_near_dup_clusters
+
+    clip = rec_clip(16000, 32000)
+    # blocky content pHashes stably across lossy re-encodes (same
+    # pattern as the mpeg1video cross-container flagship)
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 255, (24, 32)).astype(np.float64)
+    img = np.kron(base, np.ones((2, 2))).astype(np.uint8)
+    frames = np.stack([np.roll(img, 5 * t, axis=1) for t in range(4)])
+    rows = [
+        (1, "", bytearray(encode_vorbis_pcm16(clip, 32000)), ""),
+        (2, "", bytearray(encode_mp3_pcm16(clip, 32000)), ""),
+        (3, "", bytearray(encode_m1v(frames)), ""),
+        (4, "", bytearray(encode_m2v(frames)), ""),
+        (5, "", bytearray(encode_y4m(frames)), ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    cfg = DedupConfig(similarity_threshold=0.85, simhash_radius=9)
+    out = {r["asset_id"]: r for r in media_near_dup_clusters(df, cfg).collect()}
+    assert out[1]["modality"] == "audio" and out[1]["decoder"] == "vorbis"
+    assert out[2]["modality"] == "audio" and out[2]["decoder"] == "mp3"
+    assert out[3]["modality"] == "video" and out[3]["decoder"] == "m1v"
+    assert out[4]["modality"] == "video" and out[4]["decoder"] == "m2v"
+    assert out[5]["modality"] == "video" and out[5]["decoder"] == "y4m"
+    assert out[1]["cluster_id"] == out[2]["cluster_id"]  # audio pair merges
+    assert (out[3]["cluster_id"] == out[4]["cluster_id"]
+            == out[5]["cluster_id"])                     # video trio merges
+    assert out[1]["cluster_id"] != out[3]["cluster_id"]  # never cross-kind
