@@ -236,6 +236,50 @@ def test_eos_granule_truncates_exactly():
         assert len(y) == n
 
 
+def test_packet_spanning_pages_reassembles():
+    """RFC 3533 lacing: a packet split across two pages (255 lacing +
+    continuation flag) must decode identically to the single-page
+    original — real Vorbis streams span pages routinely even though
+    the fixture encoder emits one packet per page."""
+    from dedup_spark.functions.containers import _ogg_crc
+
+    blob = encode_vorbis_pcm16(_tone(0.3), 8000)
+    ref, _ = decode_vorbis(blob)
+
+    # walk pages; split the FIRST audio page (index 3) into two
+    pages = []
+    i = 0
+    while i + 27 <= len(blob):
+        nsegs = blob[i + 26]
+        body = i + 27 + nsegs
+        blen = sum(blob[i + 27 : i + 27 + nsegs])
+        pages.append(blob[i : body + blen])
+        i = body + blen
+
+    def page(serial, seq, gran, htype, segs, body):
+        hdr = (b"OggS" + bytes([0, htype])
+               + gran.to_bytes(8, "little", signed=True)
+               + serial.to_bytes(4, "little") + seq.to_bytes(4, "little")
+               + b"\x00\x00\x00\x00" + bytes([len(segs)]) + bytes(segs))
+        pg = bytearray(hdr + body)
+        pg[22:26] = _ogg_crc(bytes(pg)).to_bytes(4, "little")
+        return bytes(pg)
+
+    target = pages[3]
+    nsegs = target[26]
+    serial = int.from_bytes(target[14:18], "little")
+    gran = int.from_bytes(target[6:14], "little", signed=True)
+    pkt = target[27 + nsegs :]
+    assert len(pkt) > 260  # long enough to need a 255 lacing split
+    a, b = pkt[:255], pkt[255:]
+    segs_b = [255] * (len(b) // 255) + [len(b) % 255]
+    split = (page(serial, 3, -1, 0x00, [255], a)
+             + page(serial, 4, gran, 0x01, segs_b, b))
+    rebuilt = b"".join(pages[:3]) + split + b"".join(pages[4:])
+    out, _ = decode_vorbis(rebuilt)
+    assert np.array_equal(out, ref)
+
+
 def test_typed_errors_on_corrupt_streams():
     blob = bytearray(encode_vorbis_pcm16(_tone(0.2), 8000))
     with pytest.raises(AudioDecodeError):
