@@ -85,16 +85,21 @@ _DC_CHROM = {0: (2, 0b00), 1: (2, 0b01), 2: (2, 0b10), 3: (3, 0b110),
              7: (7, 0b1111110), 8: (8, 0b11111110)}
 
 
-def _dc_trie(codes: dict) -> dict:
-    out = {}
+def _dc_lut(codes: dict) -> tuple[bytes, bytes]:
+    """8-bit-window prefix LUTs (size value, code length) for the
+    dct_dc_size VLCs — one peek per DC symbol in the fast slice loop."""
+    val = bytearray(256)
+    ln = bytearray(256)
     for size, (n, c) in codes.items():
-        out[(n, c)] = size
-    return out
+        start = c << (8 - n)
+        for i in range(start, start + (1 << (8 - n))):
+            val[i] = size
+            ln[i] = n
+    return bytes(val), bytes(ln)
 
 
-_DC_LUM_DEC = _dc_trie(_DC_LUM)
-_DC_CHROM_DEC = _dc_trie(_DC_CHROM)
-_MAX_DC_BITS = 8
+_DC_LUM_LUT = _dc_lut(_DC_LUM)
+_DC_CHROM_LUT = _dc_lut(_DC_CHROM)
 
 
 class _Bits:
@@ -334,7 +339,10 @@ def _decode_i_picture(d: bytes, pic_at: int, mb_w: int, mb_h: int,
         if not (0x01 <= code <= 0xAF):
             i = j
             break
-        _decode_slice(d, j, code, mb_w, mb_h, iq, luma, mpeg2, dc_prec)
+        nxt = _next_start(d, j + 4)
+        end = nxt if nxt >= 0 else len(d)
+        _decode_slice(d, j, end, nxt < 0, code, mb_w, mb_h, iq, luma,
+                      mpeg2, dc_prec)
         seen_slice = True
         i = j + 4
     if not seen_slice:
@@ -342,50 +350,97 @@ def _decode_i_picture(d: bytes, pic_at: int, mb_w: int, mb_h: int,
     return np.clip(luma, 0.0, 255.0).astype(np.uint8), i
 
 
-def _decode_slice(d: bytes, at: int, vpos: int, mb_w: int, mb_h: int,
-                  iq: np.ndarray, luma: np.ndarray, mpeg2: bool,
-                  dc_prec: int) -> None:
-    b = _Bits(d, (at + 4) * 8)
-    q_scale = b.read(5)
+def _decode_slice(d: bytes, at: int, end: int, truncated: bool, vpos: int,
+                  mb_w: int, mb_h: int, iq: np.ndarray, luma: np.ndarray,
+                  mpeg2: bool, dc_prec: int) -> None:
+    """One slice. The hot macroblock/block loop runs on local-variable
+    bit-window arithmetic over the slice's own byte span (``end`` =
+    offset of the next start code, so overrun is a typed error checked
+    per block — same discipline as the JPEG and Vorbis decoders);
+    coefficients collect into a per-block list and dequantize in one
+    numpy pass. Decoded planes and accept/reject behavior are pinned
+    by the codec test matrix."""
+    seg = d[at + 4 : end] + b"\x00" * 8
+    seg_bits = (len(seg) - 8) * 8
+    acc = navail = spos = 0
+
+    def refill(k: int) -> None:  # only used in the cold header path
+        nonlocal acc, navail, spos
+        while navail < k:
+            acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+            spos += 1
+            navail += 8
+
+    refill(5)
+    q_scale = (acc >> (navail - 5)) & 31
+    navail -= 5
     if q_scale == 0:
         raise VideoDecodeError("forbidden quantizer_scale 0")
     if mpeg2:
         # q_scale_type 0 (enforced at the picture coding extension):
         # quantiser_scale = 2 * quantiser_scale_code (13818-2 7.4.2.2)
         q_scale *= 2
-        if b.peek(1):  # intra_slice_flag block (13818-2 6.2.4)
-            b.read(1 + 1 + 7)  # flag, intra_slice, reserved_bits
-    while b.read(1):  # extra_bit_slice
-        b.read(8)
+        refill(1)
+        if (acc >> (navail - 1)) & 1:  # intra_slice_flag block (6.2.4)
+            refill(9)
+            navail -= 9  # flag, intra_slice, reserved_bits
+    while True:  # extra_bit_slice chain
+        refill(1)
+        bit = (acc >> (navail - 1)) & 1
+        navail -= 1
+        if not bit:
+            break
+        refill(8)
+        navail -= 8
+    if (spos << 3) - navail > seg_bits:
+        raise VideoDecodeError("MPEG video bitstream exhausted")
+
     # DC predictors reset at slice start (13818-2 7.2.1: value
     # 2^(7 + intra_dc_precision); MPEG-1 is the precision-0 case)
-    pred = [float(1 << (7 + dc_prec))] * 3
+    pred = [1 << (7 + dc_prec)] * 3
+    pred_max = (1 << (8 + dc_prec)) - 1
+    dc_mult = float(1 << (3 - dc_prec))
+    iq_zz = [int(iq[_ZIGZAG[k]]) for k in range(64)]
     mb_addr = (vpos - 1) * mb_w - 1
     while True:
         # macroblock_address_increment: stuffing / escape / subset '1'
-        while b.peek(11) == 0b00000001111:
-            b.read(11)  # stuffing
-        inc = 0
-        while b.peek(11) == 0b00000001000:
-            b.read(11)
-            inc += 33  # escape
-        nb = b.read(1)
-        if nb != 1:
+        while True:
+            while navail < 11:
+                acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                spos += 1
+                navail += 8
+            v11 = (acc >> (navail - 11)) & 0x7FF
+            if v11 == 0b00000001111 or v11 == 0b00000001000:
+                navail -= 11  # stuffing / escape (escape invalid below)
+                if v11 == 0b00000001000:
+                    raise VideoDecodeError(
+                        "skipped macroblocks are invalid in I-pictures")
+                continue
+            break
+        if (acc >> (navail - 1)) & 1 != 1:
             raise VideoDecodeError(
                 "macroblock address increment outside the verifiable "
                 "subset (fixture streams use increment 1)")
-        inc += 1
-        if inc != 1:
-            raise VideoDecodeError(
-                "skipped macroblocks are invalid in I-pictures")
+        navail -= 1
         mb_addr += 1
         if mb_addr >= mb_w * mb_h:
             raise VideoDecodeError("macroblock address overruns picture")
         # macroblock_type (I-picture table B.2a): '1' / '01' (+quant)
-        if b.read(1) == 0:
-            if b.read(1) != 1:
+        if navail < 1:
+            acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+            spos += 1
+            navail += 8
+        t = (acc >> (navail - 1)) & 1
+        navail -= 1
+        if t == 0:
+            while navail < 6:
+                acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                spos += 1
+                navail += 8
+            if (acc >> (navail - 1)) & 1 != 1:
                 raise VideoDecodeError("invalid I-picture macroblock type")
-            q_scale = b.read(5)
+            q_scale = (acc >> (navail - 6)) & 31
+            navail -= 6
             if q_scale == 0:
                 raise VideoDecodeError("forbidden quantizer_scale 0")
             if mpeg2:
@@ -393,7 +448,98 @@ def _decode_slice(d: bytes, at: int, vpos: int, mb_w: int, mb_h: int,
         my, mx = divmod(mb_addr, mb_w)
         for blk in range(6):
             comp = 0 if blk < 4 else blk - 3  # 0=Y, 1=Cb, 2=Cr
-            zz = _decode_block(b, comp, pred, iq, q_scale, mpeg2, dc_prec)
+            # ---- DC: one LUT hit + signed diff ----------------------
+            dval, dlen = _DC_LUM_LUT if comp == 0 else _DC_CHROM_LUT
+            while navail < 16:
+                acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                spos += 1
+                navail += 8
+            v8 = (acc >> (navail - 8)) & 0xFF
+            ln = dlen[v8]
+            if ln == 0:
+                raise VideoDecodeError("invalid dct_dc_size code")
+            size = dval[v8]
+            navail -= ln
+            if size:
+                while navail < size:
+                    acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                    spos += 1
+                    navail += 8
+                v = (acc >> (navail - size)) & ((1 << size) - 1)
+                navail -= size
+                diff = v if v >= (1 << (size - 1)) else v - ((1 << size) - 1)
+            else:
+                diff = 0
+            pc = pred[comp] + diff
+            if not 0 <= pc <= pred_max:
+                raise VideoDecodeError("intra DC predictor out of range")
+            pred[comp] = pc
+            zz = [0] * 64
+            zz[0] = int(pc * dc_mult)
+            # ---- AC: EOB / ESCAPE subset ----------------------------
+            k = 0
+            while True:
+                while navail < 24:
+                    acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                    spos += 1
+                    navail += 8
+                if (acc >> (navail - 2)) & 3 == 0b10:  # EOB (Table B-14)
+                    navail -= 2
+                    break
+                if (acc >> (navail - 6)) & 0x3F != 1:
+                    raise VideoDecodeError(
+                        "AC coefficient VLC outside the verifiable subset "
+                        "(fixture streams escape-code every coefficient)")
+                run = (acc >> (navail - 12)) & 0x3F
+                navail -= 12
+                if mpeg2:
+                    lv = (acc >> (navail - 12)) & 0xFFF
+                    navail -= 12
+                    if lv == 0 or lv == 0x800:
+                        raise VideoDecodeError("forbidden MPEG-2 escape level")
+                    level = lv - 4096 if lv >= 0x800 else lv
+                else:
+                    lv = (acc >> (navail - 8)) & 0xFF
+                    navail -= 8
+                    if lv == 0 or lv == 128:
+                        while navail < 8:
+                            acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                            spos += 1
+                            navail += 8
+                        ext = (acc >> (navail - 8)) & 0xFF
+                        navail -= 8
+                        if lv == 0:
+                            if ext < 128:
+                                raise VideoDecodeError(
+                                    "invalid escape level extension")
+                            level = ext  # +128..+255
+                        else:
+                            level = ext - 256  # -255..-128
+                            if level > -128:
+                                raise VideoDecodeError(
+                                    "invalid escape level extension")
+                    else:
+                        level = lv - 256 if lv > 128 else lv
+                k += run + 1
+                if k > 63:
+                    raise VideoDecodeError("AC run overruns the block")
+                if mpeg2:
+                    # 13818-2 7.4.2.3 intra AC: (2*QF*W*qs)/32 truncated
+                    # toward zero, no per-coefficient oddification
+                    # (block mismatch control at EOB instead)
+                    num = 2 * level * iq_zz[k] * q_scale
+                    f = -((-num) // 32) if num < 0 else num // 32
+                else:
+                    f = (2 * level * q_scale * iq_zz[k]) // 16
+                    if f % 2 == 0:
+                        f -= 1 if f > 0 else (-1 if f < 0 else 0)
+                zz[k] = max(-2048, min(2047, f))
+            if (spos << 3) - navail > seg_bits:
+                raise VideoDecodeError("MPEG video bitstream exhausted")
+            if mpeg2 and sum(zz) % 2 == 0:
+                # 13818-2 7.4.4 mismatch control: coefficient sum even
+                # -> toggle the LSB of the (7,7) coefficient (zigzag 63)
+                zz[63] = zz[63] - 1 if zz[63] % 2 else zz[63] + 1
             if blk < 4:
                 f = np.empty(64)
                 f[_ZIGZAG] = zz
@@ -401,100 +547,23 @@ def _decode_slice(d: bytes, at: int, vpos: int, mb_w: int, mb_h: int,
                 y0 = my * 16 + (blk // 2) * 8
                 x0 = mx * 16 + (blk % 2) * 8
                 luma[y0 : y0 + 8, x0 : x0 + 8] = px
-        if _slice_done(d, b):
+        # slice end test: zero stuffing to a byte boundary followed by
+        # the next start code (== the end of this slice's byte span),
+        # or — at stream end only — all-zero trailing bytes
+        bits_used = (spos << 3) - navail
+        padbits = (8 - (bits_used & 7)) & 7
+        if padbits:
+            while navail < padbits:
+                acc = ((acc << 8) | seg[spos]) & 0xFFFFFFFF
+                spos += 1
+                navail += 8
+            if (acc >> (navail - padbits)) & ((1 << padbits) - 1):
+                continue
+        aligned = (bits_used + padbits) >> 3
+        if aligned >= len(seg) - 8:
             return
-
-
-def _slice_done(d: bytes, b: _Bits) -> bool:
-    """A slice ends when the cursor reaches zero stuffing up to a byte
-    boundary followed by a start-code prefix (or end of stream) —
-    the spec's `bytealigned() && nextbits == '000...1'` test."""
-    if b.p % 8:
-        if b.peek(8 - b.p % 8) != 0:
-            return False
-    pa = (b.p + 7) // 8
-    if pa >= len(d):
-        return True
-    return d[pa : pa + 3] == b"\x00\x00\x01" or (
-        pa + 3 > len(d) and not any(d[pa:]))
-
-
-def _decode_block(b: _Bits, comp: int, pred: list, iq: np.ndarray,
-                  q_scale: int, mpeg2: bool = False,
-                  dc_prec: int = 0) -> np.ndarray:
-    """One intra block -> 64 reconstructed coefficients (zigzag order)."""
-    zz = np.zeros(64)
-    table = _DC_LUM_DEC if comp == 0 else _DC_CHROM_DEC
-    size = None
-    code = 0
-    for n in range(1, _MAX_DC_BITS + 1):
-        code = (code << 1) | b.read(1)
-        if (n, code) in table:
-            size = table[(n, code)]
-            break
-    if size is None:
-        raise VideoDecodeError("invalid dct_dc_size code")
-    if size:
-        v = b.read(size)
-        diff = v if v >= (1 << (size - 1)) else v - ((1 << size) - 1)
-    else:
-        diff = 0
-    pred[comp] += diff
-    if not 0.0 <= pred[comp] <= float((1 << (8 + dc_prec)) - 1):
-        raise VideoDecodeError("intra DC predictor out of range")
-    zz[0] = pred[comp] * float(1 << (3 - dc_prec))
-    k = 0
-    while True:
-        if b.peek(2) == 0b10:  # EOB (Table B-14 in both specs)
-            b.read(2)
-            if mpeg2:
-                # 13818-2 7.4.4 mismatch control: if the coefficient
-                # sum is even, toggle the LSB of the (7,7) coefficient
-                # (zigzag index 63)
-                total = int(zz.sum())
-                if total % 2 == 0:
-                    f77 = int(zz[63])
-                    zz[63] = f77 - 1 if f77 % 2 else f77 + 1
-            return zz
-        if b.peek(6) == 0b000001:  # ESCAPE: fixed-length run/level
-            b.read(6)
-            run = b.read(6)
-            if mpeg2:
-                lv = b.read(12)  # two's-complement signed_level
-                if lv == 0 or lv == 0x800:
-                    raise VideoDecodeError("forbidden MPEG-2 escape level")
-                level = lv - 4096 if lv >= 0x800 else lv
-            else:
-                lv = b.read(8)
-                if lv == 0:
-                    lv = b.read(8)  # +128..+255
-                    if lv < 128:
-                        raise VideoDecodeError("invalid escape level extension")
-                    level = lv
-                elif lv == 128:
-                    level = b.read(8) - 256  # -255..-128
-                    if level > -128:
-                        raise VideoDecodeError("invalid escape level extension")
-                else:
-                    level = lv - 256 if lv > 128 else lv
-            k += run + 1
-            if k > 63:
-                raise VideoDecodeError("AC run overruns the block")
-            if mpeg2:
-                # 13818-2 7.4.2.3 intra AC: (2*QF*W*qs)/32 truncated
-                # toward zero, no per-coefficient oddification (block
-                # mismatch control at EOB instead)
-                num = 2 * level * int(iq[_ZIGZAG[k]]) * q_scale
-                f = -((-num) // 32) if num < 0 else num // 32
-            else:
-                f = (2 * level * q_scale * iq[_ZIGZAG[k]]) // 16
-                if f % 2 == 0:
-                    f -= 1 if f > 0 else (-1 if f < 0 else 0)
-            zz[k] = max(-2048, min(2047, f))
-            continue
-        raise VideoDecodeError(
-            "AC coefficient VLC outside the verifiable subset "
-            "(fixture streams escape-code every coefficient)")
+        if truncated and not any(seg[aligned : len(seg) - 8]):
+            return
 
 
 # ------------------------------------------------------------- encode -----
