@@ -976,7 +976,9 @@ def _decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
 _ENC_BS0, _ENC_BS1 = 256, 1024
 _ENC_VQ_MIN, _ENC_VQ_DELTA, _ENC_VQ_N = -2.0, 0.0625, 64
 _ENC_FLOOR_BOOK_N = 128
-_ENC_RES_END, _ENC_RES_PSIZE = 512, 64
+# residue end covers the longest INTERLEAVED vector (type 2: stereo
+# long block = 2 * 1024/2); shorter actual sizes clamp per the spec
+_ENC_RES_END, _ENC_RES_PSIZE = 1024, 64
 _ENC_FLOOR_POSTS = (128, 256, 64, 384)
 _DB_STEP = -math.log(1.0649863e-07) / 255.0
 
@@ -987,10 +989,10 @@ def _write_codeword(w: _BitWLSB, code: int, ln: int) -> None:
         w.write((code >> bit) & 1, 1)
 
 
-def _enc_ident(rate: int) -> bytes:
+def _enc_ident(rate: int, ch: int = 1) -> bytes:
     w = _BitWLSB()
     w.write(0, 32)            # version
-    w.write(1, 8)             # channels
+    w.write(ch, 8)            # channels
     w.write(rate, 32)
     w.write(0, 96)            # bitrate max/nominal/min
     w.write(_ENC_BS0.bit_length() - 1, 4)
@@ -1097,18 +1099,23 @@ def _enc_setup() -> bytes:
 
 def encode_vorbis_pcm16(x: np.ndarray, rate: int = 8000,
                         mixed_blocks: bool = True) -> bytes:
-    """int16 mono PCM -> Ogg/Vorbis bytes (one packet per page, EOS
-    granule = len(x)). ``mixed_blocks`` interleaves short blocks into
-    the long-block stream so window switching is exercised."""
+    """int16 PCM, mono ``(n,)`` or multi-channel ``(n, ch)`` ->
+    Ogg/Vorbis bytes (one packet per page, EOS granule = n).
+    ``mixed_blocks`` interleaves short blocks into the long-block
+    stream so window switching is exercised. Channels share the one
+    flat floor config (each with its own per-packet amplitude post)
+    and interleave through the type-2 residue."""
     from dedup_spark.functions.containers import _ogg_page
 
-    x = np.asarray(x, dtype=np.float64).reshape(-1) / 32768.0
-    n_samples = len(x)
-    if n_samples == 0:
-        raise ValueError("empty signal")
+    x = np.asarray(x, dtype=np.float64) / 32768.0
+    if x.ndim == 1:
+        x = x[:, None]
+    n_samples, ch = x.shape
+    if n_samples == 0 or not 1 <= ch <= 8:
+        raise ValueError("empty signal or unsupported channel count")
     serial = 0x7153EED
     pages = [
-        _ogg_page(serial, 0, 0, 0x02, _enc_ident(rate)),
+        _ogg_page(serial, 0, 0, 0x02, _enc_ident(rate, ch)),
         _ogg_page(serial, 1, 0, 0x00, _enc_comment()),
         _ogg_page(serial, 2, 0, 0x00, _enc_setup()),
     ]
@@ -1127,7 +1134,8 @@ def encode_vorbis_pcm16(x: np.ndarray, rate: int = 8000,
         sizes.append(n)
         k += 1
     sizes.append(_ENC_BS1)  # one past-the-end frame completes the lap
-    xpad = np.concatenate([np.zeros(_ENC_BS1), x, np.zeros(3 * _ENC_BS1)])
+    xpad = np.concatenate(
+        [np.zeros((_ENC_BS1, ch)), x, np.zeros((3 * _ENC_BS1, ch))])
     center = 0
     produced = 0
     seq = 3
@@ -1144,7 +1152,7 @@ def encode_vorbis_pcm16(x: np.ndarray, rate: int = 8000,
             _MATRIX_CACHE[n] = C
         # analysis normalization 4/n: OLA of w * C @ C.T @ (w x) has
         # gain n/4 with this basis (power-complementary slopes)
-        Y = (4.0 / n) * (C.T @ (wnd * seg))
+        Y = (4.0 / n) * (C.T @ (wnd[:, None] * seg)).T  # (ch, n/2)
         pkt = _enc_audio_packet(Y, n, prev_short, next_short)
         if k:
             produced += prev_n // 4 + n // 4
@@ -1160,6 +1168,7 @@ def encode_vorbis_pcm16(x: np.ndarray, rate: int = 8000,
 
 def _enc_audio_packet(Y: np.ndarray, n: int, prev_short: bool,
                       next_short: bool) -> bytes:
+    ch = Y.shape[0]
     w = _BitWLSB()
     w.write(0, 1)                       # audio packet
     long_block = n == _ENC_BS1
@@ -1167,25 +1176,30 @@ def _enc_audio_packet(Y: np.ndarray, n: int, prev_short: bool,
     if long_block:
         w.write(0 if prev_short else 1, 1)
         w.write(0 if next_short else 1, 1)
-    # flat floor at the amplitude that keeps |residue| inside the book
-    peak = float(np.abs(Y).max())
+    # flat floor per channel at the amplitude that keeps |residue|
+    # inside the book
     top = _ENC_VQ_MIN + (_ENC_VQ_N - 1) * _ENC_VQ_DELTA
-    if peak > 0:
-        idx = 255 + math.ceil(math.log(max(peak / top, 1e-30)) / _DB_STEP)
-    else:
-        idx = 2
-    ystar = max(1, min(127, (min(max(idx, 0), 255) + 1) // 2))
-    amp = _INV_DB[2 * ystar]
-    w.write(1, 1)       # floor nonzero
-    w.write(ystar, 7)   # Y[0] (raw ilog(range-1) bits)
-    w.write(ystar, 7)   # Y[1]
-    for _ in range(len(_ENC_FLOOR_POSTS)):
-        _write_codeword(w, 0, 7)  # val 0: post rides the flat prediction
-    # residue type 2: per partition one classword (class 0) then the
-    # scalar VQ codewords; uniform books make entry == codeword
-    q = np.clip(np.round((Y / amp - _ENC_VQ_MIN) / _ENC_VQ_DELTA),
+    amps = np.empty(ch)
+    for c in range(ch):
+        peak = float(np.abs(Y[c]).max())
+        if peak > 0:
+            idx = 255 + math.ceil(math.log(max(peak / top, 1e-30)) / _DB_STEP)
+        else:
+            idx = 2
+        ystar = max(1, min(127, (min(max(idx, 0), 255) + 1) // 2))
+        amps[c] = _INV_DB[2 * ystar]
+        w.write(1, 1)       # floor nonzero
+        w.write(ystar, 7)   # Y[0] (raw ilog(range-1) bits)
+        w.write(ystar, 7)   # Y[1]
+        for _ in range(len(_ENC_FLOOR_POSTS)):
+            _write_codeword(w, 0, 7)  # val 0: rides the flat prediction
+    # residue type 2 over the channel-INTERLEAVED vector: per
+    # partition one classword (class 0) then the scalar VQ codewords;
+    # uniform books make entry == codeword
+    inter = (Y / amps[:, None]).T.reshape(-1)  # v[i*ch + c] = Y[c][i]
+    q = np.clip(np.round((inter - _ENC_VQ_MIN) / _ENC_VQ_DELTA),
                 0, _ENC_VQ_N - 1).astype(np.int64)
-    parts = min(_ENC_RES_END, n // 2) // _ENC_RES_PSIZE
+    parts = min(_ENC_RES_END, ch * (n // 2)) // _ENC_RES_PSIZE
     for p in range(parts):
         _write_codeword(w, 0, 1)  # classbook entry 0 -> class 0
         base = p * _ENC_RES_PSIZE

@@ -229,6 +229,21 @@ def test_roundtrip_tone_and_noise_both_schedules():
             assert _snr(x, y) > 20.0
 
 
+def test_stereo_interleave_and_downmix():
+    """Two channels through per-channel floors and the type-2
+    residue's channel interleave, decoded and averaged to mono (same
+    contract as the other audio decoders)."""
+    x = _tone(0.8)
+    st = np.stack([x, np.roll(x, 1)], axis=1)
+    y, r = decode_vorbis(encode_vorbis_pcm16(st, 8000))
+    assert r == 8000 and len(y) == len(x)
+    ref = st.mean(axis=1) / 32768.0
+    err = y[512:-512] - ref[512:-512]
+    snr = 10 * np.log10(np.mean(ref[512:-512] ** 2)
+                        / max(np.mean(err**2), 1e-30))
+    assert snr > 18.0
+
+
 def test_eos_granule_truncates_exactly():
     for n in (16, 100, 1000, 2049):
         x = _tone(1.0)[:n]
