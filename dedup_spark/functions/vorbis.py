@@ -707,6 +707,24 @@ def _imdct_matrix(n: int) -> np.ndarray:
 _MATRIX_CACHE: dict[int, np.ndarray] = {}
 
 
+def inverse_couple(M: np.ndarray, A: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Square-polar inverse channel coupling (Vorbis I §4.3.5), the
+    exact published truth table:
+        M >  0, A >  0: (M, M - A)
+        M >  0, A <= 0: (M + A, M)
+        M <= 0, A >  0: (M, M + A)
+        M <= 0, A <= 0: (M - A, M)
+    """
+    pos = M > 0
+    apos = A > 0
+    new_m = np.where(pos, np.where(apos, M, M + A),
+                     np.where(apos, M, M - A))
+    new_a = np.where(pos, np.where(apos, M - A, M),
+                     np.where(apos, M + A, M))
+    return new_m, new_a
+
+
 # ---------------------------------------------------- header parsing ------
 
 class _Setup:
@@ -900,15 +918,8 @@ def _decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
 
         # inverse coupling (§4.3.5), last step first
         for m, a in reversed(mapping.coupling):
-            M = spectrum[m].copy()
-            A = spectrum[a].copy()
-            pos = M > 0
-            apos = A > 0
-            new_m = np.where(pos, np.where(apos, M, M + A),
-                             np.where(apos, M, M - A))
-            new_a = np.where(pos, np.where(apos, M - A, M),
-                             np.where(apos, M + A, M))
-            spectrum[m], spectrum[a] = new_m, new_a
+            spectrum[m], spectrum[a] = inverse_couple(spectrum[m],
+                                                      spectrum[a])
 
         # dot product with the floor curve
         for c in range(ch):

@@ -229,6 +229,28 @@ def test_roundtrip_tone_and_noise_both_schedules():
             assert _snr(x, y) > 20.0
 
 
+def test_inverse_coupling_truth_table():
+    """§4.3.5 square-polar inverse coupling, every sign quadrant of
+    the published table, transcribed here independently."""
+    from dedup_spark.functions.vorbis import inverse_couple
+
+    cases = [
+        # (M, A) -> (magnitude_channel, angle_channel)
+        (5.0, 2.0, 5.0, 3.0),     # M>0, A>0: (M, M-A)
+        (5.0, -2.0, 3.0, 5.0),    # M>0, A<=0: (M+A, M)
+        (5.0, 0.0, 5.0, 5.0),     # A == 0 takes the A<=0 branch
+        (-5.0, 2.0, -5.0, -3.0),  # M<=0, A>0: (M, M+A)
+        (-5.0, -2.0, -3.0, -5.0),  # M<=0, A<=0: (M-A, M)
+        (0.0, 2.0, 0.0, 2.0),     # M == 0 takes the M<=0 branch
+        (0.0, -2.0, 2.0, 0.0),
+    ]
+    M = np.array([c[0] for c in cases])
+    A = np.array([c[1] for c in cases])
+    nm, na = inverse_couple(M, A)
+    assert np.array_equal(nm, [c[2] for c in cases]), nm
+    assert np.array_equal(na, [c[3] for c in cases]), na
+
+
 def test_stereo_interleave_and_downmix():
     """Two channels through per-channel floors and the type-2
     residue's channel interleave, decoded and averaged to mono (same
