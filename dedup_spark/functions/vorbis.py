@@ -698,10 +698,15 @@ def _assemble_window(n: int, prev_short: bool, next_short: bool,
 
 def _imdct_matrix(n: int) -> np.ndarray:
     """Vorbis IMDCT basis: X[i] = sum_j Y[j] cos(2pi/n (i + 0.5 + n/4)
-    (j + 0.5)); forward analysis is (4/n) * C.T @ (w * x)."""
+    (j + 0.5)); forward analysis is (4/n) * C.T @ (w * x). Stored
+    float32: halves the executor-resident cache (an 8192 blocksize
+    basis is 128 MB instead of 256) at ~1e-7 relative error — far
+    below the band-energy fingerprint's quantization."""
     i = np.arange(n)[:, None]
     j = np.arange(n // 2)[None, :]
-    return np.cos(2.0 * np.pi / n * (i + 0.5 + n / 4.0) * (j + 0.5))
+    return np.cos(
+        2.0 * np.pi / n * (i + 0.5 + n / 4.0) * (j + 0.5)
+    ).astype(np.float32)
 
 
 _MATRIX_CACHE: dict[int, np.ndarray] = {}
@@ -869,19 +874,16 @@ def _decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
     s.bs0, s.bs1 = bs0, bs1
     mode_bits = ilog(len(s.modes) - 1)
 
-    # pass 1: entropy-decode every packet's spectrum (floor applied);
-    # IMDCT runs batched per block size afterwards — one GEMM that
-    # reuses the basis matrix beats per-packet matrix-vector products
-    # ~5x on memory bandwidth
-    blocks: list[tuple[int, bool, bool, np.ndarray]] = []
-    for pkt in packets[3:]:
+    def spectrum_of(pkt: bytes):
+        """Entropy-decode one audio packet to its floored spectrum, or
+        None for zero/short packets (which decode to nothing)."""
         b = _BitsLSB(pkt)
         try:
             if b.read1() != 0:
                 raise AudioDecodeError("header packet in the audio stream")
             mode_idx = b.read(mode_bits)
         except _EOP:
-            continue  # zero/short packet: decodes to nothing
+            return None
         if mode_idx >= len(s.modes):
             raise AudioDecodeError("vorbis mode number out of range")
         blockflag, map_idx = s.modes[mode_idx]
@@ -928,46 +930,54 @@ def _decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
             else:
                 fl = s.floors[mapping.floor_of[mapping.mux[c]]]
                 spectrum[c] *= fl.curve(floor_ys[c], n // 2)
-        blocks.append((n, prev_short, next_short, spectrum))
+        return n, prev_short, next_short, spectrum
 
-    # pass 2: batched IMDCT per block size
-    pcm_of: dict[int, np.ndarray] = {}
-    for n in {blk[0] for blk in blocks}:
-        idx = [i for i, blk in enumerate(blocks) if blk[0] == n]
-        stack = np.concatenate([blocks[i][3] for i in idx])  # (m*ch, n/2)
-        C = _MATRIX_CACHE.get(n)
-        if C is None:
-            C = _imdct_matrix(n)
-            _MATRIX_CACHE[n] = C
-        big = stack @ C.T  # (m*ch, n)
-        for row, i in enumerate(idx):
-            pcm_of[i] = big[row * ch : (row + 1) * ch]
-
-    # pass 3: window + centered overlap-add, in stream order
+    # packets stream through in CHUNKS: each chunk entropy-decodes its
+    # spectra, runs ONE batched IMDCT GEMM per block size (reusing the
+    # cached basis — ~5x over per-packet matrix-vector products on
+    # memory bandwidth) and overlap-adds in order. Per-file memory
+    # stays bounded: an hour-long stream never holds all its spectra
+    # and PCM at once.
+    _CHUNK = 256
     out: list[np.ndarray] = []
     tail: np.ndarray | None = None  # (ch, prev_n/2) windowed right half
     prev_n = 0
-    for i, (n, prev_short, next_short, _spec) in enumerate(blocks):
-        w = _assemble_window(n, prev_short, next_short, bs0)
-        pcm = pcm_of[i] * w
-        if tail is not None:
-            hop = prev_n // 4 + n // 4
-            seg = np.zeros((ch, hop), dtype=np.float64)
-            # previous tail begins at the previous window center
-            m = min(hop, tail.shape[1])
-            seg[:, :m] += tail[:, :m]
-            # current block's left part overlapping [c_prev, c_cur):
-            # the block begins at c_cur - n/2 = c_prev + prev_n/4 - n/4
-            start = prev_n // 4 - n // 4
-            if start >= 0:
-                m2 = min(hop - start, n // 2)
-                seg[:, start : start + m2] += pcm[:, :m2]
-            else:
-                m2 = min(hop, n // 2 + start)
-                seg[:, :m2] += pcm[:, -start : -start + m2]
-            out.append(seg)
-        tail = pcm[:, n // 2 :]
-        prev_n = n
+    audio = packets[3:]
+    for lo in range(0, len(audio), _CHUNK):
+        chunk = [sp for sp in map(spectrum_of, audio[lo : lo + _CHUNK])
+                 if sp is not None]
+        pcm_of: dict[int, np.ndarray] = {}
+        for n in {blk[0] for blk in chunk}:
+            idx = [i for i, blk in enumerate(chunk) if blk[0] == n]
+            stack = np.concatenate([chunk[i][3] for i in idx])  # (m*ch, n/2)
+            C = _MATRIX_CACHE.get(n)
+            if C is None:
+                C = _imdct_matrix(n)
+                _MATRIX_CACHE[n] = C
+            big = (stack.astype(np.float32) @ C.T).astype(np.float64)
+            for row, i in enumerate(idx):
+                pcm_of[i] = big[row * ch : (row + 1) * ch]
+        for i, (n, prev_short, next_short, _spec) in enumerate(chunk):
+            w = _assemble_window(n, prev_short, next_short, bs0)
+            pcm = pcm_of[i] * w
+            if tail is not None:
+                hop = prev_n // 4 + n // 4
+                seg = np.zeros((ch, hop), dtype=np.float64)
+                # previous tail begins at the previous window center
+                m = min(hop, tail.shape[1])
+                seg[:, :m] += tail[:, :m]
+                # current block's left part overlapping [c_prev, c_cur):
+                # it begins at c_cur - n/2 = c_prev + prev_n/4 - n/4
+                start = prev_n // 4 - n // 4
+                if start >= 0:
+                    m2 = min(hop - start, n // 2)
+                    seg[:, start : start + m2] += pcm[:, :m2]
+                else:
+                    m2 = min(hop, n // 2 + start)
+                    seg[:, :m2] += pcm[:, -start : -start + m2]
+                out.append(seg)
+            tail = pcm[:, n // 2 :]
+            prev_n = n
     if not out:
         raise AudioDecodeError("vorbis stream has no decodable audio")
     pcm_all = np.concatenate(out, axis=1)

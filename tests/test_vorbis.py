@@ -212,7 +212,10 @@ def test_tdac_lapping_exact_without_entropy():
             if k + 1 < len(sizes):
                 center += n // 4 + sizes[k + 1] // 4
         m = min(out_at, len(x))
-        assert np.max(np.abs(rec[:m] - x[:m])) < 1e-9
+        # the basis is stored float32 (executor-memory bound), so the
+        # TDAC cancellation is exact to ~1e-6; a lapping-alignment bug
+        # would show as O(1) error
+        assert np.max(np.abs(rec[:m] - x[:m])) < 1e-4
 
 
 # ------------------------------------------------------- round trip -------
