@@ -975,15 +975,16 @@ def _decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
                 else:
                     m2 = min(hop, n // 2 + start)
                     seg[:, :m2] += pcm[:, -start : -start + m2]
-                out.append(seg)
+                # downmix per segment: the accumulated output costs
+                # mono, not ch x, on long multichannel streams
+                out.append(seg.mean(axis=0))
             tail = pcm[:, n // 2 :]
             prev_n = n
     if not out:
         raise AudioDecodeError("vorbis stream has no decodable audio")
-    pcm_all = np.concatenate(out, axis=1)
-    total = min(pcm_all.shape[1], granule) if granule > 0 else pcm_all.shape[1]
-    mono = pcm_all[:, :total].mean(axis=0)
-    return np.clip(mono, -1.0, 1.0), rate
+    mono = np.concatenate(out)
+    total = min(len(mono), granule) if granule > 0 else len(mono)
+    return np.clip(mono[:total], -1.0, 1.0), rate
 
 
 # ------------------------------------------------------------- encode -----
