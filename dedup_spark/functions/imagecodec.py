@@ -634,3 +634,277 @@ def encode_gif_gray8(img: np.ndarray, interlace: bool = False) -> bytes:
         out += bytes([len(blk)]) + blk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# --------------------------------------------------------------- TIFF -----
+#
+# TIFF 6.0 baseline (public Adobe spec; reference parity: 'tiff' sits
+# in the format-preference list at /root/reference/src/
+# media_dedup.rs:71 and decodes through its image crate): both byte
+# orders, IFD tag walk, strip assembly, Compression 1 (none) and 5
+# (TIFF-LZW: MSB-first code packing with the early-change width bump,
+# unlike GIF's LSB-first late change), Predictor 2 (horizontal
+# differencing), gray + RGB + palette photometrics reduced to luma.
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts", 317: "predictor",
+    320: "colormap",
+}
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def decode_tiff(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a baseline TIFF to (grayscale uint8 (h, w), width,
+    height). First IFD only (multi-page files fingerprint their first
+    page, same policy as GIF's first frame). Any parse failure raises
+    ImageDecodeError (same airtight stub-policy contract as
+    decode_png)."""
+    try:
+        return _decode_tiff(payload)
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError,
+            MemoryError) as exc:
+        raise ImageDecodeError(f"corrupt TIFF: {exc}") from exc
+
+
+def _decode_tiff(payload: bytes) -> tuple[np.ndarray, int, int]:
+    d = payload or b""
+    if d[:4] == b"II\x2a\x00":
+        bo = "<"
+    elif d[:4] == b"MM\x00\x2a":
+        bo = ">"
+    else:
+        raise ImageDecodeError("not a TIFF (bad byte-order header)")
+    u16 = lambda a: struct.unpack_from(bo + "H", d, a)[0]  # noqa: E731
+    u32 = lambda a: struct.unpack_from(bo + "I", d, a)[0]  # noqa: E731
+    ifd = u32(4)
+    if ifd + 2 > len(d):
+        raise ImageDecodeError("truncated TIFF IFD offset")
+    n_entries = u16(ifd)
+    tags: dict[str, list[int]] = {}
+    for k in range(n_entries):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(d):
+            raise ImageDecodeError("truncated TIFF IFD")
+        tag, typ, cnt = u16(e), u16(e + 2), u32(e + 4)
+        name = _TIFF_TAGS.get(tag)
+        if name is None:
+            continue
+        sz = _TIFF_TYPE_SIZE.get(typ)
+        if sz is None or cnt == 0 or cnt > 1 << 20:
+            raise ImageDecodeError(f"bad TIFF entry for tag {tag}")
+        at = e + 8 if sz * cnt <= 4 else u32(e + 8)
+        if at + sz * cnt > len(d):
+            raise ImageDecodeError("TIFF entry values overrun the file")
+        rd = u16 if typ == 3 else (u32 if typ == 4 else None)
+        if rd is None:  # BYTE values (e.g. bits as BYTE is nonstandard)
+            vals = list(d[at : at + cnt])
+        else:
+            vals = [rd(at + sz * i) for i in range(cnt)]
+        tags[name] = vals
+
+    for req in ("width", "height", "strip_offsets", "strip_counts"):
+        if req not in tags:
+            raise ImageDecodeError(f"TIFF lacks required tag {req}")
+    w, h = tags["width"][0], tags["height"][0]
+    if not w or not h or w * h > MAX_PIXELS:
+        raise ImageDecodeError(f"bad TIFF dimensions {w}x{h}")
+    spp = tags.get("spp", [1])[0]
+    bits = tags.get("bits", [8] * spp)
+    if spp not in (1, 3) or any(b != 8 for b in bits):
+        raise ImageDecodeError(
+            "TIFF variant outside the baseline subset (8-bit gray/RGB)")
+    comp = tags.get("compression", [1])[0]
+    if comp not in (1, 5):
+        raise ImageDecodeError(
+            f"TIFF compression {comp} outside the subset (none, LZW)")
+    photometric = tags.get("photometric", [1])[0]
+    if photometric not in (0, 1, 2, 3):
+        raise ImageDecodeError("TIFF photometric outside the subset")
+    if photometric == 3 and (spp != 1 or "colormap" not in tags):
+        raise ImageDecodeError("palette TIFF lacks its colormap")
+    predictor = tags.get("predictor", [1])[0]
+    if predictor not in (1, 2):
+        raise ImageDecodeError("TIFF predictor outside the subset")
+
+    rps = tags.get("rows_per_strip", [h])[0] or h
+    offs, cnts = tags["strip_offsets"], tags["strip_counts"]
+    if len(offs) != len(cnts) or len(offs) != -(-h // rps):
+        raise ImageDecodeError("TIFF strip table inconsistent")
+    raw = bytearray()
+    need = h * w * spp
+    for o, c in zip(offs, cnts):
+        if o + c > len(d):
+            raise ImageDecodeError("TIFF strip overruns the file")
+        if comp == 1:
+            raw += d[o : o + c]
+        else:
+            raw += _tiff_lzw_decode(d[o : o + c], need - len(raw))
+        if len(raw) > need:
+            raise ImageDecodeError("TIFF strips exceed the image size")
+    if len(raw) < need:
+        raise ImageDecodeError("TIFF strips shorter than the image size")
+    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w * spp)
+    if predictor == 2:
+        px = np.cumsum(
+            px.reshape(h, w, spp).astype(np.uint32), axis=1
+        ).astype(np.uint8).reshape(h, w * spp)
+    px = px.reshape(h, w, spp) if spp == 3 else px.reshape(h, w)
+    if photometric == 3:
+        cm = tags["colormap"]
+        if len(cm) != 3 * 256:
+            raise ImageDecodeError("TIFF colormap size invalid")
+        lut = (np.array(cm, dtype=np.uint32) >> 8).astype(np.uint8)
+        r, g, b = lut[:256][px], lut[256:512][px], lut[512:768][px]
+        px = np.stack([r, g, b], axis=-1)
+        return _to_gray(px, 3), int(w), int(h)
+    if photometric == 0 and spp == 1:  # WhiteIsZero
+        px = 255 - px
+    return _to_gray(px, spp), int(w), int(h)
+
+
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytearray:
+    """TIFF-LZW (spec section 13): 8-bit roots, ClearCode 256, EOI
+    257, MSB-first code packing, and the EARLY code-width change (the
+    width bumps when the next entry would be table slot 511/1023/2047
+    — one code earlier than GIF). Output capped at the IFD-implied
+    byte count (same bomb policy as the PNG/GIF decoders)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> None:
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.extend((b"", b""))  # clear/EOI placeholders
+
+    reset()
+    width = 9
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ImageDecodeError("TIFF LZW first code invalid")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ImageDecodeError("TIFF LZW code out of range")
+            out += entry
+            if len(out) > max_out:
+                raise ImageDecodeError("TIFF LZW output exceeds image size")
+            prev = entry
+            # EARLY change: bump when the NEXT append would overflow
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    raise ImageDecodeError("TIFF LZW stream ended without EOI")
+
+
+def encode_tiff_gray8(img: np.ndarray, lzw: bool = False,
+                      big_endian: bool = False,
+                      predictor: bool = False) -> bytes:
+    """Baseline 8-bit grayscale TIFF writer (fixture side): single
+    strip, optional TIFF-LZW with optional horizontal-differencing
+    predictor, either byte order."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("expected (h, w) uint8")
+    h, w = img.shape
+    bo = ">" if big_endian else "<"
+    data = img
+    if predictor:
+        d32 = img.astype(np.int16)
+        data = np.concatenate(
+            [d32[:, :1], np.diff(d32, axis=1)], axis=1
+        ).astype(np.uint8)
+    payload = data.tobytes()
+    if lzw:
+        payload = _tiff_lzw_encode(payload)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, 5 if lzw else 1), (262, 3, 1, 1),
+        (273, 4, 1, None),  # strip offset patched below
+        (277, 3, 1, 1), (278, 3, 1, h), (279, 4, 1, len(payload)),
+    ]
+    if predictor:
+        entries.append((317, 3, 1, 2))
+    entries.sort()
+    ifd_at = 8
+    data_at = ifd_at + 2 + 12 * len(entries) + 4
+    out = bytearray(struct.pack(bo + "2sHI", b"MM" if big_endian else b"II",
+                                42, ifd_at))
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if val is None:
+            val = data_at
+        out += struct.pack(bo + "HHI", tag, typ, cnt)
+        out += struct.pack(bo + ("I" if typ == 4 else "HH"),
+                           *( (val,) if typ == 4 else (val, 0) ))
+    out += struct.pack(bo + "I", 0)  # no next IFD
+    out += payload
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Fixture-side TIFF-LZW encoder (string-table compressor with the
+    spec's early width change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    put(CLEAR, width)
+    cur = b""
+    for byte in data:
+        cand = cur + bytes([byte])
+        if cand in table:
+            cur = cand
+            continue
+        put(table[cur], width)
+        table[cand] = nxt
+        nxt += 1
+        # EARLY change mirrors the decoder's bump point
+        if nxt + 1 > (1 << width) and width < 12:
+            width += 1
+        if nxt >= 4094:  # reset before the table saturates
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        put(table[cur], width)
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)

@@ -52,6 +52,8 @@ META_SCHEMA = StructType(META_FIELDS)
 _MAGIC_KINDS = {
     "89504e47": "image",  # PNG
     "47494638": "image",  # GIF87a/GIF89a ("GIF8")
+    "49492a00": "image",  # TIFF little-endian ("II*\\0")
+    "4d4d002a": "image",  # TIFF big-endian ("MM\\0*")
     "ffd8ffe0": "image",  # JPEG/JFIF (see 3-byte prefix rule below)
     "49443303": "audio",  # MP3/ID3
     "664c6143": "audio",  # FLAC ("fLaC")
@@ -120,6 +122,8 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
         )
         .when(hx.startswith("89504e47"), "image")                     # PNG
         .when(hx.startswith("47494638"), "image")                     # GIF87a/89a
+        .when(hx.startswith("49492a00"), "image")                     # TIFF "II"
+        .when(hx.startswith("4d4d002a"), "image")                     # TIFF "MM"
         .when(
             hx.startswith("52494646") & (F.substring(hx, 17, 8) == "57415645"),
             "audio",                                                  # RIFF/WAVE
@@ -307,21 +311,24 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
 
     REAL decode for the formats numpy + the stdlib can handle from
     their public specs — PNG (zlib inflate + unfilter), BMP
-    (uncompressed DIB) via ``functions/imagecodec.py``, and JPEG in
-    both baseline (T.81 sequential DCT) and progressive (SOF2,
-    spectral selection + successive approximation) modes —
+    (uncompressed DIB), GIF (LZW), TIFF (baseline 6.0: both byte
+    orders, none/LZW compression, horizontal predictor, gray/RGB/
+    palette) via ``functions/imagecodec.py``, and JPEG in both
+    baseline (T.81 sequential DCT) and progressive (SOF2, spectral
+    selection + successive approximation) modes —
     ``functions/jpegcodec.py``; the luma plane of color images.
     Everything else (WebP, JPEG 2000, arithmetic-coded JPEG, …)
     keeps the honest-stub policy: ``fake=True`` falls back to the
     deterministic byte-structure fake (also used when a real-looking
     payload turns out corrupt), ``fake=False`` raises. ``decoder`` in
-    the result names which path ran ('png' | 'bmp' | 'jpeg' | 'fake')
-    so downstream rows are never silently fake."""
+    the result names which path ran ('png' | 'bmp' | 'gif' | 'tiff' |
+    'jpeg' | 'fake') so downstream rows are never silently fake."""
     from dedup_spark.functions.imagecodec import (
         ImageDecodeError,
         decode_bmp,
         decode_gif,
         decode_png,
+        decode_tiff,
     )
     from dedup_spark.functions.jpegcodec import decode_jpeg
 
@@ -339,6 +346,9 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
         if raw[:5] in (b"GIF87", b"GIF89"):
             img, w, h = decode_gif(raw)
             return img, w, h, "gif"
+        if raw[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+            img, w, h = decode_tiff(raw)
+            return img, w, h, "tiff"
     except ImageDecodeError:
         pass  # corrupt or unsupported variant → stub policy below
     if fake:
@@ -819,13 +829,28 @@ def _documents_as_media_assets(
 
 
 def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
-    """Fixture adapter for the REAL PNG decode path (decoder == 'png'
-    on every row — no fake)."""
+    """Fixture adapter for the REAL lossless-image decode paths:
+    byte-derived pixels as PNG (text length % 3 == 0), little-endian
+    uncompressed TIFF (% 3 == 1) or big-endian TIFF-LZW with the
+    horizontal predictor (% 3 == 2) — so the format-blind geometry
+    oracle (`png_decode_meta`) value-verifies both lossless decoders
+    and both TIFF byte orders/compressions through one query (no
+    fake on any row)."""
 
     def make(raw: bytes) -> bytes:
-        from dedup_spark.functions.imagecodec import encode_png_gray8
+        from dedup_spark.functions.imagecodec import (
+            encode_png_gray8,
+            encode_tiff_gray8,
+        )
 
-        return encode_png_gray8(_fake_pixels(raw)[0])
+        img = _fake_pixels(raw)[0]
+        sel = len(raw) % 3
+        if sel == 0:
+            return encode_png_gray8(img)
+        if sel == 1:
+            return encode_tiff_gray8(img)
+        return encode_tiff_gray8(img, lzw=True, big_endian=True,
+                                 predictor=True)
 
     return _documents_as_media_assets(spark, sf_dir, "image", "image/png", make)
 

@@ -692,13 +692,13 @@ def q_asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode at scale: every document rendered into an
-    actual PNG (engine's own stdlib encoder), then hashed through the
-    real zlib-inflate + unfilter decoder and the 32×32 DCT pHash —
-    ``fake=False``, so a silent fall-back to the stub is impossible
-    (decoder == 'png' on every row, visible in the output). Rows-only
-    contract by nature (a 2-D DCT has no DuckDB mirror); bit-level
-    determinism and the Hamming-gate semantics are pytest-gated in
-    tests/test_imagecodec.py."""
+    actual PNG or TIFF (engine's own encoders, cycling by text
+    length), then hashed through the real decoders and the 32×32 DCT
+    pHash — ``fake=False``, so a silent fall-back to the stub is
+    impossible (decoder ∈ {png, tiff} on every row, visible in the
+    output). Rows-only contract by nature (a 2-D DCT has no DuckDB
+    mirror); bit-level determinism and the Hamming-gate semantics are
+    pytest-gated in tests/test_imagecodec.py."""
     from dedup_spark.operators.multimodal import (
         documents_as_png_assets,
         image_phash,
@@ -1320,7 +1320,8 @@ FROM t
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
        CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) AS width,
        CAST(16 + (octet_length(encode(text)) // 7) % 48 AS BIGINT) AS height,
-       'png' AS decoder
+       CASE WHEN octet_length(encode(text)) % 3 = 0
+            THEN 'png' ELSE 'tiff' END AS decoder
 FROM documents
 """,
     "jpeg_decode_meta": """

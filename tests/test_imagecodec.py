@@ -468,3 +468,173 @@ def test_gif_through_phash_path():
     dec, w, h, d = decode_pixels(g)
     assert d == "gif" and (w, h) == (64, 64)
     assert hamming64(phash64(dec), phash64(img)) == 0  # lossless gray palette
+
+
+# ---------------------------------------------------------------- TIFF ----
+
+def _tiff_img(h=45, w=61, seed=7):
+    rng = np.random.RandomState(seed)
+    return np.kron(rng.randint(0, 256, (23, 31)),
+                   np.ones((2, 2))).astype(np.uint8)[:h, :w]
+
+
+def test_tiff_roundtrip_all_variants_bit_exact():
+    """Both byte orders x none/LZW x predictor on/off decode back to
+    the identical pixels (lossless contract, like PNG/BMP/GIF)."""
+    from dedup_spark.functions.imagecodec import decode_tiff, encode_tiff_gray8
+
+    img = _tiff_img()
+    for lzw in (False, True):
+        for be in (False, True):
+            for pred in (False, True):
+                blob = encode_tiff_gray8(img, lzw=lzw, big_endian=be,
+                                         predictor=pred)
+                out, w, h = decode_tiff(blob)
+                assert (w, h) == (61, 45)
+                assert np.array_equal(out, img), (lzw, be, pred)
+
+
+def test_tiff_lzw_matches_uncompressed():
+    from dedup_spark.functions.imagecodec import decode_tiff, encode_tiff_gray8
+
+    img = _tiff_img(seed=11)
+    a, _, _ = decode_tiff(encode_tiff_gray8(img))
+    b, _, _ = decode_tiff(encode_tiff_gray8(img, lzw=True, predictor=True))
+    assert np.array_equal(a, b)
+
+
+def test_tiff_lzw_early_change_exercised():
+    """An image with > 254 distinct byte pairs forces the string table
+    past 511 entries, crossing the spec's EARLY code-width bump (the
+    point where TIFF-LZW differs from GIF-LZW)."""
+    from dedup_spark.functions.imagecodec import decode_tiff, encode_tiff_gray8
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (64, 64)).astype(np.uint8)  # ~4k pairs
+    blob = encode_tiff_gray8(img, lzw=True)
+    out, _, _ = decode_tiff(blob)
+    assert np.array_equal(out, img)
+
+
+def test_tiff_rejects_corrupt_and_subset_violations():
+    from dedup_spark.functions.imagecodec import (
+        ImageDecodeError,
+        decode_tiff,
+        encode_tiff_gray8,
+    )
+
+    img = _tiff_img()
+    blob = bytearray(encode_tiff_gray8(img))
+    with pytest.raises(ImageDecodeError, match="byte-order"):
+        decode_tiff(b"ZZZZ" + bytes(blob[4:]))
+    with pytest.raises(ImageDecodeError):
+        decode_tiff(bytes(blob[:30]))  # truncated IFD
+    # compression tag -> unsupported value (entries are sorted by tag;
+    # find tag 259 and patch its SHORT value)
+    import struct
+    n = struct.unpack_from("<H", blob, 8)[0]
+    for k in range(n):
+        e = 10 + 12 * k
+        if struct.unpack_from("<H", blob, e)[0] == 259:
+            struct.pack_into("<H", blob, e + 8, 7)  # JPEG-in-TIFF
+    with pytest.raises(ImageDecodeError, match="compression"):
+        decode_tiff(bytes(blob))
+
+
+def test_tiff_rgb_and_palette_and_whitiszero():
+    """Hand-built little-endian TIFFs for the non-gray photometrics:
+    RGB reduces via the shared luma weights, palette maps through the
+    16-bit colormap, WhiteIsZero inverts."""
+    import struct
+
+    from dedup_spark.functions.imagecodec import decode_tiff
+
+    def build(photometric, spp, pixeldata, extra_entries=()):
+        entries = [
+            (256, 3, 1, 4), (257, 3, 1, 2), (259, 3, 1, 1),
+            (262, 3, 1, photometric), (273, 4, 1, None),
+            (277, 3, 1, spp), (278, 3, 1, 2),
+            (279, 4, 1, len(pixeldata)),
+        ]
+        if spp == 3:
+            entries.append((258, 3, 3, "bits3"))
+        else:
+            entries.append((258, 3, 1, 8))
+        entries.extend(extra_entries)
+        entries.sort()
+        ifd_at = 8
+        after = ifd_at + 2 + 12 * len(entries) + 4
+        tail = bytearray()
+        patched = []
+        for tag, typ, cnt, val in entries:
+            if val == "bits3":
+                patched.append((tag, typ, cnt, after + len(tail)))
+                tail += struct.pack("<HHH", 8, 8, 8)
+            elif val == "colormap":
+                patched.append((tag, typ, cnt, after + len(tail)))
+                cm = [0] * 768
+                for i in range(256):  # identity-ish map, 16-bit values
+                    cm[i] = i << 8
+                    cm[256 + i] = i << 8
+                    cm[512 + i] = i << 8
+                tail += struct.pack("<768H", *cm)
+            else:
+                patched.append((tag, typ, cnt, val))
+        data_at = after + len(tail)
+        out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+        out += struct.pack("<H", len(patched))
+        for tag, typ, cnt, val in patched:
+            if val is None:
+                val = data_at
+            out += struct.pack("<HHI", tag, typ, cnt)
+            out += struct.pack("<I" if typ == 4 else "<HH",
+                               *((val,) if typ == 4 else (val, 0)))
+        out += struct.pack("<I", 0)
+        out += tail
+        out += pixeldata
+        return bytes(out)
+
+    # RGB 4x2: pure red row, pure white row
+    rgb = bytes([255, 0, 0] * 4 + [255, 255, 255] * 4)
+    img, w, h = decode_tiff(build(2, 3, rgb))
+    assert (w, h) == (4, 2)
+    assert np.all(img[1] == 255) and np.all(img[0] < 120)  # red's luma
+    # palette: indices map to identity gray
+    pal = bytes([0, 64, 128, 255] * 2)
+    img2, _, _ = decode_tiff(build(3, 1, pal,
+                                   extra_entries=[(320, 3, 768, "colormap")]))
+    assert list(img2[0]) == [0, 64, 128, 255]
+    # WhiteIsZero inverts
+    g = bytes([0, 64, 128, 255] * 2)
+    img3, _, _ = decode_tiff(build(0, 1, g))
+    assert list(img3[0]) == [255, 191, 127, 0]
+
+
+def test_tiff_through_phash_and_cluster_merge(spark):
+    """A PNG and its TIFF re-encodes (both variants) land in ONE image
+    near-dup cluster through the real decode path; different content
+    stays out."""
+    from dedup_spark.functions.imagecodec import (
+        encode_png_gray8,
+        encode_tiff_gray8,
+    )
+    from dedup_spark.operators.multimodal import image_near_dup_clusters
+
+    img = _tiff_img(h=64, w=64)
+    other = _tiff_img(h=64, w=64, seed=99)
+    rows = [
+        (1, "image", bytearray(encode_png_gray8(img)), ""),
+        (2, "image", bytearray(encode_tiff_gray8(img)), ""),
+        (3, "image", bytearray(encode_tiff_gray8(img, lzw=True,
+                                                 big_endian=True,
+                                                 predictor=True)), ""),
+        (4, "image", bytearray(encode_png_gray8(other)), ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    out = {r["asset_id"]: r for r in image_near_dup_clusters(df).collect()}
+    assert out[1]["decoder"] == "png"
+    assert out[2]["decoder"] == "tiff" and out[3]["decoder"] == "tiff"
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
+    assert out[4]["cluster_id"] != out[1]["cluster_id"]

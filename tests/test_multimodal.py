@@ -222,6 +222,8 @@ def test_kind_column_matches_python(spark):
         b"\xff\xfb\x90\x00" + bytes(16),  # raw MP3 frame sync -> audio
         b"\xff\xff\xff\xff" + bytes(16),  # sync but bad bitrate -> blob
         b"\xff\xe0\x00\x00" + bytes(16),  # sync but reserved layer -> blob
+        b"II\x2a\x00" + bytes(16),  # TIFF little-endian -> image
+        b"MM\x00\x2a" + bytes(16),  # TIFF big-endian -> image
     ]
     rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
     df = spark.createDataFrame(rows, "i long, payload binary")
