@@ -160,12 +160,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # truncation cut the weakest evidence first
     from dedup_spark.queries import ORACLE
 
-    # 51 value-oracled entries now exceed the driver's 50-row record
-    # cap by one; ``keep_longest`` is pinned to the oracled block's
-    # tail so the one cut is the most redundant row (W1 keep-selection
-    # stays value-verified via keep_shortest, preferred_lang and
-    # rank_in_set) instead of whichever happens to sort last.
-    sacrificial = ("keep_longest",)
+    # 52 value-oracled entries now exceed the driver's 50-row record
+    # cap by two; the tail of the oracled block is pinned so the cuts
+    # are deliberate rather than whichever happens to sort last:
+    # ``raw_decode_meta`` (value-verified locally by
+    # scripts/check_contract.py and pytest-gated end-to-end in
+    # tests/test_rawimage.py — the newest decode family yields the
+    # recorded slot to the long-stable rows) and ``keep_longest``
+    # (W1 keep-selection stays value-verified via keep_shortest,
+    # preferred_lang and rank_in_set). The recorded-50 set is thus
+    # IDENTICAL to round 4's.
+    sacrificial = ("raw_decode_meta", "keep_longest")
     oracled = {k: v for k, v in merged.items()
                if k in ORACLE and k not in sacrificial}
     oracled.update({k: merged[k] for k in sacrificial if k in merged})

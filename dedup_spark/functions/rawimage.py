@@ -1,0 +1,393 @@
+"""Camera-RAW (TIFF-container) parsing + embedded-JPEG preview decode.
+
+The reference's format-preference list names the camera-RAW family
+explicitly — raw / arw / cr2 / nef / orf / rw2 ahead of every
+processed format (/root/reference/src/media_dedup.rs:62-68) — and RAW
+files are fingerprinted through their embedded JPEG preview, the
+standard route every RAW-aware tool takes: the mosaiced sensor payload
+itself is vendor-opaque, while the preview carriers are plain public
+TIFF structure. All five flavors ARE TIFF containers:
+
+- ARW (Sony) / NEF (Nikon): TIFF-EP — plain TIFF magic, vendor named
+  by the Make tag (271).
+- CR2 (Canon): TIFF magic plus the "CR\\x02" marker at offset 8.
+- ORF (Olympus): the 0x2A magic word replaced by "RO" (or "RS");
+  everything after the header is ordinary IFD structure.
+- RW2 (Panasonic): magic word 0x55; the u32 at offset 4 is still the
+  first-IFD offset (0x18 in real files — the 16 magic bytes follow).
+
+The walker visits every IFD (next-IFD chain + SubIFD tag 0x014A,
+bounded), collects the standard geometry/identity tags, and finds the
+LARGEST embedded JPEG among the public preview carriers:
+JPEGInterchangeFormat/Length (513/514), compression-6/7 strips whose
+payload starts with SOI, and Panasonic's JpgFromRaw (tag 0x2E). The
+preview decodes through the engine's own T.81 decoder
+(``functions/jpegcodec.py``) — no vendor SDK semantics anywhere.
+Failure anywhere raises ``ImageDecodeError`` (the same typed-error
+contract as every other image decoder, so undecodable RAW reroutes to
+the byte-shingle near-dup path instead of killing the job).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from dedup_spark.functions.imagecodec import MAX_PIXELS, ImageDecodeError
+
+_TIFF_LE = b"II\x2a\x00"
+_TIFF_BE = b"MM\x00\x2a"
+_ORF_MAGICS = (b"IIRO", b"IIRS")  # Olympus writes little-endian only
+_RW2_MAGIC = b"II\x55\x00"
+
+# tag → name for the subset the walker keeps (public TIFF/TIFF-EP tags)
+_RAW_TAGS = {
+    254: "subfile",
+    256: "width",
+    257: "height",
+    259: "compression",
+    271: "make",
+    272: "model",
+    273: "strip_offsets",
+    279: "strip_counts",
+    330: "subifds",
+    513: "jpegif",
+    514: "jpegif_len",
+    46: "jpg_from_raw",  # Panasonic JpgFromRaw: the preview as one blob
+}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
+
+# Make-tag prefix → flavor, for the two flavors with plain TIFF magic
+_MAKE_FLAVORS = (("SONY", "arw"), ("NIKON", "nef"))
+
+_MAX_IFDS = 32  # bound the walk against crafted IFD cycles
+
+
+def _read_ifd(d: bytes, bo: str, off: int) -> tuple[dict, int]:
+    """One IFD → ({tag name: values}, next-IFD offset). ASCII tags
+    decode to str; offsets/counts stay ints. Bounds-checked like the
+    baseline TIFF decoder."""
+    u16 = lambda a: struct.unpack_from(bo + "H", d, a)[0]  # noqa: E731
+    u32 = lambda a: struct.unpack_from(bo + "I", d, a)[0]  # noqa: E731
+    if off + 2 > len(d):
+        raise ImageDecodeError("truncated RAW IFD offset")
+    n_entries = u16(off)
+    if n_entries > 4096:
+        raise ImageDecodeError("RAW IFD entry count implausible")
+    tags: dict = {}
+    for k in range(n_entries):
+        e = off + 2 + 12 * k
+        if e + 12 > len(d):
+            raise ImageDecodeError("truncated RAW IFD")
+        tag, typ, cnt = u16(e), u16(e + 2), u32(e + 4)
+        name = _RAW_TAGS.get(tag)
+        if name is None:
+            continue
+        sz = _TYPE_SIZE.get(typ)
+        if sz is None or cnt == 0 or cnt > 1 << 24:
+            raise ImageDecodeError(f"bad RAW IFD entry for tag {tag}")
+        at = e + 8 if sz * cnt <= 4 else u32(e + 8)
+        if at + sz * cnt > len(d):
+            raise ImageDecodeError("RAW IFD values overrun the file")
+        if typ == 2:  # ASCII, NUL-terminated
+            tags[name] = d[at : at + cnt].split(b"\x00", 1)[0].decode(
+                "ascii", "replace"
+            )
+        elif typ in (1, 7):  # BYTE / UNDEFINED: keep the span, not bytes
+            tags[name] = (at, cnt)
+        else:
+            rd = u16 if typ == 3 else u32
+            tags[name] = [rd(at + sz * i) for i in range(cnt)]
+    nxt_at = off + 2 + 12 * n_entries
+    if nxt_at + 4 > len(d):
+        return tags, 0
+    return tags, u32(nxt_at)
+
+
+def detect_raw_flavor(payload: bytes) -> str | None:
+    """Cheap header sniff: 'arw' | 'nef' | 'cr2' | 'orf' | 'rw2', or
+    None for anything that is not a recognizable camera-RAW file —
+    including plain TIFF (None routes it to the baseline TIFF
+    decoder). Never raises: a corrupt header is simply not RAW."""
+    d = payload or b""
+    if len(d) < 12:
+        return None
+    if d[:4] in _ORF_MAGICS:
+        return "orf"
+    if d[:4] == _RW2_MAGIC:
+        return "rw2"
+    if d[:4] in (_TIFF_LE, _TIFF_BE):
+        if d[8:11] == b"CR\x02":
+            return "cr2"
+        bo = "<" if d[:1] == b"I" else ">"
+        try:
+            ifd0, _ = _read_ifd(d, bo, struct.unpack_from(bo + "I", d, 4)[0])
+        except (ImageDecodeError, struct.error):
+            return None
+        make = ifd0.get("make")
+        if isinstance(make, str):
+            for prefix, flavor in _MAKE_FLAVORS:
+                if make.upper().startswith(prefix):
+                    return flavor
+    return None
+
+
+def parse_raw(payload: bytes) -> dict:
+    """Walk a camera-RAW file's IFD forest → {'flavor', 'make',
+    'model', 'sensor_w', 'sensor_h', 'n_ifds', 'preview' (JPEG
+    bytes)}. ``sensor_w/h`` is the largest geometry announced by any
+    IFD (the mosaiced sensor plane); ``preview`` is the LARGEST
+    embedded JPEG across all carriers. Raises ImageDecodeError when
+    the file is not RAW or no decodable preview exists (same airtight
+    typed-error contract as decode_tiff/decode_jpeg)."""
+    try:
+        return _parse_raw(payload)
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError,
+            MemoryError) as exc:
+        raise ImageDecodeError(f"corrupt RAW container: {exc!r}") from exc
+
+
+def _parse_raw(payload: bytes) -> dict:
+    d = payload or b""
+    flavor = detect_raw_flavor(d)
+    if flavor is None:
+        raise ImageDecodeError("not a camera-RAW file")
+    bo = "<" if d[:1] == b"I" else ">"
+    try:
+        queue = [struct.unpack_from(bo + "I", d, 4)[0]]
+    except struct.error as exc:
+        raise ImageDecodeError("truncated RAW header") from exc
+
+    make = model = ""
+    sensor_w = sensor_h = 0
+    previews: list[tuple[int, int]] = []  # (offset, length)
+    seen: set[int] = set()
+    n_ifds = 0
+    while queue and n_ifds < _MAX_IFDS:
+        off = queue.pop(0)
+        if not off or off in seen:
+            continue
+        seen.add(off)
+        tags, nxt = _read_ifd(d, bo, off)
+        n_ifds += 1
+        if nxt:
+            queue.append(nxt)
+        for sub in tags.get("subifds", []):
+            queue.append(sub)
+        if not make and isinstance(tags.get("make"), str):
+            make = tags["make"]
+        if not model and isinstance(tags.get("model"), str):
+            model = tags["model"]
+        w = tags.get("width", [0])[0]
+        h = tags.get("height", [0])[0]
+        if w * h > sensor_w * sensor_h and w * h <= MAX_PIXELS:
+            sensor_w, sensor_h = w, h
+        # preview carriers, in public-structure order
+        if "jpegif" in tags and "jpegif_len" in tags:
+            previews.append((tags["jpegif"][0], tags["jpegif_len"][0]))
+        if "jpg_from_raw" in tags and isinstance(tags["jpg_from_raw"], tuple):
+            previews.append(tags["jpg_from_raw"])
+        comp = tags.get("compression", [0])[0]
+        if comp in (6, 7) and "strip_offsets" in tags and "strip_counts" in tags:
+            offs, cnts = tags["strip_offsets"], tags["strip_counts"]
+            if len(offs) == len(cnts):
+                previews.append((offs[0], sum(cnts)))
+
+    best = b""
+    for o, c in previews:
+        if o + c <= len(d) and c > len(best) and d[o : o + 2] == b"\xff\xd8":
+            best = d[o : o + c]
+    if not best:
+        raise ImageDecodeError(f"{flavor} file carries no decodable JPEG preview")
+    return {
+        "flavor": flavor,
+        "make": make,
+        "model": model,
+        "sensor_w": int(sensor_w),
+        "sensor_h": int(sensor_h),
+        "n_ifds": n_ifds,
+        "preview": best,
+    }
+
+
+def decode_raw_preview(payload: bytes) -> tuple[np.ndarray, int, int, str]:
+    """Camera-RAW → (grayscale uint8 (h, w), width, height, flavor)
+    by decoding the embedded JPEG preview — the reference's effective
+    fingerprint input for RAW files. Geometry is the PREVIEW's, which
+    is what pixel fingerprints consume."""
+    from dedup_spark.functions.jpegcodec import decode_jpeg
+
+    meta = parse_raw(payload)
+    img, w, h = decode_jpeg(meta["preview"])
+    return img, w, h, meta["flavor"]
+
+
+# --------------------------------------------------------------------
+# fixture encoder (test/bench side): structurally-valid RAW-like files
+# --------------------------------------------------------------------
+
+_FLAVOR_MAKES = {
+    "arw": ("SONY", "ILCE-7M3"),
+    "nef": ("NIKON CORPORATION", "NIKON Z 6"),
+    "cr2": ("Canon", "Canon EOS R5"),
+    "orf": ("OLYMPUS IMAGING CORP.", "E-M1"),
+    "rw2": ("Panasonic", "DC-S5"),
+}
+
+
+class _IfdW:
+    """Little-endian IFD writer for the fixture encoder."""
+
+    def __init__(self) -> None:
+        self.entries: list[tuple[int, int, int, bytes]] = []
+
+    def put(self, tag: int, typ: int, values) -> None:
+        sz = _TYPE_SIZE[typ]
+        if typ == 2:
+            payload = values.encode("ascii") + b"\x00"
+            cnt = len(payload)
+        elif typ in (1, 7):
+            payload = bytes(values)
+            cnt = len(payload)
+        else:
+            fmt = "<H" if typ == 3 else "<I"
+            payload = b"".join(struct.pack(fmt, v) for v in values)
+            cnt = len(values)
+        self.entries.append((tag, typ, cnt, payload))
+        del sz
+
+    def render(self, base: int, next_ifd: int = 0) -> tuple[bytes, bytes]:
+        """→ (ifd bytes at ``base``, out-of-line value bytes that must
+        follow immediately after)."""
+        head = struct.pack("<H", len(self.entries))
+        body = b""
+        tail = b""
+        tail_at = base + 2 + 12 * len(self.entries) + 4
+        for tag, typ, cnt, payload in sorted(self.entries):
+            if len(payload) <= 4:
+                inline = payload + b"\x00" * (4 - len(payload))
+                body += struct.pack("<HHI", tag, typ, cnt) + inline
+            else:
+                body += struct.pack("<HHII", tag, typ, cnt, tail_at + len(tail))
+                tail += payload
+        return head + body + struct.pack("<I", next_ifd), tail
+
+
+def encode_raw_like(img: np.ndarray, flavor: str, quality: int = 90) -> bytes:
+    """Build a structurally-valid camera-RAW fixture: vendor header,
+    a sensor IFD announcing a 2x 'sensor' plane held in an opaque
+    vendor-compressed strip (compression 32767 -- NOT baseline
+    decodable, exactly like real RAW), and the grayscale ``img``
+    embedded as a baseline-JPEG preview through that flavor's real
+    carrier: ARW -> JPEGInterchangeFormat in IFD1 (TIFF-EP thumbnail
+    layout), NEF -> compression-6 strips in a SubIFD, CR2 ->
+    compression-6 strips in IFD0 + the "CR\\x02" marker (real CR2
+    layout: sensor plane in a later IFD), ORF -> JPEGInterchangeFormat
+    in IFD0, RW2 -> JpgFromRaw (tag 0x2E). One carrier per flavor
+    keeps every branch of the parser exercised by the fixture cycle.
+
+    Layout is resolved in two passes: IFD sizes are independent of the
+    offset VALUES they carry (offsets are fixed 4-byte fields), so a
+    measuring pass with zero offsets fixes the layout and a second
+    pass writes the real ones."""
+    from dedup_spark.functions.jpegcodec import encode_jpeg_gray8
+
+    if flavor not in _FLAVOR_MAKES:
+        raise ValueError(f"unknown RAW flavor {flavor!r}")
+    make, model = _FLAVOR_MAKES[flavor]
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    jpeg = encode_jpeg_gray8(img, quality=quality)
+    # deterministic opaque 'sensor' strip -- content-derived, never decoded
+    sensor = bytes(int(x) for x in (np.arange(64, dtype=np.uint32) * (7 + w) + h) % 256)
+
+    if flavor == "orf":
+        header = b"IIRO" + struct.pack("<I", 8)
+    elif flavor == "rw2":
+        header = _RW2_MAGIC + struct.pack("<I", 8)
+    elif flavor == "cr2":
+        header = _TIFF_LE + struct.pack("<I", 16) + b"CR\x02\x00" + b"\x00" * 4
+    else:
+        header = _TIFF_LE + struct.pack("<I", 8)
+
+    def build(at: dict) -> list[tuple[str, "_IfdW", int]]:
+        """-> [(name, ifd, next_ifd_offset)] with offsets taken from
+        ``at`` (zeros on the measuring pass)."""
+
+        def sensor_ifd(extra=()) -> "_IfdW":
+            ifd = _IfdW()
+            ifd.put(254, 4, [0])
+            ifd.put(256, 3, [2 * w])
+            ifd.put(257, 3, [2 * h])
+            ifd.put(259, 3, [32767])
+            ifd.put(271, 2, make)
+            ifd.put(272, 2, model)
+            ifd.put(273, 4, [at.get("sensor", 0)])
+            ifd.put(279, 4, [len(sensor)])
+            for tag, typ, vals in extra:
+                ifd.put(tag, typ, vals)
+            return ifd
+
+        def preview_strip_ifd() -> "_IfdW":
+            ifd = _IfdW()
+            ifd.put(254, 4, [1])
+            ifd.put(256, 3, [w])
+            ifd.put(257, 3, [h])
+            ifd.put(259, 3, [6])
+            ifd.put(273, 4, [at.get("jpeg", 0)])
+            ifd.put(279, 4, [len(jpeg)])
+            return ifd
+
+        if flavor == "arw":
+            ifd1 = _IfdW()
+            ifd1.put(513, 4, [at.get("jpeg", 0)])
+            ifd1.put(514, 4, [len(jpeg)])
+            return [("ifd0", sensor_ifd(), at.get("ifd1", 0)),
+                    ("ifd1", ifd1, 0)]
+        if flavor == "orf":
+            extra = ((513, 4, [at.get("jpeg", 0)]), (514, 4, [len(jpeg)]))
+            return [("ifd0", sensor_ifd(extra), 0)]
+        if flavor == "nef":
+            extra = ((330, 4, [at.get("ifd1", 0)]),)
+            return [("ifd0", sensor_ifd(extra), 0),
+                    ("ifd1", preview_strip_ifd(), 0)]
+        if flavor == "cr2":
+            ifd0 = preview_strip_ifd()
+            ifd0.put(271, 2, make)
+            ifd0.put(272, 2, model)
+            return [("ifd0", ifd0, at.get("ifd1", 0)),
+                    ("ifd1", sensor_ifd(), 0)]
+        # rw2: JpgFromRaw blob rides IFD0 itself
+        extra = ((46, 7, jpeg),)
+        return [("ifd0", sensor_ifd(extra), 0)]
+
+    def layout(at: dict) -> tuple[dict, bytes]:
+        """Render the IFD chain at its offsets -> (offset map, bytes).
+        The jpeg blob (when strip/JPEGIF-carried) and sensor strip
+        follow the last IFD."""
+        ifds = build(at)
+        pos = len(header)
+        new_at: dict = {}
+        rendered: list[bytes] = []
+        for name, ifd, nxt in ifds:
+            new_at[name] = pos
+            body, tail = ifd.render(pos, next_ifd=nxt)
+            rendered.append(body + tail)
+            pos += len(body) + len(tail)
+        if flavor != "rw2":  # rw2's jpeg is an in-IFD blob
+            new_at["jpeg"] = pos
+            pos += len(jpeg)
+        new_at["sensor"] = pos
+        blob = b"".join(rendered)
+        if flavor != "rw2":
+            blob += jpeg
+        return new_at, header + blob + sensor
+
+    at, _ = layout({})            # measuring pass: zero offsets
+    at2, out = layout(at)         # real pass
+    if at2 != at:                 # sizes are offset-independent
+        raise AssertionError("RAW fixture layout failed to converge")
+    return out

@@ -52,8 +52,11 @@ META_SCHEMA = StructType(META_FIELDS)
 _MAGIC_KINDS = {
     "89504e47": "image",  # PNG
     "47494638": "image",  # GIF87a/GIF89a ("GIF8")
-    "49492a00": "image",  # TIFF little-endian ("II*\\0")
+    "49492a00": "image",  # TIFF little-endian ("II*\\0") — also ARW/NEF/CR2
     "4d4d002a": "image",  # TIFF big-endian ("MM\\0*")
+    "4949524f": "image",  # Olympus ORF ("IIRO" — TIFF layout, RO magic word)
+    "49495253": "image",  # Olympus ORF variant ("IIRS")
+    "49495500": "image",  # Panasonic RW2 ("II\\x55\\0" — TIFF layout)
     "ffd8ffe0": "image",  # JPEG/JFIF (see 3-byte prefix rule below)
     "49443303": "audio",  # MP3/ID3
     "664c6143": "audio",  # FLAC ("fLaC")
@@ -122,8 +125,11 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
         )
         .when(hx.startswith("89504e47"), "image")                     # PNG
         .when(hx.startswith("47494638"), "image")                     # GIF87a/89a
-        .when(hx.startswith("49492a00"), "image")                     # TIFF "II"
+        .when(hx.startswith("49492a00"), "image")                     # TIFF "II" (+ ARW/NEF/CR2)
         .when(hx.startswith("4d4d002a"), "image")                     # TIFF "MM"
+        .when(hx.startswith("4949524f"), "image")                     # ORF "IIRO"
+        .when(hx.startswith("49495253"), "image")                     # ORF "IIRS"
+        .when(hx.startswith("49495500"), "image")                     # RW2 "II\\x55\\0"
         .when(
             hx.startswith("52494646") & (F.substring(hx, 17, 8) == "57415645"),
             "audio",                                                  # RIFF/WAVE
@@ -313,10 +319,14 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
     their public specs — PNG (zlib inflate + unfilter), BMP
     (uncompressed DIB), GIF (LZW), TIFF (baseline 6.0: both byte
     orders, none/LZW compression, horizontal predictor, gray/RGB/
-    palette) via ``functions/imagecodec.py``, and JPEG in both
+    palette) via ``functions/imagecodec.py``, JPEG in both
     baseline (T.81 sequential DCT) and progressive (SOF2, spectral
     selection + successive approximation) modes —
-    ``functions/jpegcodec.py``; the luma plane of color images.
+    ``functions/jpegcodec.py``; the luma plane of color images —
+    and the camera-RAW family the reference's format-preference list
+    opens with (ARW/NEF/CR2/ORF/RW2, media_dedup.rs:62-68) via the
+    embedded-JPEG-preview route (``functions/rawimage.py``; decoder
+    names the flavor).
     Everything else (WebP, JPEG 2000, arithmetic-coded JPEG, …)
     keeps the honest-stub policy: ``fake=True`` falls back to the
     deterministic byte-structure fake (also used when a real-looking
@@ -331,6 +341,10 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
         decode_tiff,
     )
     from dedup_spark.functions.jpegcodec import decode_jpeg
+    from dedup_spark.functions.rawimage import (
+        decode_raw_preview,
+        detect_raw_flavor,
+    )
 
     raw = payload or b""
     try:
@@ -346,7 +360,19 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
         if raw[:5] in (b"GIF87", b"GIF89"):
             img, w, h = decode_gif(raw)
             return img, w, h, "gif"
+        if raw[:4] in (b"IIRO", b"IIRS", b"II\x55\x00"):
+            # Olympus ORF / Panasonic RW2: TIFF layout, vendor magic —
+            # fingerprint the embedded JPEG preview (the sensor plane
+            # is vendor-opaque), like every RAW-aware tool
+            img, w, h, flavor = decode_raw_preview(raw)
+            return img, w, h, flavor
         if raw[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+            # TIFF magic covers plain TIFF and the TIFF-EP RAW family
+            # (ARW/NEF by Make tag, CR2 by its offset-8 marker)
+            flavor = detect_raw_flavor(raw)
+            if flavor is not None:
+                img, w, h, flavor = decode_raw_preview(raw)
+                return img, w, h, flavor
             img, w, h = decode_tiff(raw)
             return img, w, h, "tiff"
     except ImageDecodeError:
@@ -853,6 +879,28 @@ def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
                                  predictor=True)
 
     return _documents_as_media_assets(spark, sf_dir, "image", "image/png", make)
+
+
+def documents_as_raw_assets(spark, sf_dir: str) -> DataFrame:
+    """Fixture adapter for the REAL camera-RAW parse+preview-decode
+    path: byte-derived pixels embedded as the JPEG preview of an
+    ARW / NEF / CR2 / ORF / RW2 container (text length % 5 cycles the
+    flavor, so every carrier — JPEGIF-in-IFD1, SubIFD strips,
+    CR2-marker strips, single-IFD JPEGIF, JpgFromRaw blob — and both
+    flavor-detection routes (magic word, Make tag) run at scale; no
+    fake on any row). The format-blind geometry oracle is
+    ``raw_decode_meta``."""
+
+    def make(raw: bytes) -> bytes:
+        from dedup_spark.functions.rawimage import encode_raw_like
+
+        img = _fake_pixels(raw)[0]
+        flavor = ("arw", "nef", "cr2", "orf", "rw2")[len(raw) % 5]
+        return encode_raw_like(img, flavor)
+
+    return _documents_as_media_assets(
+        spark, sf_dir, "image", "image/x-camera-raw", make
+    )
 
 
 def decode_frames(

@@ -761,6 +761,24 @@ def _decoded_meta_query(spark: SparkSession, sf_dir: str, modality: str) -> Data
             return {"width": w, "height": h, "decoder": dec}
 
         schema = "asset_id long, width long, height long, decoder string"
+    elif modality == "raw":
+        from dedup_spark.functions.rawimage import parse_raw
+        from dedup_spark.operators.multimodal import documents_as_raw_assets
+
+        assets = documents_as_raw_assets(spark, sf_dir)
+
+        def meta(raw: bytes) -> dict:
+            _img, w, h, dec = decode_pixels(raw, fake=False)
+            return {
+                "width": w,
+                "height": h,
+                "make": parse_raw(raw)["make"],
+                "decoder": dec,
+            }
+
+        schema = (
+            "asset_id long, width long, height long, make string, decoder string"
+        )
     elif modality in ("wav", "mpeg"):
         if modality == "mpeg":
             from dedup_spark.operators.multimodal import documents_as_mpeg_assets
@@ -809,6 +827,19 @@ def q_png_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jpeg_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decoded_meta_query(spark, sf_dir, "jpeg")
+
+
+def q_raw_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL camera-RAW parse + preview decode at scale: every document
+    rendered into an ARW/NEF/CR2/ORF/RW2 container (the family the
+    reference's format-preference list opens with,
+    media_dedup.rs:62-68) whose embedded baseline-JPEG preview carries
+    the document's byte-derived pixels, then walked back by the real
+    IFD-forest parser (magic-word + Make-tag flavor detection, all
+    five preview carriers) and decoded through the T.81 entropy
+    decoder (fake=False; decoder names the flavor on every row).
+    Geometry AND vendor identity value-verified format-blind."""
+    return _decoded_meta_query(spark, sf_dir, "raw")
 
 
 def q_wav_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,6 +1360,19 @@ SELECT CAST(doc_id AS BIGINT) AS asset_id,
        CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) AS width,
        CAST(16 + (octet_length(encode(text)) // 7) % 48 AS BIGINT) AS height,
        'jpeg' AS decoder
+FROM documents
+""",
+    "raw_decode_meta": """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) AS width,
+       CAST(16 + (octet_length(encode(text)) // 7) % 48 AS BIGINT) AS height,
+       CASE octet_length(encode(text)) % 5
+            WHEN 0 THEN 'SONY' WHEN 1 THEN 'NIKON CORPORATION'
+            WHEN 2 THEN 'Canon' WHEN 3 THEN 'OLYMPUS IMAGING CORP.'
+            ELSE 'Panasonic' END AS make,
+       CASE octet_length(encode(text)) % 5
+            WHEN 0 THEN 'arw' WHEN 1 THEN 'nef' WHEN 2 THEN 'cr2'
+            WHEN 3 THEN 'orf' ELSE 'rw2' END AS decoder
 FROM documents
 """,
     "wav_decode_meta": """
@@ -1950,6 +1994,7 @@ QUERIES = {
     "video_fingerprint": q_video_fingerprint,
     "png_decode_meta": q_png_decode_meta,
     "jpeg_decode_meta": q_jpeg_decode_meta,
+    "raw_decode_meta": q_raw_decode_meta,
     "wav_decode_meta": q_wav_decode_meta,
     "y4m_decode_meta": q_y4m_decode_meta,
     "mpeg_decode_meta": q_mpeg_decode_meta,

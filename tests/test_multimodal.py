@@ -224,6 +224,12 @@ def test_kind_column_matches_python(spark):
         b"\xff\xe0\x00\x00" + bytes(16),  # sync but reserved layer -> blob
         b"II\x2a\x00" + bytes(16),  # TIFF little-endian -> image
         b"MM\x00\x2a" + bytes(16),  # TIFF big-endian -> image
+        b"IIRO\x08\x00\x00\x00" + bytes(8),  # Olympus ORF -> image
+        b"IIRS\x08\x00\x00\x00" + bytes(8),  # ORF "IIRS" variant -> image
+        b"II\x55\x00\x18\x00\x00\x00" + bytes(8),  # Panasonic RW2 -> image
+        b"IIRX\x08\x00\x00\x00" + bytes(8),  # near-miss magic word -> blob
+        b"II\x55\x01" + bytes(12),  # near-miss RW2 magic -> blob
+        b"MMOR" + bytes(12),  # big-endian ORF form not recognized -> blob
     ]
     rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
     df = spark.createDataFrame(rows, "i long, payload binary")

@@ -1,0 +1,182 @@
+"""Camera-RAW (TIFF-container) parsing + embedded-preview decode.
+
+The reference's format-preference list opens with the camera-RAW
+family — raw/arw/cr2/nef/orf/rw2 — ahead of every processed format
+(/root/reference/src/media_dedup.rs:62-68), and RAW fingerprinting
+goes through the embedded JPEG preview (the sensor payload is
+vendor-opaque; the preview carriers are public TIFF structure).
+Parser tests need no Spark; the orchestrator e2e uses the shared
+session fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dedup_spark.functions.imagecodec import (
+    ImageDecodeError,
+    encode_tiff_gray8,
+)
+from dedup_spark.functions.rawimage import (
+    decode_raw_preview,
+    detect_raw_flavor,
+    encode_raw_like,
+    parse_raw,
+)
+
+FLAVORS = ("arw", "nef", "cr2", "orf", "rw2")
+
+
+def _img(h: int = 37, w: int = 29, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, (h, w)).astype(np.uint8)
+
+
+# ------------------------------------------------------------- parsing --
+
+@pytest.mark.parametrize("flavor", FLAVORS)
+def test_roundtrip_flavor_make_and_geometry(flavor):
+    img = _img()
+    raw = encode_raw_like(img, flavor)
+    assert detect_raw_flavor(raw) == flavor
+    meta = parse_raw(raw)
+    assert meta["flavor"] == flavor
+    assert meta["make"]  # vendor string survives the ASCII-tag walk
+    assert meta["model"]
+    # the announced sensor plane is the fixture's 2x geometry
+    assert (meta["sensor_w"], meta["sensor_h"]) == (58, 74)
+    g, w, h, fl = decode_raw_preview(raw)
+    assert fl == flavor
+    assert (w, h) == (29, 37)
+    assert g.shape == (37, 29)
+
+
+def test_each_flavor_exercises_its_own_carrier():
+    """ARW: JPEGIF in IFD1 (next-IFD chain); NEF: comp-6 strips in a
+    SubIFD; CR2: comp-6 strips in IFD0 + sensor IFD1; ORF/RW2: single
+    IFD (JPEGIF / JpgFromRaw blob). The walk counts prove the chain,
+    SubIFD and single-IFD paths all ran."""
+    img = _img()
+    n_ifds = {f: parse_raw(encode_raw_like(img, f))["n_ifds"] for f in FLAVORS}
+    assert n_ifds == {"arw": 2, "nef": 2, "cr2": 2, "orf": 1, "rw2": 1}
+
+
+def test_preview_is_the_largest_jpeg_candidate():
+    """parse_raw picks the LARGEST SOI-prefixed candidate — the
+    fixture's single preview must therefore equal the decoded one."""
+    img = _img(24, 48, seed=3)
+    meta = parse_raw(encode_raw_like(img, "arw"))
+    assert meta["preview"][:2] == b"\xff\xd8"
+    assert meta["preview"][-2:] == b"\xff\xd9"
+
+
+def test_plain_tiff_is_not_raw():
+    tiff = encode_tiff_gray8(_img())
+    assert detect_raw_flavor(tiff) is None
+    with pytest.raises(ImageDecodeError):
+        parse_raw(tiff)
+
+
+def test_near_miss_headers_stay_unrecognized():
+    base = encode_raw_like(_img(), "orf")
+    for header in (b"IIRX", b"IIQO", b"MMOR", b"II\x55\x01", b"II\x56\x00"):
+        assert detect_raw_flavor(header + base[4:]) is None
+    assert detect_raw_flavor(b"II\x2a") is None  # too short
+    assert detect_raw_flavor(b"") is None
+    assert detect_raw_flavor(None) is None
+
+
+def test_tiff_ep_flavor_comes_from_the_make_tag():
+    """ARW/NEF share plain TIFF magic — the vendor lives in tag 271."""
+    arw = encode_raw_like(_img(), "arw")
+    nef = encode_raw_like(_img(), "nef")
+    assert arw[:4] == nef[:4] == b"II\x2a\x00"
+    assert detect_raw_flavor(arw) == "arw"
+    assert detect_raw_flavor(nef) == "nef"
+
+
+def test_corrupt_preview_raises_typed_error():
+    raw = bytearray(encode_raw_like(_img(), "nef"))
+    at = bytes(raw).find(b"\xff\xd8\xff")
+    assert at > 0
+    raw[at : at + 64] = b"\x00" * 64  # destroy the preview's SOI + tables
+    with pytest.raises(ImageDecodeError):
+        decode_raw_preview(bytes(raw))
+
+
+def test_truncated_container_raises_typed_error():
+    raw = encode_raw_like(_img(), "cr2")
+    for cut in (10, 18, 40):
+        with pytest.raises(ImageDecodeError):
+            parse_raw(raw[:cut])
+
+
+def test_ifd_cycle_is_bounded():
+    """A crafted next-IFD self-loop must terminate (seen-set + cap),
+    then fail on the missing preview — never hang or recurse."""
+    img = _img(17, 19)
+    raw = bytearray(encode_raw_like(img, "orf"))
+    # point IFD0's next-IFD field back at IFD0 (offset 8): the last 4
+    # bytes of the IFD block; locate via the known layout — IFD0 starts
+    # at 8, entry count at 8..10
+    n = int.from_bytes(raw[8:10], "little")
+    nxt_at = 8 + 2 + 12 * n
+    raw[nxt_at : nxt_at + 4] = (8).to_bytes(4, "little")
+    meta = parse_raw(bytes(raw))  # still parses: preview found in IFD0
+    assert meta["flavor"] == "orf"
+
+
+# ------------------------------------------------------- routing + e2e --
+
+def test_decode_pixels_routes_raw_flavors():
+    from dedup_spark.operators.multimodal import decode_pixels
+
+    img = _img()
+    for flavor in FLAVORS:
+        g, w, h, dec = decode_pixels(encode_raw_like(img, flavor), fake=False)
+        assert dec == flavor
+        assert (w, h) == (29, 37)
+    # plain TIFF still takes the baseline decoder, bit-exact
+    g, w, h, dec = decode_pixels(encode_tiff_gray8(img), fake=False)
+    assert dec == "tiff"
+    assert np.array_equal(g, img)
+
+
+def test_sniffer_kinds_for_raw_magics():
+    from dedup_spark.operators.multimodal import detect_kind_from_magic
+
+    img = _img()
+    for flavor in FLAVORS:
+        assert detect_kind_from_magic(encode_raw_like(img, flavor)) == "image"
+    # near-miss headers stay blobs
+    assert detect_kind_from_magic(b"IIRX" + b"\x00" * 16) == "blob"
+    assert detect_kind_from_magic(b"II\x55\x01" + b"\x00" * 16) == "blob"
+
+
+def test_raw_previews_join_the_image_cluster(spark):
+    """Flagship RAW case: ONE photo as JPEG + all five RAW flavors →
+    one image cluster (the previews all decode to the same plane, so
+    pHash agrees), with the real decoder named on every row."""
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.functions.jpegcodec import encode_jpeg_gray8
+    from dedup_spark.operators.multimodal import media_near_dup_clusters
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 255, (24, 32)).astype(np.float64)
+    img = np.kron(base, np.ones((2, 2))).astype(np.uint8)
+
+    rows = [(1, "", bytearray(encode_jpeg_gray8(img, quality=90)), "")]
+    rows += [
+        (i + 2, "", bytearray(encode_raw_like(img, flavor)), "")
+        for i, flavor in enumerate(FLAVORS)
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    cfg = DedupConfig(similarity_threshold=0.85, simhash_radius=9)
+    out = {r["asset_id"]: r for r in media_near_dup_clusters(df, cfg).collect()}
+    assert out[1]["decoder"] == "jpeg"
+    for i, flavor in enumerate(FLAVORS):
+        assert out[i + 2]["modality"] == "image"
+        assert out[i + 2]["decoder"] == flavor
+    assert len({r["cluster_id"] for r in out.values()}) == 1
