@@ -485,14 +485,21 @@ def _mp4_boxes(d: bytes, i: int, end: int):
 
 def parse_mp4(payload: bytes) -> dict:
     """ISO-BMFF structural walk: ftyp major brand, mvhd
-    timescale/duration, trak count and hdlr handler types."""
+    timescale/duration, trak count and hdlr handler types. Legacy
+    QuickTime .mov (named in the reference's format-preference list,
+    media_dedup.rs:76) predates ftyp — those files open directly with
+    a moov/mdat/wide/free/skip/pnot atom and report container
+    'mov'."""
     d = payload or b""
     brand = ""
     timescale, duration = 0, 0
     n_tracks = 0
     handlers: list[str] = []
     saw_box = False
+    first_type = b""
     for btype, a, b in _mp4_boxes(d, 0, len(d)):
+        if not saw_box:
+            first_type = btype
         saw_box = True
         if btype == b"ftyp":
             brand = d[a : a + 4].decode("ascii", "replace")
@@ -516,10 +523,12 @@ def parse_mp4(payload: bytes) -> dict:
                                 handlers.append(
                                     d[ha + 8 : ha + 12].decode("ascii", "replace")
                                 )
-    if not saw_box or not brand:
-        raise ContainerParseError("not an ISO-BMFF file (no ftyp)")
+    if not saw_box or not (brand or first_type in _QT_LEAD_ATOMS):
+        raise ContainerParseError(
+            "not an ISO-BMFF file (no ftyp, not QuickTime-atom-led)"
+        )
     return {
-        "container": "mp4",
+        "container": "mp4" if brand else "mov",
         "codec": handlers[0] if handlers else "",
         "n_tracks": n_tracks,
         "n_frames": 0,
@@ -532,6 +541,23 @@ def parse_mp4(payload: bytes) -> dict:
 
 def _box(btype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+# atoms a legacy (pre-ftyp) QuickTime file may open with
+_QT_LEAD_ATOMS = (b"moov", b"mdat", b"wide", b"free", b"skip", b"pnot")
+
+
+def _qt_atom_led(d: bytes) -> bool:
+    """True when the payload opens with a legacy QuickTime top-level
+    atom AND the leading 32-bit box size is plausible (8..file size) —
+    the size check keeps arbitrary text with 'free'/'skip' at offset 4
+    from sniffing as video (kept in lockstep with both kind
+    sniffers in operators/multimodal.py)."""
+    return (
+        len(d) >= 16
+        and d[4:8] in _QT_LEAD_ATOMS
+        and 8 <= int.from_bytes(d[:4], "big") <= len(d)
+    )
 
 
 def encode_mp4(duration_ms: int, handlers: list[str],
@@ -564,7 +590,7 @@ def parse_container(payload: bytes) -> dict:
     d = payload or b""
     if d[:4] == b"\x1a\x45\xdf\xa3":
         return parse_mkv(d)
-    if d[4:8] == b"ftyp":
+    if d[4:8] == b"ftyp" or _qt_atom_led(d):
         return parse_mp4(d)
     if d[:4] == b"OggS":
         return parse_ogg(d)

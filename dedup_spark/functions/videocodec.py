@@ -494,13 +494,17 @@ def _decode_mp4_mjpeg(
 ) -> tuple[np.ndarray, float]:
     import struct as _struct
 
-    from dedup_spark.functions.containers import ContainerParseError, _mp4_boxes
+    from dedup_spark.functions.containers import (
+        ContainerParseError,
+        _mp4_boxes,
+        _qt_atom_led,
+    )
     from dedup_spark.functions.imagecodec import ImageDecodeError
     from dedup_spark.functions.jpegcodec import decode_jpeg
 
     d = payload or b""
-    if d[4:8] != b"ftyp":
-        raise VideoDecodeError("not an ISO-BMFF payload")
+    if d[4:8] != b"ftyp" and not _qt_atom_led(d):
+        raise VideoDecodeError("not an ISO-BMFF/QuickTime payload")
 
     def children(a, b):
         return list(_mp4_boxes(d, a, b))
@@ -613,11 +617,15 @@ def _decode_mp4_mjpeg(
 
 
 def encode_mp4_mjpeg(
-    frames: np.ndarray, fps: int = 25, quality: int = 90
+    frames: np.ndarray, fps: int = 25, quality: int = 90,
+    legacy_mov: bool = False,
 ) -> bytes:
     """Minimal spec-conforming MP4 with one 'jpeg' video track: ftyp,
     mdat of baseline-JPEG samples, moov with mvhd + full sample tables
-    (stsd/stsz/stsc/stco) pointing one chunk per frame."""
+    (stsd/stsz/stsc/stco) pointing one chunk per frame.
+    ``legacy_mov=True`` writes the pre-ftyp QuickTime layout (the file
+    opens directly with mdat) — the .mov shape the reference's
+    preference list names."""
     import struct as _struct
 
     from dedup_spark.functions.jpegcodec import encode_jpeg_gray8
@@ -629,7 +637,9 @@ def encode_mp4_mjpeg(
     def box(btype: bytes, body: bytes) -> bytes:
         return _struct.pack(">I", 8 + len(body)) + btype + body
 
-    ftyp = box(b"ftyp", b"isom" + _struct.pack(">I", 0) + b"isom")
+    ftyp = b"" if legacy_mov else box(
+        b"ftyp", b"isom" + _struct.pack(">I", 0) + b"isom"
+    )
     # mdat follows ftyp; chunk offsets are absolute file offsets
     mdat_body = b"".join(samples)
     mdat = box(b"mdat", mdat_body)

@@ -96,6 +96,15 @@ def detect_kind_from_magic(payload: bytes | None) -> str:
     # audio-only m4a reroutes downstream (decode fails → blob path)
     if len(payload) >= 8 and payload[4:8] == b"ftyp":
         return "video"
+    # legacy QuickTime .mov predates ftyp: a top-level moov/mdat/wide/
+    # free/skip/pnot atom at offset 4 with a PLAUSIBLE leading box size
+    # (8..file size — so text with "free" at offset 4 stays a blob)
+    if (
+        len(payload) >= 16
+        and payload[4:8] in (b"moov", b"mdat", b"wide", b"free", b"skip", b"pnot")
+        and 8 <= int.from_bytes(payload[:4], "big") <= len(payload)
+    ):
+        return "video"
     # raw MPEG-audio frame sync (MP3 without an ID3 tag): 11-bit sync
     # plus VALIDATED header fields (layer != reserved, version !=
     # reserved, bitrate != bad, samplerate != reserved) so arbitrary
@@ -145,6 +154,22 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
         .when(hx.startswith("1a45dfa3"), "video")                     # Matroska/WebM
         .when(hx.startswith("000001b3"), "video")                     # MPEG-1/2 ES
         .when(F.substring(hx, 9, 8) == "66747970", "video")           # ISO-BMFF "ftyp"
+        .when(
+            # legacy QuickTime .mov: moov/mdat/wide/free/skip/pnot at
+            # offset 4 + a plausible leading box size (8..file size),
+            # byte for byte the Python sniffer's predicate
+            F.substring(hx, 9, 8).isin(
+                "6d6f6f76", "6d646174", "77696465",
+                "66726565", "736b6970", "706e6f74",
+            )
+            & (F.length(payload) >= 16)
+            & (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") >= 8)
+            & (
+                F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+                <= F.length(payload)
+            ),
+            "video",
+        )
         .when(
             # raw MPEG-audio frame sync with validated header fields
             # (same predicate as the Python sniffer, byte for byte)
@@ -912,10 +937,12 @@ def decode_frames(
     ``video_fingerprint64``, bit-identical result).
 
     REAL decode for Y4M/YUV4MPEG2 raw video (public plain-text header
-    + raw planes), for Motion-JPEG in all three containers —
+    + raw planes), for Motion-JPEG in all four containers —
     MJPEG-in-AVI (RIFF walk), MJPEG-in-Matroska (EBML SimpleBlock
-    walk) and MJPEG-in-MP4, each frame through the baseline-JPEG
-    codec — AND for MPEG-1/MPEG-2 video elementary streams
+    walk), MJPEG-in-MP4 and in legacy pre-ftyp QuickTime .mov (the
+    reference's preference list names mov, media_dedup.rs:76), each
+    frame through the baseline-JPEG codec — AND for MPEG-1/MPEG-2
+    video elementary streams
     (I-pictures decoded for real, P/B skipped: keyframe parity with
     the reference's ffmpeg keyframe extraction; variant from the
     sequence_extension probe) — ``functions/videocodec.py`` and
@@ -926,6 +953,7 @@ def decode_frames(
     ``fake=False`` raises."""
     import numpy as np
 
+    from dedup_spark.functions.containers import _qt_atom_led
     from dedup_spark.functions.mpeg1video import decode_mpeg_video
     from dedup_spark.functions.videocodec import (
         VideoDecodeError,
@@ -952,6 +980,9 @@ def decode_frames(
         if len(raw) >= 8 and raw[4:8] == b"ftyp":
             frames, fps = decode_mp4_mjpeg(raw, max_frames=max_frames)
             return frames, fps, "mp4-mjpeg"
+        if _qt_atom_led(raw):  # legacy pre-ftyp QuickTime .mov
+            frames, fps = decode_mp4_mjpeg(raw, max_frames=max_frames)
+            return frames, fps, "mov-mjpeg"
     except VideoDecodeError:
         pass  # corrupt or unsupported variant → stub policy below
     if fake:

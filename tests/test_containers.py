@@ -124,6 +124,26 @@ def test_mp4_mvhd_version1_64bit_duration():
     assert m["duration_ms"] == 2**33 * 1000 // 1000
 
 
+def test_legacy_mov_parses_with_mov_container_name():
+    """ftyp-less QuickTime: the walk accepts a moov/mdat/wide-led file
+    (reference parity — ffprobe reads legacy .mov; the preference list
+    names mov) and reports container 'mov'; an implausible leading box
+    size stays unrecognized."""
+    import numpy as np
+
+    from dedup_spark.functions.containers import parse_container
+    from dedup_spark.functions.videocodec import encode_mp4_mjpeg
+
+    frames = np.zeros((2, 16, 16), dtype=np.uint8)
+    mov = encode_mp4_mjpeg(frames, fps=8, legacy_mov=True)
+    m = parse_container(mov)
+    assert m["container"] == "mov"
+    assert m["n_tracks"] == 1 and m["codec"] == "vide"
+    assert m["duration_ms"] == 2 * 1000 // 8
+    with pytest.raises(ContainerParseError):
+        parse_container(b"abcdfree text, not a movie at all")
+
+
 def test_mp4_truncated_box_is_parse_error():
     p = bytearray(encode_mp4(10, ["vide"]))
     p[0:4] = struct.pack(">I", len(p) + 50)  # ftyp overruns the file

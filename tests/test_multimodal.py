@@ -230,6 +230,11 @@ def test_kind_column_matches_python(spark):
         b"IIRX\x08\x00\x00\x00" + bytes(8),  # near-miss magic word -> blob
         b"II\x55\x01" + bytes(12),  # near-miss RW2 magic -> blob
         b"MMOR" + bytes(12),  # big-endian ORF form not recognized -> blob
+        b"\x00\x00\x00\x10moov" + bytes(8),  # legacy QuickTime -> video
+        b"\x00\x00\x00\x08wide" + bytes(8),  # legacy QuickTime -> video
+        b"abcdfree text, not a movie at all",  # implausible size -> blob
+        b"\x00\x00\x00\x04moov" + bytes(12),  # size < 8 -> blob
+        b"\x00\x00\x00\x40mdat" + bytes(8),  # size > file length -> blob
     ]
     rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
     df = spark.createDataFrame(rows, "i long, payload binary")

@@ -389,6 +389,26 @@ def test_mp4_mjpeg_roundtrip_and_sampling():
         assert (sampled == ref[[(i * 6) // k for i in range(k)]]).all()
 
 
+def test_legacy_mov_mjpeg_decodes_bit_identical_to_mp4():
+    """Pre-ftyp QuickTime layout (file opens with mdat): the same
+    frames through legacy_mov=True must decode bit-identical to the
+    ftyp-led MP4 — the sample-table walk is layout-blind, only the
+    leading atom differs."""
+    from dedup_spark.functions.containers import _qt_atom_led
+    from dedup_spark.functions.videocodec import decode_mp4_mjpeg, encode_mp4_mjpeg
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (4, 16, 24)).astype(np.uint8)
+    mp4 = encode_mp4_mjpeg(frames, fps=10)
+    mov = encode_mp4_mjpeg(frames, fps=10, legacy_mov=True)
+    assert mp4[4:8] == b"ftyp" and mov[4:8] == b"mdat"
+    assert _qt_atom_led(mov) and not _qt_atom_led(b"abcdfree not a movie")
+    a, fps_a = decode_mp4_mjpeg(mp4)
+    b, fps_b = decode_mp4_mjpeg(mov)
+    assert fps_a == fps_b == 10.0
+    assert (a == b).all()
+
+
 def test_mp4_mjpeg_rejects_non_jpeg_tracks():
     from dedup_spark.functions.containers import encode_mp4
     from dedup_spark.functions.videocodec import VideoDecodeError, decode_mp4_mjpeg
