@@ -190,6 +190,75 @@ def _hex_byte(hx: "F.Column", i: int) -> "F.Column":
     return F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
 
 
+def sniff_media_format(payload: bytes | None) -> str | None:
+    """Reference-style FORMAT token from payload magic, or None.
+
+    The reference keys its keeper ranking on the lowercased file
+    extension (media_dedup.rs:170-175: ``path.extension()…
+    to_lowercase()`` becomes ``MediaMetadata.format``, ranked against
+    the format-preference list at media_dedup.rs:436-452). Synthesized
+    assets carry no path, so the engine derives the SAME token from
+    the bytes — strictly stronger than trusting the extension, and
+    identical for correctly-named files. Tokens match the reference's
+    default preference list where a list entry exists (arw/cr2/nef/
+    orf/rw2/png/tiff/bmp/jpeg/mp4/mov/mp3/flac/wav); other recognized
+    families return their conventional extension token (gif, mkv,
+    avi, ogg, aac, y4m, mpg, mp1, mp2), which — like any extension
+    absent from the list — ranks after every listed format, exactly
+    the reference's unwrap_or(usize::MAX)."""
+    d = payload or b""
+    if len(d) < 12:
+        return None
+    if d[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if d[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if d[:2] == b"BM" and d[6:10] == b"\x00\x00\x00\x00":
+        return "bmp"
+    if d[:5] in (b"GIF87", b"GIF89"):
+        return "gif"
+    if d[:4] in (b"IIRO", b"IIRS"):
+        return "orf"
+    if d[:4] == b"II\x55\x00":
+        return "rw2"
+    if d[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from dedup_spark.functions.rawimage import detect_raw_flavor
+
+        return detect_raw_flavor(d) or "tiff"
+    if d[:4] == b"fLaC":
+        return "flac"
+    if d[:4] == b"OggS":
+        return "ogg"
+    if d[:4] == b"\x1aE\xdf\xa3":
+        return "mkv"
+    if d[:4] == b"RIFF":
+        if d[8:12] == b"WAVE":
+            return "wav"
+        if d[8:12] == b"AVI ":
+            return "avi"
+        return None
+    if d[:9] == b"YUV4MPEG2":
+        return "y4m"
+    if d[:3] == b"ID3":
+        return "mp3"
+    if d[:4] == b"\x00\x00\x01\xb3":
+        return "mpg"
+    if d[4:8] == b"ftyp":
+        return "mov" if d[8:12] == b"qt  " else "mp4"
+    if d[4:8] in (b"moov", b"mdat", b"wide", b"free", b"skip", b"pnot") and (
+        8 <= int.from_bytes(d[:4], "big") <= len(d)
+    ):
+        return "mov"  # legacy pre-ftyp QuickTime
+    b1, b2 = d[1], d[2]
+    if d[0] == 0xFF and (b1 & 0xF6) == 0xF0:
+        return "aac"  # ADTS: 0xFFF sync, layer bits 00
+    if (d[0] == 0xFF and (b1 & 0xE0) == 0xE0 and (b1 & 0x06) != 0
+            and (b1 & 0x18) != 0x08 and (b2 & 0xF0) != 0xF0
+            and (b2 & 0x0C) != 0x0C):
+        return {3: "mp1", 2: "mp2", 1: "mp3"}[(b1 >> 1) & 3]
+    return None
+
+
 def decode_asset(payload: bytes, kind: str, fake: bool = False) -> dict:
     """Decode stub. Real decoders (PIL/ffmpeg/librosa) are not in this
     container; ``fake=True`` runs the deterministic byte-structure fake
@@ -851,6 +920,57 @@ def media_near_dup_clusters(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+MEDIA_KEEPER_META_SCHEMA = (
+    "asset_id long, format string, width long, height long"
+)
+
+
+def media_keeper_meta(assets: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-asset keeper metadata — the engine's analog of the
+    reference's ``extract_media_metadata`` (media_dedup.rs:342-360):
+    (asset_id, format, width, height), where ``format`` is the
+    reference-style token (``sniff_media_format``) and width/height
+    are REAL decoded pixel geometry (images: the decoded plane; video:
+    the first frame; audio: NULL, exactly the reference's
+    ``extract_audio_metadata`` which sets width/height to None,
+    media_dedup.rs:267-340). An asset whose decode fails yields a
+    NULL format row — the reference's failed-extraction ⇒
+    ``metadata = None`` case, which ``select_media_keeper`` ranks
+    last (media_dedup.rs:430-448). mapInPandas, zero shuffle."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                fmt = sniff_media_format(raw)
+                kind = detect_kind_from_magic(raw)
+                w = h = None
+                try:
+                    if kind == "image":
+                        _img, w, h, _dec = decode_pixels(raw, fake=fake)
+                    elif kind == "video":
+                        frames, _fps, _dec = decode_frames(
+                            raw, fake=fake, max_frames=1
+                        )
+                        h, w = int(frames.shape[1]), int(frames.shape[2])
+                    elif kind == "audio":
+                        decode_samples(raw, fake=fake)  # w/h stay NULL
+                    else:
+                        fmt = None  # blob: no media metadata
+                except Exception:  # noqa: BLE001 — any decode failure
+                    fmt = None  # ⇒ metadata = None, ranks last
+                rows.append(
+                    {"asset_id": int(aid), "format": fmt,
+                     "width": w, "height": h}
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "format", "width", "height"]
+            )
+
+    return assets.mapInPandas(_meta, MEDIA_KEEPER_META_SCHEMA)
 
 
 def _documents_as_media_assets(

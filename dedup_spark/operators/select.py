@@ -84,6 +84,89 @@ def select_preferred(
     )
 
 
+# the reference's default format-preference order, highest first
+# (media_dedup.rs:59-81: RAW family, then lossless, then common)
+REFERENCE_FORMAT_PREFERENCE = (
+    "raw", "arw", "cr2", "nef", "orf", "rw2",
+    "png", "tiff", "bmp",
+    "jpg", "jpeg", "mp4", "mov", "mp3", "flac", "wav",
+)
+
+# the reference treats missing width/height as u32::MAX in the
+# lowest/closest_to policies (media_dedup.rs:480-509); any value
+# larger than every real pixel count reproduces that ordering
+_NO_RESOLUTION = 1 << 62
+
+
+def select_media_keeper(
+    meta_clusters: DataFrame,
+    format_preference: tuple[str, ...] = REFERENCE_FORMAT_PREFERENCE,
+    resolution_policy: str = "highest",
+    target_w: int | None = None,
+    target_h: int | None = None,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """The reference's media keeper (find_best_file_to_keep,
+    media_dedup.rs:425-515) over a cluster frame carrying
+    ``media_keeper_meta`` columns (format, width, height): rank every
+    member by format-preference position — a format absent from the
+    list ranks after every listed one (unwrap_or(usize::MAX),
+    media_dedup.rs:445-452), and a NULL format (= failed metadata
+    extraction) ranks after even those (files_with_metadata filter,
+    media_dedup.rs:430-434) — then break best-format ties with the
+    resolution policy over DECODED pixel geometry:
+
+    - highest:   max width*height, missing dims count 0
+      (media_dedup.rs:469-476)
+    - lowest:    min width*height, missing dims count u32::MAX
+      (media_dedup.rs:480-486)
+    - closest_to(target_w, target_h): min squared distance
+      (dw² + dh²), missing dims count 0, missing metadata MAX
+      (media_dedup.rs:488-509)
+
+    Ties beyond that break on asset_id — the reference keeps the
+    first file in input order; a distributed frame has no input
+    order, so the stable id makes the keeper deterministic and
+    partition-invariant. One window over the cluster key — a single
+    hash-partition shuffle, no Python, scales like every other
+    keep-selection.
+    """
+    n = len(format_preference)
+    pos = F.array_position(
+        F.lit(list(format_preference)), F.col("format")
+    )
+    fmt_rank = (
+        F.when(F.col("format").isNull(), F.lit(n + 2))
+        .when(pos > 0, pos)
+        .otherwise(F.lit(n + 1))
+    )
+    pixels = F.col("width").cast("long") * F.col("height").cast("long")
+    if resolution_policy == "highest":
+        res_key = F.coalesce(pixels, F.lit(0)).desc()
+    elif resolution_policy == "lowest":
+        res_key = F.coalesce(pixels, F.lit(_NO_RESOLUTION)).asc()
+    elif resolution_policy == "closest_to":
+        if target_w is None or target_h is None:
+            raise ValueError("closest_to requires target_w and target_h")
+        dw = F.coalesce(F.col("width"), F.lit(0)) - F.lit(target_w)
+        dh = F.coalesce(F.col("height"), F.lit(0)) - F.lit(target_h)
+        # metadata-present rows with missing dims count them as 0
+        # (unwrap_or(0)); only a missing-metadata row (NULL format)
+        # gets the MAX distance — media_dedup.rs:490-507
+        dist = F.when(
+            F.col("format").isNull(), F.lit(_NO_RESOLUTION)
+        ).otherwise(dw * dw + dh * dh)
+        res_key = dist.asc()
+    else:
+        raise ValueError(f"unknown resolution policy {resolution_policy!r}")
+    w = Window.partitionBy(cluster_col).orderBy(
+        fmt_rank.asc(), res_key, F.col("asset_id").asc()
+    )
+    return meta_clusters.withColumn(
+        "rank_in_cluster", F.row_number().over(w)
+    ).withColumn("is_kept", F.col("rank_in_cluster") == 1)
+
+
 def rank_in_set(
     clusters: DataFrame,
     criterion: str = "path",
