@@ -973,6 +973,61 @@ def media_keeper_meta(assets: DataFrame, fake: bool = False) -> DataFrame:
     return assets.mapInPandas(_meta, MEDIA_KEEPER_META_SCHEMA)
 
 
+def media_keep_selection(
+    assets: DataFrame,
+    config=None,
+    format_preference=None,
+    resolution_policy: str = "highest",
+    target_w: int | None = None,
+    target_h: int | None = None,
+    fake: bool = False,
+) -> DataFrame:
+    """End-to-end media-mode flow, the reference's
+    find_similar_media_files → find_best_file_to_keep composition
+    (media_dedup.rs:517-600, 425-515): cluster every asset with the
+    unified orchestrator, then rank each ACTIONABLE cluster (size ≥ 2)
+    with the format-preference + decoded-resolution keeper.
+
+    Scale posture: keeper metadata needs a second decode (geometry —
+    the reference likewise runs ffprobe separately from its
+    fingerprint hash), so the meta pass runs ONLY on duplicate-set
+    members via a semi join — at corpus scale that is the small
+    minority of rows; singletons keep themselves with NULL meta and
+    zero extra work.
+
+    Returns (asset_id, modality, decoder, cluster_id, cluster_size,
+    format, width, height, rank_in_cluster, is_kept).
+    """
+    from dedup_spark.operators.select import (
+        REFERENCE_FORMAT_PREFERENCE,
+        select_media_keeper,
+    )
+
+    pref = tuple(format_preference or REFERENCE_FORMAT_PREFERENCE)
+    clusters = media_near_dup_clusters(assets, config, fake=fake)
+    dups = clusters.filter(F.col("cluster_size") >= 2)
+    dup_meta = media_keeper_meta(
+        assets.join(dups.select("asset_id"), "asset_id", "left_semi"),
+        fake=fake,
+    )
+    ranked = select_media_keeper(
+        dups.join(dup_meta, "asset_id", "left"),
+        format_preference=pref,
+        resolution_policy=resolution_policy,
+        target_w=target_w,
+        target_h=target_h,
+    )
+    singletons = clusters.filter(F.col("cluster_size") < 2).select(
+        "asset_id", "modality", "decoder", "cluster_id", "cluster_size",
+        F.lit(None).cast("string").alias("format"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(1).alias("rank_in_cluster"),
+        F.lit(True).alias("is_kept"),
+    )
+    return ranked.select(*singletons.columns).unionByName(singletons)
+
+
 def _documents_as_media_assets(
     spark, sf_dir: str, kind: str, mime: str, make_payload
 ) -> DataFrame:
