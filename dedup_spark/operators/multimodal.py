@@ -601,6 +601,10 @@ PHASH_SCHEMA = StructType(
         StructField("asset_id", LongType(), False),
         StructField("phash", LongType(), False),   # 64-bit DCT perceptual hash
         StructField("decoder", StringType(), False),  # png | bmp | fake
+        # decoded geometry, free at fingerprint time — the media
+        # keeper's resolution key without a second decode pass
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
     ]
 )
 
@@ -633,13 +637,14 @@ def image_phash(
                 if detect_kind_from_magic(raw) != "image" and kind != "image":
                     continue
                 try:
-                    img, _w, _h, dec = decode_pixels(raw, fake=fake)
+                    img, w, h, dec = decode_pixels(raw, fake=fake)
                 except NotImplementedError:
                     if on_undecodable == "skip":
                         continue
                     raise
                 rows.append(
-                    {"asset_id": int(aid), "phash": phash64(img), "decoder": dec}
+                    {"asset_id": int(aid), "phash": phash64(img),
+                     "decoder": dec, "width": w, "height": h}
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA.fields])
 
@@ -826,7 +831,8 @@ def audio_near_dup_clusters(
 
 
 def media_near_dup_clusters(
-    assets: DataFrame, config=None, fake: bool = False
+    assets: DataFrame, config=None, fake: bool = False,
+    with_meta: bool = False,
 ) -> DataFrame:
     """Unified media dedup orchestrator — the reference's same-kind
     comparison gate (F7, /root/reference/src/media_dedup.rs:556-587:
@@ -845,6 +851,13 @@ def media_near_dup_clusters(
     for the byte-shingle fallback — nothing is ever silently fake).
     Cluster ids are namespaced by modality, so cross-kind pairs can
     never merge, exactly the reference's gate.
+
+    ``with_meta=True`` additionally carries the decoded ``width`` /
+    ``height`` captured for free during the fingerprint pass (NULL for
+    audio, exactly the reference's extract_audio_metadata, and for
+    byte-shingle rows) — the media keeper's resolution key with ZERO
+    extra decode work. Default off keeps the hot path's shuffle rows
+    as narrow as before.
     """
     from dedup_spark.checkpoint import lineage_cut
     from dedup_spark.config import DedupConfig
@@ -858,6 +871,9 @@ def media_near_dup_clusters(
         eager=False,
     )
 
+    null_long = F.lit(None).cast("long")
+    meta_cols = ("width", "height") if with_meta else ()
+
     def labeled(df: DataFrame, modality: str) -> DataFrame:
         return df.select(
             "asset_id",
@@ -867,6 +883,10 @@ def media_near_dup_clusters(
                 "cluster_id"
             ),
             "cluster_size",
+            *(
+                (F.col(c) if c in df.columns else null_long.alias(c))
+                for c in meta_cols
+            ),
         )
 
     # each modality's decode+fingerprint mapInPandas frame feeds BOTH
@@ -874,11 +894,14 @@ def media_near_dup_clusters(
     # here so both consumers share a single materialization (the cut
     # inside _signature_near_dup_clusters is skipped via precut=True;
     # without this the ~100 ms/asset JPEG decode would run twice)
+    drop_meta = () if with_meta else ("width", "height")
     sigs = {
         "image": lineage_cut(
             image_phash(
                 tagged.filter(F.col("_m") == "image"), fake, on_undecodable="skip"
-            ).withColumnRenamed("phash", "sig"),
+            )
+            .withColumnRenamed("phash", "sig")
+            .drop(*drop_meta),
             cfg,
             eager=False,
         ),
@@ -894,7 +917,7 @@ def media_near_dup_clusters(
                 tagged.filter(F.col("_m") == "video"), fake=fake, on_undecodable="skip"
             )
             .withColumnRenamed("vfp", "sig")
-            .drop("n_frames_sampled"),
+            .drop("n_frames_sampled", *drop_meta),
             cfg,
             eager=False,
         ),
@@ -988,12 +1011,15 @@ def media_keep_selection(
     unified orchestrator, then rank each ACTIONABLE cluster (size ≥ 2)
     with the format-preference + decoded-resolution keeper.
 
-    Scale posture: keeper metadata needs a second decode (geometry —
-    the reference likewise runs ffprobe separately from its
-    fingerprint hash), so the meta pass runs ONLY on duplicate-set
-    members via a semi join — at corpus scale that is the small
-    minority of rows; singletons keep themselves with NULL meta and
-    zero extra work.
+    Scale posture: ZERO extra decode — the keeper's resolution key
+    (width/height) rides out of the fingerprint pass itself
+    (``with_meta=True``), and the format token is a header-only sniff
+    that runs ONLY on duplicate-set members via a semi join (the
+    reference instead re-opens every file with ffprobe for metadata —
+    a whole second decode pass this composition avoids). Rows the
+    orchestrator could not fingerprint (the byte-shingle reroute)
+    keep a NULL format, mirroring the reference's
+    failed-metadata-extraction ⇒ ranks-last rule.
 
     Returns (asset_id, modality, decoder, cluster_id, cluster_size,
     format, width, height, rank_in_cluster, is_kept).
@@ -1004,14 +1030,36 @@ def media_keep_selection(
     )
 
     pref = tuple(format_preference or REFERENCE_FORMAT_PREFERENCE)
-    clusters = media_near_dup_clusters(assets, config, fake=fake)
-    dups = clusters.filter(F.col("cluster_size") >= 2)
-    dup_meta = media_keeper_meta(
-        assets.join(dups.select("asset_id"), "asset_id", "left_semi"),
-        fake=fake,
+    clusters = media_near_dup_clusters(
+        assets, config, fake=fake, with_meta=True
     )
+    dups = clusters.filter(F.col("cluster_size") >= 2)
+
+    def _sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "format": [
+                        sniff_media_format(
+                            bytes(p) if p is not None else b""
+                        )
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    dup_formats = assets.join(
+        dups.select("asset_id"), "asset_id", "left_semi"
+    ).mapInPandas(_sniff, "asset_id long, format string")
     ranked = select_media_keeper(
-        dups.join(dup_meta, "asset_id", "left"),
+        dups.join(dup_formats, "asset_id", "left").withColumn(
+            # a byte-shingle-rerouted row never decoded: its format is
+            # unusable metadata, rank it last like the reference's
+            # failed extraction (media_dedup.rs:430-434)
+            "format",
+            F.when(F.col("decoder") != "bytes", F.col("format")),
+        ),
         format_preference=pref,
         resolution_policy=resolution_policy,
         target_w=target_w,
@@ -1180,6 +1228,9 @@ VIDEO_FP_SCHEMA = StructType(
         StructField("vfp", LongType(), False),        # 64-bit clip fingerprint
         StructField("n_frames_sampled", LongType(), False),
         StructField("decoder", StringType(), False),  # y4m | avi/mkv/mp4-mjpeg | fake
+        # frame geometry, free at fingerprint time (keeper resolution key)
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
     ]
 )
 
@@ -1226,6 +1277,8 @@ def video_fingerprint(
                         "vfp": fp,
                         "n_frames_sampled": taken,
                         "decoder": dec,
+                        "width": int(frames.shape[2]),
+                        "height": int(frames.shape[1]),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FP_SCHEMA.fields])
