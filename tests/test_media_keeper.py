@@ -365,3 +365,20 @@ def test_sniff_never_crashes_and_agrees_with_kind():
         # layouts ≥8 bytes while the format sniffer wants ≥12
 
     check()
+
+
+def test_orchestrator_default_stays_narrow(spark):
+    """with_meta=False (the default) must not widen the clustering
+    shuffle: no width/height in the output, and the keeper flow's
+    with_meta=True output carries them for every modality."""
+    from dedup_spark.operators.multimodal import media_near_dup_clusters
+
+    im = _img(16, 12)
+    rows = [(1, encode_png_gray8(im)), (2, b"some plain blob ..........")]
+    df = media_near_dup_clusters(_assets_df(spark, rows))
+    assert "width" not in df.columns and "height" not in df.columns
+    wide = media_near_dup_clusters(_assets_df(spark, rows), with_meta=True)
+    assert {"width", "height"} <= set(wide.columns)
+    got = {r["asset_id"]: r for r in wide.collect()}
+    assert (got[1]["width"], got[1]["height"]) == (16, 12)
+    assert got[2]["width"] is None and got[2]["height"] is None
