@@ -1,7 +1,7 @@
 """Pure-numpy image codecs + 64-bit perceptual hash (DCT pHash).
 
 Round-2 verdict listed "real media decoders" as the repo's top
-remaining gap (the container has no PIL/ffmpeg/librosa). Two image
+remaining gap (the container has no PIL/ffmpeg/librosa). These image
 formats ARE decodable with nothing but the Python stdlib + numpy, from
 their public specifications alone:
 
@@ -15,13 +15,22 @@ their public specifications alone:
 - **GIF** (87a/89a): variable-width LZW (9→12-bit codes, clear/EOI,
   dictionary resets), global/local color tables, 4-pass row
   interlacing; the first frame of animations.
+- **TIFF 6.0 baseline**: both byte orders, none/LZW compression,
+  horizontal predictor, gray/RGB/palette/WhiteIsZero photometrics.
+- **Netpbm P1-P6, QOI, farbfeld, ICO** (round 5): the remaining
+  simple-spec formats the reference's image crate opens; ICO decodes
+  both PNG-coded and classic-DIB entries. TGA is the documented
+  exception — no leading magic, payload-only sniffing would misroute
+  arbitrary blobs.
 
-JPEG (baseline + progressive) lives in ``jpegcodec.py``; audio/video
-containers in ``audiocodec.py``/``videocodec.py``; the remaining
-entropy codecs (WebP, AVC, MP3, …) stay honestly stubbed in
-``operators/multimodal`` — they genuinely need codec libraries.
+JPEG (baseline + progressive) lives in ``jpegcodec.py``; camera-RAW
+in ``rawimage.py``; audio/video in ``audiocodec.py``/``mpegaudio``/
+``mpeg3``/``vorbis``/``videocodec``/``mpeg1video``; the remaining
+entropy codecs (WebP, AVC, AAC, …) stay honestly stubbed in
+``operators/multimodal`` — they genuinely need codec libraries (or,
+for AAC, spec tables with no verifiable public-subset path).
 
-Minimal deterministic ENCODERS for both formats let tests and fixtures
+Minimal deterministic ENCODERS per format let tests and fixtures
 synthesize real image files with no external data or libraries.
 
 ``phash64`` is the reference's image perceptual hash re-expressed on
@@ -908,3 +917,337 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# PNM (PBM/PGM/PPM), QOI, farbfeld, ICO — the remaining image formats
+# the reference's image crate decodes (media_dedup.rs:177 image::open)
+# whose public byte-level specs need nothing beyond numpy. TGA is the
+# deliberate exception: it has no leading magic (only an optional
+# trailer), so payload-only sniffing would misroute arbitrary blobs —
+# documented skip, the byte-shingle path covers it.
+# --------------------------------------------------------------------------
+
+_PNM_WS = b" \t\r\n"
+
+
+def _pnm_tokens(d: bytes, start: int):
+    """Yield whitespace-separated header tokens, skipping # comments."""
+    i = start
+    while True:
+        while i < len(d) and d[i : i + 1] in (b" ", b"\t", b"\r", b"\n"):
+            i += 1
+        if i < len(d) and d[i : i + 1] == b"#":
+            j = d.find(b"\n", i)
+            i = len(d) if j < 0 else j + 1
+            continue
+        j = i
+        while j < len(d) and d[j : j + 1] not in (b" ", b"\t", b"\r", b"\n", b"#"):
+            j += 1
+        if j == i:
+            raise ImageDecodeError("truncated PNM header")
+        yield d[i:j], j
+        i = j
+
+
+def decode_pnm(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Netpbm P1-P6 → (grayscale uint8 (h, w), w, h): ASCII (P1-P3)
+    and binary (P4 bitmap / P5 gray / P6 RGB) variants, maxval up to
+    65535 (two-byte big-endian samples per spec). PBM semantics:
+    1 = black. Same airtight corrupt-stream contract as decode_png."""
+    try:
+        return _decode_pnm(payload)
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise ImageDecodeError(f"corrupt PNM: {exc}") from exc
+
+
+def _decode_pnm(payload: bytes) -> tuple[np.ndarray, int, int]:
+    if len(payload) < 7 or payload[:1] != b"P" or payload[1:2] not in b"123456":
+        raise ImageDecodeError("not a PNM")
+    variant = int(payload[1:2])
+    toks = _pnm_tokens(payload, 2)
+    w_t, pos = next(toks)
+    h_t, pos = next(toks)
+    w, h = int(w_t), int(h_t)
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ImageDecodeError(f"PNM dimensions out of bounds {w}x{h}")
+    maxval = 1
+    if variant not in (1, 4):
+        mv_t, pos = next(toks)
+        maxval = int(mv_t)
+        if not 1 <= maxval <= 65535:
+            raise ImageDecodeError(f"bad PNM maxval {maxval}")
+    channels = 3 if variant in (3, 6) else 1
+    if variant in (1, 2, 3):  # ASCII sample data
+        body = payload[pos:]
+        if variant == 1:
+            # P1 pixels may be packed without separators
+            digits = [c - 48 for c in body if c in (48, 49)]
+            vals = np.array(digits[: w * h], dtype=np.uint16)
+        else:
+            parts = body.split()
+            vals = np.array([int(p) for p in parts[: w * h * channels]],
+                            dtype=np.uint32)
+        if vals.size < w * h * channels:
+            raise ImageDecodeError("PNM sample data truncated")
+    else:  # single whitespace byte after header, then raw data
+        if payload[pos : pos + 1] not in (b" ", b"\t", b"\r", b"\n"):
+            raise ImageDecodeError("missing PNM header terminator")
+        data = payload[pos + 1 :]
+        if variant == 4:
+            stride = (w + 7) // 8
+            if len(data) < stride * h:
+                raise ImageDecodeError("PBM bitmap truncated")
+            rows = np.frombuffer(data[: stride * h], dtype=np.uint8)
+            bits = np.unpackbits(rows.reshape(h, stride), axis=1)[:, :w]
+            vals = bits.astype(np.uint16)
+        else:
+            dt = ">u2" if maxval > 255 else np.uint8
+            need = w * h * channels * (2 if maxval > 255 else 1)
+            if len(data) < need:
+                raise ImageDecodeError("PNM raster truncated")
+            vals = np.frombuffer(data[:need], dtype=dt).astype(np.uint32)
+    if variant in (1, 4):  # PBM: 1 = black
+        gray = ((1 - vals.reshape(h, w)) * 255).astype(np.uint8)
+        return gray, w, h
+    if np.any(vals > maxval):
+        raise ImageDecodeError("PNM sample exceeds maxval")
+    px = (vals * 255 // maxval).astype(np.uint32).reshape(h, w * channels)
+    return _to_gray(px.astype(np.uint8), channels), w, h
+
+
+def encode_pnm_gray8(img: np.ndarray, ascii_variant: bool = False) -> bytes:
+    """Deterministic P5 (or P2 ASCII) fixture encoder."""
+    h, w = img.shape
+    if ascii_variant:
+        body = b"\n".join(
+            b" ".join(str(int(v)).encode() for v in row) for row in img
+        )
+        return b"P2\n%d %d\n255\n" % (w, h) + body + b"\n"
+    return b"P5\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def encode_ppm_rgb8(rgb: np.ndarray) -> bytes:
+    """Deterministic P6 fixture encoder; rgb is (h, w, 3) uint8."""
+    h, w, _ = rgb.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.astype(np.uint8).tobytes()
+
+
+def decode_qoi(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """QOI (qoiformat.org, the one-page public spec) → grayscale:
+    RGB/RGBA ops, 6-bit index cache, DIFF/LUMA deltas, runs, the
+    7×00+01 end marker. Same corrupt-stream contract as decode_png."""
+    try:
+        return _decode_qoi(payload)
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise ImageDecodeError(f"corrupt QOI: {exc}") from exc
+
+
+def _decode_qoi(payload: bytes) -> tuple[np.ndarray, int, int]:
+    if payload[:4] != b"qoif" or len(payload) < 22:
+        raise ImageDecodeError("not a QOI")
+    w, h = struct.unpack(">II", payload[4:12])
+    channels, colorspace = payload[12], payload[13]
+    if channels not in (3, 4) or colorspace not in (0, 1):
+        raise ImageDecodeError("bad QOI header")
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ImageDecodeError(f"QOI dimensions out of bounds {w}x{h}")
+    n = w * h
+    out = np.empty((n, 3), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r = g = b = 0
+    a = 255
+    i, p = 14, 0
+    d = payload
+    end = len(d) - 8  # the 8-byte end marker
+    while p < n:
+        if i >= end:
+            raise ImageDecodeError("QOI stream truncated")
+        op = d[i]
+        i += 1
+        if op == 0xFE:  # QOI_OP_RGB
+            r, g, b = d[i], d[i + 1], d[i + 2]
+            i += 3
+        elif op == 0xFF:  # QOI_OP_RGBA
+            r, g, b, a = d[i], d[i + 1], d[i + 2], d[i + 3]
+            i += 4
+        else:
+            tag = op >> 6
+            if tag == 0:  # QOI_OP_INDEX
+                r, g, b, a = index[op & 0x3F]
+            elif tag == 1:  # QOI_OP_DIFF
+                r = (r + ((op >> 4) & 3) - 2) & 0xFF
+                g = (g + ((op >> 2) & 3) - 2) & 0xFF
+                b = (b + (op & 3) - 2) & 0xFF
+            elif tag == 2:  # QOI_OP_LUMA
+                dg = (op & 0x3F) - 32
+                b2 = d[i]
+                i += 1
+                r = (r + dg - 8 + ((b2 >> 4) & 0x0F)) & 0xFF
+                g = (g + dg) & 0xFF
+                b = (b + dg - 8 + (b2 & 0x0F)) & 0xFF
+            else:  # QOI_OP_RUN
+                run = (op & 0x3F) + 1
+                if p + run > n:
+                    raise ImageDecodeError("QOI run overflows image")
+                out[p : p + run] = (r, g, b)
+                p += run
+                index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+                continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        out[p] = (r, g, b)
+        p += 1
+    if d[end : end + 8] != b"\x00" * 7 + b"\x01":
+        raise ImageDecodeError("missing QOI end marker")
+    return _to_gray(out.reshape(h, w * 3), 3), int(w), int(h)
+
+
+def encode_qoi_gray8(img: np.ndarray) -> bytes:
+    """Deterministic QOI fixture encoder: RGB ops + runs only — a
+    conforming stream (index/diff/luma are encoder options)."""
+    h, w = img.shape
+    out = bytearray(b"qoif" + struct.pack(">II", w, h) + b"\x03\x00")
+    flat = img.reshape(-1)
+    i, n = 0, flat.shape[0]
+    prev = -1
+    while i < n:
+        v = int(flat[i])
+        if v == prev:
+            run = 1
+            while i + run < n and int(flat[i + run]) == v and run < 62:
+                run += 1
+            out.append(0xC0 | (run - 1))
+            i += run
+            continue
+        out += bytes((0xFE, v, v, v))
+        prev = v
+        i += 1
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_farbfeld(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """farbfeld (suckless.org spec: 8-byte magic, BE32 dims, RGBA16
+    big-endian per pixel) → grayscale via the high bytes."""
+    try:
+        if payload[:8] != b"farbfeld" or len(payload) < 16:
+            raise ImageDecodeError("not a farbfeld")
+        w, h = struct.unpack(">II", payload[8:16])
+        if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+            raise ImageDecodeError(f"farbfeld dimensions out of bounds {w}x{h}")
+        need = w * h * 8
+        if len(payload) < 16 + need:
+            raise ImageDecodeError("farbfeld raster truncated")
+        px = np.frombuffer(payload, dtype=">u2", count=w * h * 4, offset=16)
+        rgba8 = (px.reshape(h, w, 4) >> 8).astype(np.uint8)
+        return _to_gray(rgba8[:, :, :3].reshape(h, w * 3), 3), int(w), int(h)
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise ImageDecodeError(f"corrupt farbfeld: {exc}") from exc
+
+
+def encode_farbfeld_gray8(img: np.ndarray) -> bytes:
+    h, w = img.shape
+    v16 = img.astype(np.uint16) * 257
+    rgba = np.stack([v16, v16, v16, np.full_like(v16, 65535)], axis=-1)
+    return (b"farbfeld" + struct.pack(">II", w, h)
+            + rgba.astype(">u2").tobytes())
+
+
+def decode_ico(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """ICO container: ICONDIR walk, LARGEST entry decoded — PNG-coded
+    entries through decode_png, classic DIB entries (BITMAPINFOHEADER
+    with doubled height for the AND mask; 8/24/32 bpp BI_RGB) through
+    the shared DIB raster logic."""
+    try:
+        return _decode_ico(payload)
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise ImageDecodeError(f"corrupt ICO: {exc}") from exc
+
+
+def is_ico(payload: bytes) -> bool:
+    """Strict-enough ICO sniff for payload-only routing: the 4
+    reserved/type bytes plus a sane entry count (1-64) and a first
+    entry whose offset/size stay inside the file."""
+    if len(payload) < 22 or payload[:4] != b"\x00\x00\x01\x00":
+        return False
+    (count,) = struct.unpack("<H", payload[4:6])
+    if not 1 <= count <= 64:
+        return False
+    size, off = struct.unpack("<II", payload[14:22])
+    return 0 < size <= len(payload) and 22 <= off <= len(payload) - 1
+
+
+def _decode_ico(payload: bytes) -> tuple[np.ndarray, int, int]:
+    if not is_ico(payload):
+        raise ImageDecodeError("not an ICO")
+    (count,) = struct.unpack("<H", payload[4:6])
+    best = None  # (area, offset, size)
+    for k in range(count):
+        e = payload[6 + 16 * k : 6 + 16 * (k + 1)]
+        if len(e) < 16:
+            raise ImageDecodeError("ICO directory truncated")
+        ew, eh = e[0] or 256, e[1] or 256
+        size, off = struct.unpack("<II", e[8:16])
+        if off + size > len(payload) or size == 0:
+            raise ImageDecodeError("ICO entry out of bounds")
+        if best is None or ew * eh > best[0]:
+            best = (ew * eh, off, size)
+    data = payload[best[1] : best[1] + best[2]]
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    # classic DIB entry: BITMAPINFOHEADER, biHeight = 2 * actual
+    (hdr_size,) = struct.unpack("<I", data[0:4])
+    if hdr_size != 40:
+        raise ImageDecodeError(f"unsupported ICO DIB header {hdr_size}")
+    w, h2 = struct.unpack("<ii", data[4:12])
+    bpp, comp = struct.unpack("<HI", data[14:20])
+    if comp != 0 or bpp not in (8, 24, 32):
+        raise ImageDecodeError(f"unsupported ICO DIB (bpp={bpp}, comp={comp})")
+    h = abs(h2) // 2 if abs(h2) % 2 == 0 else abs(h2)
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ImageDecodeError(f"ICO dimensions out of bounds {w}x{h}")
+    stride = ((w * bpp + 31) // 32) * 4
+    pal_n = 256 if bpp == 8 else 0
+    data_off = 40 + pal_n * 4
+    raster = np.frombuffer(data, dtype=np.uint8, offset=data_off,
+                           count=stride * h)
+    rows = raster.reshape(h, stride)[::-1]  # DIBs are bottom-up
+    if bpp == 8:
+        pal = np.frombuffer(data[40 : 40 + 1024], dtype=np.uint8).reshape(-1, 4)
+        bgr = pal[np.clip(rows[:, :w], 0, pal.shape[0] - 1)][:, :, :3]
+    else:
+        c = bpp // 8
+        bgr = rows[:, : w * c].reshape(h, w, c)[:, :, :3]
+    b32 = bgr.astype(np.uint32)
+    gray = (_LUMA_B * b32[:, :, 0] + _LUMA_G * b32[:, :, 1]
+            + _LUMA_R * b32[:, :, 2]) >> 8
+    return gray.astype(np.uint8), int(w), int(h)
+
+
+def encode_ico_gray8(img: np.ndarray, png_entry: bool = True) -> bytes:
+    """Deterministic single-entry ICO fixture encoder: PNG-coded entry
+    or classic 32bpp DIB entry (both arms of the decoder)."""
+    h, w = img.shape
+    if not (1 <= w <= 256 and 1 <= h <= 256):
+        raise ValueError("ICO fixtures are capped at 256x256")
+    if png_entry:
+        blob = encode_png_gray8(img)
+    else:
+        bgrx = np.stack([img, img, img, np.zeros_like(img)], axis=-1)
+        stride = w * 4
+        raster = bgrx[::-1].reshape(h, stride).tobytes()
+        and_stride = ((w + 31) // 32) * 4
+        hdr = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0,
+                          len(raster) + and_stride * h, 0, 0, 0, 0)
+        blob = hdr + raster + b"\x00" * (and_stride * h)
+    entry = struct.pack("<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32,
+                        len(blob), 22)
+    return b"\x00\x00\x01\x00\x01\x00" + entry + blob

@@ -58,6 +58,7 @@ _MAGIC_KINDS = {
     "49495253": "image",  # Olympus ORF variant ("IIRS")
     "49495500": "image",  # Panasonic RW2 ("II\\x55\\0" — TIFF layout)
     "ffd8ffe0": "image",  # JPEG/JFIF (see 3-byte prefix rule below)
+    "716f6966": "image",  # QOI ("qoif")
     "49443303": "audio",  # MP3/ID3
     "664c6143": "audio",  # FLAC ("fLaC")
     "4f676753": "audio",  # Ogg ("OggS") — Vorbis et al.
@@ -81,6 +82,29 @@ def detect_kind_from_magic(payload: bytes | None) -> str:
     # starting "BM…" would sniff as image). Require the 4 reserved-zero
     # header bytes at offsets 6-9 too, like the RIFF form-type check.
     if payload[:2] == b"BM" and len(payload) >= 10 and payload[6:10] == b"\x00\x00\x00\x00":
+        return "image"
+    if payload[:8] == b"farbfeld":
+        return "image"
+    # PNM BINARY variants only (P4/P5/P6 + whitespace + digit/comment):
+    # the ASCII variants (P1-P3) are indistinguishable from plain text
+    # at the magic layer, so routing stays conservative — decode_pixels
+    # still accepts P1-P3 when an asset is already kind-tagged image
+    if (
+        payload[:1] == b"P"
+        and payload[1:2] in (b"4", b"5", b"6")
+        and payload[2:3] in (b" ", b"\t", b"\r", b"\n")
+        and (payload[3:4].isdigit()
+             or payload[3:4] in (b"#", b" ", b"\t", b"\r", b"\n"))
+    ):
+        return "image"
+    # ICO: reserved 0000 + type 0100 + sane entry count (1-64); a
+    # false positive only costs the decode-fail reroute to byte-shingles
+    if (
+        payload[:4] == b"\x00\x00\x01\x00"
+        and len(payload) >= 6
+        and payload[5] == 0
+        and 1 <= payload[4] <= 64
+    ):
         return "image"
     if payload[:4] == b"RIFF" and len(payload) >= 12:
         # RIFF is a container: the kind lives at bytes 8-12
@@ -132,7 +156,29 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
             hx.startswith("424d") & (F.substring(hx, 13, 8) == "00000000"),
             "image",                                                  # BMP + reserved zeros
         )
+        .when(F.substring(hx, 1, 16) == "6661726266656c64", "image")  # farbfeld
+        .when(
+            # PNM binary variants (P4/P5/P6 + ws + digit/comment/ws),
+            # byte for byte the Python sniffer's predicate
+            (_hex_byte(hx, 0) == 0x50)
+            & _hex_byte(hx, 1).isin(0x34, 0x35, 0x36)
+            & _hex_byte(hx, 2).isin(0x20, 0x09, 0x0A, 0x0D)
+            & (
+                ((_hex_byte(hx, 3) >= 0x30) & (_hex_byte(hx, 3) <= 0x39))
+                | _hex_byte(hx, 3).isin(0x23, 0x20, 0x09, 0x0A, 0x0D)
+            ),
+            "image",
+        )
+        .when(
+            # ICO: reserved+type bytes and a sane entry count (1-64)
+            hx.startswith("00000100")
+            & (_hex_byte(hx, 4) >= 1)
+            & (_hex_byte(hx, 4) <= 64)
+            & (_hex_byte(hx, 5) == 0),
+            "image",
+        )
         .when(hx.startswith("89504e47"), "image")                     # PNG
+        .when(hx.startswith("716f6966"), "image")                     # QOI ("qoif")
         .when(hx.startswith("47494638"), "image")                     # GIF87a/89a
         .when(hx.startswith("49492a00"), "image")                     # TIFF "II" (+ ARW/NEF/CR2)
         .when(hx.startswith("4d4d002a"), "image")                     # TIFF "MM"
@@ -217,6 +263,15 @@ def sniff_media_format(payload: bytes | None) -> str | None:
         return "bmp"
     if d[:5] in (b"GIF87", b"GIF89"):
         return "gif"
+    if d[:1] == b"P" and d[1:2] in b"123456" and d[2:3] in b" \t\r\n":
+        return {b"1": "pbm", b"4": "pbm", b"2": "pgm",
+                b"5": "pgm", b"3": "ppm", b"6": "ppm"}[d[1:2]]
+    if d[:4] == b"qoif":
+        return "qoi"
+    if d[:8] == b"farbfeld":
+        return "ff"
+    if (d[:4] == b"\x00\x00\x01\x00" and d[5] == 0 and 1 <= d[4] <= 64):
+        return "ico"
     if d[:4] in (b"IIRO", b"IIRS"):
         return "orf"
     if d[:4] == b"II\x55\x00":
@@ -417,22 +472,31 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
     baseline (T.81 sequential DCT) and progressive (SOF2, spectral
     selection + successive approximation) modes —
     ``functions/jpegcodec.py``; the luma plane of color images —
-    and the camera-RAW family the reference's format-preference list
+    the camera-RAW family the reference's format-preference list
     opens with (ARW/NEF/CR2/ORF/RW2, media_dedup.rs:62-68) via the
     embedded-JPEG-preview route (``functions/rawimage.py``; decoder
-    names the flavor).
-    Everything else (WebP, JPEG 2000, arithmetic-coded JPEG, …)
+    names the flavor), and the simple-spec formats the reference's
+    image crate also opens — Netpbm P1-P6, QOI, farbfeld, ICO
+    (PNG- and DIB-coded entries).
+    Everything else (WebP, JPEG 2000, arithmetic-coded JPEG, TGA —
+    which has no leading magic to sniff, …)
     keeps the honest-stub policy: ``fake=True`` falls back to the
     deterministic byte-structure fake (also used when a real-looking
     payload turns out corrupt), ``fake=False`` raises. ``decoder`` in
     the result names which path ran ('png' | 'bmp' | 'gif' | 'tiff' |
-    'jpeg' | 'fake') so downstream rows are never silently fake."""
+    'jpeg' | 'pbm/pgm/ppm' | 'qoi' | 'ff' | 'ico' | RAW flavor |
+    'fake') so downstream rows are never silently fake."""
     from dedup_spark.functions.imagecodec import (
         ImageDecodeError,
         decode_bmp,
+        decode_farbfeld,
         decode_gif,
+        decode_ico,
         decode_png,
+        decode_pnm,
+        decode_qoi,
         decode_tiff,
+        is_ico,
     )
     from dedup_spark.functions.jpegcodec import decode_jpeg
     from dedup_spark.functions.rawimage import (
@@ -448,6 +512,20 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
         if raw[:2] == b"BM":
             img, w, h = decode_bmp(raw)
             return img, w, h, "bmp"
+        if raw[:1] == b"P" and raw[1:2] in b"123456":
+            img, w, h = decode_pnm(raw)
+            token = {b"1": "pbm", b"4": "pbm", b"2": "pgm",
+                     b"5": "pgm", b"3": "ppm", b"6": "ppm"}[raw[1:2]]
+            return img, w, h, token
+        if raw[:4] == b"qoif":
+            img, w, h = decode_qoi(raw)
+            return img, w, h, "qoi"
+        if raw[:8] == b"farbfeld":
+            img, w, h = decode_farbfeld(raw)
+            return img, w, h, "ff"
+        if is_ico(raw):
+            img, w, h = decode_ico(raw)
+            return img, w, h, "ico"
         if raw[:3] == b"\xff\xd8\xff":
             img, w, h = decode_jpeg(raw)
             return img, w, h, "jpeg"

@@ -235,6 +235,18 @@ def test_kind_column_matches_python(spark):
         b"abcdfree text, not a movie at all",  # implausible size -> blob
         b"\x00\x00\x00\x04moov" + bytes(12),  # size < 8 -> blob
         b"\x00\x00\x00\x40mdat" + bytes(8),  # size > file length -> blob
+        b"qoif\x00\x00\x00\x08\x00\x00\x00\x08\x03\x00",  # QOI -> image
+        b"farbfeld\x00\x00\x00\x02\x00\x00\x00\x02",  # farbfeld -> image
+        b"farbfel_ not quite",  # 8-byte magic near-miss -> blob
+        b"P5\n8 8\n255\n" + bytes(64),  # binary PGM -> image
+        b"P6 # c\n2 2 255 " + bytes(12),  # binary PPM, comment -> image
+        b"P2\n2 2\n255\n0 1 2 3\n",  # ASCII PGM = text at magic layer -> blob
+        b"P5x8 8",  # no whitespace after variant -> blob
+        b"Peter wrote plain text",  # 'P' + letter -> blob
+        b"\x00\x00\x01\x00\x01\x00" + bytes(20),  # ICO, 1 entry -> image
+        b"\x00\x00\x01\x00\x00\x00" + bytes(20),  # ICO count 0 -> blob
+        b"\x00\x00\x01\x00\xff\x00" + bytes(20),  # ICO count 255 -> blob
+        b"\x00\x00\x01\x00\x01\x01" + bytes(20),  # count high byte -> blob
     ]
     rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
     df = spark.createDataFrame(rows, "i long, payload binary")

@@ -1,0 +1,142 @@
+"""PNM/QOI/farbfeld/ICO — the simple-spec image formats the
+reference's image crate opens (media_dedup.rs:177). Round-trips are
+bit-exact, corrupt streams raise the typed error, crafted headers
+respect the allocation cap, and all five carriers of one image land
+in ONE pHash cluster through the real pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dedup_spark.functions.imagecodec import (
+    MAX_PIXELS,
+    ImageDecodeError,
+    decode_farbfeld,
+    decode_ico,
+    decode_pnm,
+    decode_qoi,
+    encode_farbfeld_gray8,
+    encode_ico_gray8,
+    encode_png_gray8,
+    encode_pnm_gray8,
+    encode_ppm_rgb8,
+    encode_qoi_gray8,
+)
+
+
+def _img(w: int, h: int, seed: int = 11) -> np.ndarray:
+    return np.random.RandomState(seed).randint(
+        0, 256, size=(h, w), dtype=np.uint8
+    )
+
+
+@pytest.mark.parametrize(
+    "enc,dec",
+    [
+        (encode_pnm_gray8, decode_pnm),
+        (lambda i: encode_pnm_gray8(i, ascii_variant=True), decode_pnm),
+        (encode_qoi_gray8, decode_qoi),
+        (encode_farbfeld_gray8, decode_farbfeld),
+        (encode_ico_gray8, decode_ico),
+        (lambda i: encode_ico_gray8(i, png_entry=False), decode_ico),
+    ],
+    ids=["p5", "p2-ascii", "qoi", "farbfeld", "ico-png", "ico-dib"],
+)
+def test_round_trip_bit_exact(enc, dec):
+    img = _img(23, 17)
+    gray, w, h = dec(enc(img))
+    assert (w, h) == (23, 17)
+    assert np.array_equal(gray, img)
+
+
+def test_pnm_variants_and_semantics():
+    # P6 color → integer luma
+    rgb = _img(6, 4)[..., None].repeat(3, axis=-1)
+    gray, w, h = decode_pnm(encode_ppm_rgb8(rgb))
+    assert (w, h) == (6, 4) and np.array_equal(gray, rgb[:, :, 0])
+    # P4 bitmap: 1 = black per PBM spec, rows padded to bytes
+    p4 = b"P4\n10 2\n" + bytes([0b10100000, 0b01000000] * 2)
+    gray, w, h = decode_pnm(p4)
+    assert (w, h) == (10, 2)
+    assert gray[0, 0] == 0 and gray[0, 1] == 255 and gray[0, 2] == 0
+    # P1 ASCII bitmap, digits packed without separators
+    gray, w, h = decode_pnm(b"P1\n3 1\n101\n")
+    assert list(gray[0]) == [0, 255, 0]
+    # 16-bit P5 scales to 8-bit
+    img16 = (np.arange(8, dtype=np.uint16) * 8191).reshape(2, 4)
+    p5 = b"P5\n4 2\n65535\n" + img16.astype(">u2").tobytes()
+    gray, w, h = decode_pnm(p5)
+    assert gray[0, 0] == 0 and gray[1, 3] == (8191 * 7 * 255) // 65535
+    # maxval normalization: maxval 15 stretches to full range
+    gray, _, _ = decode_pnm(b"P2\n2 1\n15\n0 15\n")
+    assert list(gray[0]) == [0, 255]
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"P5\n8 8\n255\n" + bytes(10),          # truncated raster
+        b"P5\n8 8\n99999\n" + bytes(64),        # bad maxval
+        b"P2\n2 1\n15\n0 99\n",                 # sample exceeds maxval
+        b"P5\n0 4\n255\n",                      # degenerate dims
+        b"P7\n2 2\n255\n" + bytes(4),           # unknown variant
+        b"qoif" + bytes(10),                    # truncated QOI header
+        b"qoif\x00\x00\x00\x02\x00\x00\x00\x02\x05\x00" + bytes(20),  # bad channels
+        b"qoif\x00\x00\x00\x02\x00\x00\x00\x02\x03\x00\xfe\x01",      # truncated ops
+        b"farbfeld\x00\x00\x00\x04\x00\x00\x00\x04" + bytes(10),      # truncated
+        b"\x00\x00\x01\x00\x01\x00" + bytes(4),  # ICO directory truncated
+    ],
+)
+def test_corrupt_streams_raise_typed(payload):
+    for dec in (decode_pnm, decode_qoi, decode_farbfeld, decode_ico):
+        try:
+            dec(payload)
+        except ImageDecodeError:
+            continue
+        except Exception as exc:  # noqa: BLE001
+            pytest.fail(f"{dec.__name__} leaked {type(exc).__name__}: {exc}")
+
+
+def test_allocation_caps_on_crafted_headers():
+    big = MAX_PIXELS  # 64M pixels claimed by a tiny file
+    with pytest.raises(ImageDecodeError):
+        decode_pnm(b"P5\n%d %d\n255\n" % (big, 2))
+    with pytest.raises(ImageDecodeError):
+        decode_qoi(b"qoif" + (big * 2).to_bytes(4, "big")
+                   + (2).to_bytes(4, "big") + b"\x03\x00" + bytes(16))
+    with pytest.raises(ImageDecodeError):
+        decode_farbfeld(b"farbfeld" + (big * 2).to_bytes(4, "big")
+                        + (2).to_bytes(4, "big"))
+
+
+def test_decode_pixels_tokens_and_cluster(spark):
+    """decode_pixels names each new path; one image as PNG + P5 + QOI
+    + farbfeld + ICO lands in ONE cluster via the real pipeline."""
+    from dedup_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_pixels,
+        media_near_dup_clusters,
+        sniff_media_format,
+    )
+
+    img = _img(24, 16)
+    carriers = {
+        "png": encode_png_gray8(img),
+        "pgm": encode_pnm_gray8(img),
+        "qoi": encode_qoi_gray8(img),
+        "ff": encode_farbfeld_gray8(img),
+        "ico": encode_ico_gray8(img),
+    }
+    for token, payload in carriers.items():
+        g, w, h, dec = decode_pixels(payload, fake=False)
+        assert (dec, w, h) == (token, 24, 16), token
+        assert np.array_equal(g, img), token
+        assert sniff_media_format(payload) == token
+    rows = [(i, "blob", p, None) for i, p in enumerate(carriers.values())]
+    out = media_near_dup_clusters(
+        spark.createDataFrame(rows, ASSET_SCHEMA)
+    ).collect()
+    assert len({r["cluster_id"] for r in out}) == 1
+    assert all(r["modality"] == "image" for r in out)
+    assert sorted(r["decoder"] for r in out) == sorted(carriers)
