@@ -1182,27 +1182,39 @@ def _documents_as_media_assets(
 
 def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
     """Fixture adapter for the REAL lossless-image decode paths:
-    byte-derived pixels as PNG (text length % 3 == 0), little-endian
-    uncompressed TIFF (% 3 == 1) or big-endian TIFF-LZW with the
-    horizontal predictor (% 3 == 2) — so the format-blind geometry
-    oracle (`png_decode_meta`) value-verifies both lossless decoders
-    and both TIFF byte orders/compressions through one query (no
-    fake on any row)."""
+    byte-derived pixels cycled (text length % 7) through PNG,
+    little-endian uncompressed TIFF, big-endian TIFF-LZW with the
+    horizontal predictor, binary PGM (P5), QOI, farbfeld and a
+    DIB-coded ICO — so the format-blind geometry oracle
+    (`png_decode_meta`) value-verifies every lossless image decoder
+    through one query (no fake on any row)."""
 
     def make(raw: bytes) -> bytes:
         from dedup_spark.functions.imagecodec import (
+            encode_farbfeld_gray8,
+            encode_ico_gray8,
             encode_png_gray8,
+            encode_pnm_gray8,
+            encode_qoi_gray8,
             encode_tiff_gray8,
         )
 
         img = _fake_pixels(raw)[0]
-        sel = len(raw) % 3
+        sel = len(raw) % 7
         if sel == 0:
             return encode_png_gray8(img)
         if sel == 1:
             return encode_tiff_gray8(img)
-        return encode_tiff_gray8(img, lzw=True, big_endian=True,
-                                 predictor=True)
+        if sel == 2:
+            return encode_tiff_gray8(img, lzw=True, big_endian=True,
+                                     predictor=True)
+        if sel == 3:
+            return encode_pnm_gray8(img)
+        if sel == 4:
+            return encode_qoi_gray8(img)
+        if sel == 5:
+            return encode_farbfeld_gray8(img)
+        return encode_ico_gray8(img, png_entry=False)
 
     return _documents_as_media_assets(spark, sf_dir, "image", "image/png", make)
 
