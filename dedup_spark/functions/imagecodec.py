@@ -17,11 +17,13 @@ their public specifications alone:
   interlacing; the first frame of animations.
 - **TIFF 6.0 baseline**: both byte orders, none/LZW compression,
   horizontal predictor, gray/RGB/palette/WhiteIsZero photometrics.
-- **Netpbm P1-P6, QOI, farbfeld, ICO** (round 5): the remaining
-  simple-spec formats the reference's image crate opens; ICO decodes
-  both PNG-coded and classic-DIB entries. TGA is the documented
-  exception — no leading magic, payload-only sniffing would misroute
-  arbitrary blobs.
+- **Netpbm P1-P6, QOI, farbfeld, ICO, Radiance HDR, TGA** (round
+  5): the remaining simple-spec formats the reference's image crate
+  opens; ICO decodes both PNG-coded and classic-DIB entries, HDR
+  both flat and new-style-RLE scanlines (log2 tone fold to gray).
+  TGA has no leading magic, so it is never payload-SNIFFED — it
+  decodes only for kind-tagged assets (the reference reaches TGA the
+  same way, via the extension) behind strict structural checks.
 
 JPEG (baseline + progressive) lives in ``jpegcodec.py``; camera-RAW
 in ``rawimage.py``; audio/video in ``audiocodec.py``/``mpegaudio``/
@@ -1251,3 +1253,284 @@ def encode_ico_gray8(img: np.ndarray, png_entry: bool = True) -> bytes:
     entry = struct.pack("<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32,
                         len(blob), 22)
     return b"\x00\x00\x01\x00\x01\x00" + entry + blob
+
+
+# --------------------------------------------------------------------------
+# TGA and Radiance HDR — the last two image-crate formats with
+# numpy-implementable public specs. TGA has NO leading magic (only an
+# optional trailer), so it is never payload-sniffed: decode_pixels
+# attempts it LAST, only for assets already kind-tagged image (the
+# reference reaches TGA the same way — extension, media_dedup.rs:150),
+# and only when the strict structural checks pass. Radiance HDR signs
+# with "#?RADIANCE"/"#?RGBE" and is sniffable like any other format.
+# --------------------------------------------------------------------------
+
+_TGA_TYPES = {1, 2, 3, 9, 10, 11}
+
+
+def decode_tga(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """TGA (Truevision TGA 2.0 spec): color-mapped / truecolor /
+    grayscale, raw and RLE, 8/15/16/24/32-bit pixels, both vertical
+    origins and right-to-left mirroring. Structural validation is
+    strict (exact raster size, palette bounds) because the format has
+    no magic — a false accept would fingerprint garbage."""
+    try:
+        return _decode_tga(payload)
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise ImageDecodeError(f"corrupt TGA: {exc}") from exc
+
+
+def _tga_to_gray(px: np.ndarray, depth: int, h: int, w: int) -> np.ndarray:
+    if depth == 8:
+        return px.reshape(h, w).astype(np.uint8)
+    if depth in (15, 16):
+        v = px.reshape(h, w, 2).astype(np.uint16)
+        val = v[:, :, 0] | (v[:, :, 1] << 8)
+        r = ((val >> 10) & 31) * 255 // 31
+        g = ((val >> 5) & 31) * 255 // 31
+        b = (val & 31) * 255 // 31
+        return ((_LUMA_R * r + _LUMA_G * g + _LUMA_B * b) >> 8).astype(np.uint8)
+    c = depth // 8
+    v = px.reshape(h, w, c).astype(np.uint32)  # BGR(A) order
+    g = (_LUMA_B * v[:, :, 0] + _LUMA_G * v[:, :, 1] + _LUMA_R * v[:, :, 2]) >> 8
+    return g.astype(np.uint8)
+
+
+def _decode_tga(payload: bytes) -> tuple[np.ndarray, int, int]:
+    if len(payload) < 18:
+        raise ImageDecodeError("not a TGA (too short)")
+    (id_len, cmap_type, img_type, cm_first, cm_len, cm_depth,
+     _xo, _yo, w, h, depth, desc) = struct.unpack("<BBBHHBHHHHBB", payload[:18])
+    if img_type not in _TGA_TYPES or cmap_type not in (0, 1):
+        raise ImageDecodeError(f"not a TGA (type {img_type})")
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ImageDecodeError(f"TGA dimensions out of bounds {w}x{h}")
+    mapped = img_type in (1, 9)
+    if mapped:
+        if cmap_type != 1 or depth != 8 or cm_depth not in (15, 16, 24, 32):
+            raise ImageDecodeError("unsupported TGA color map layout")
+    elif img_type in (3, 11):
+        if depth != 8:
+            raise ImageDecodeError(f"unsupported TGA gray depth {depth}")
+    elif depth not in (15, 16, 24, 32):
+        raise ImageDecodeError(f"unsupported TGA truecolor depth {depth}")
+    if cmap_type == 0 and cm_len:
+        raise ImageDecodeError("TGA color-map length without a color map")
+    pos = 18 + id_len
+    cmap = None
+    if cmap_type == 1:
+        cm_bytes = cm_len * ((cm_depth + 7) // 8)
+        cmap_raw = payload[pos : pos + cm_bytes]
+        if len(cmap_raw) < cm_bytes:
+            raise ImageDecodeError("TGA color map truncated")
+        cmap = _tga_to_gray(
+            np.frombuffer(cmap_raw, dtype=np.uint8), cm_depth, 1, cm_len
+        ).reshape(-1)
+        pos += cm_bytes
+    bypp = (depth + 7) // 8
+    n = w * h
+    if img_type >= 9:  # RLE
+        out = np.empty(n * bypp, dtype=np.uint8)
+        d = payload
+        i, p = pos, 0
+        while p < n:
+            if i >= len(d):
+                raise ImageDecodeError("TGA RLE stream truncated")
+            ctl = d[i]
+            i += 1
+            cnt = (ctl & 0x7F) + 1
+            if p + cnt > n:
+                raise ImageDecodeError("TGA RLE packet overflows image")
+            if ctl & 0x80:  # run packet
+                pix = np.frombuffer(d, np.uint8, bypp, i)
+                if pix.shape[0] < bypp:
+                    raise ImageDecodeError("TGA RLE pixel truncated")
+                out[p * bypp : (p + cnt) * bypp] = np.tile(pix, cnt)
+                i += bypp
+            else:  # raw packet
+                chunk = np.frombuffer(d, np.uint8, cnt * bypp, i)
+                if chunk.shape[0] < cnt * bypp:
+                    raise ImageDecodeError("TGA raw packet truncated")
+                out[p * bypp : (p + cnt) * bypp] = chunk
+                i += cnt * bypp
+            p += cnt
+        raster = out
+    else:
+        need = n * bypp
+        raster = np.frombuffer(payload, np.uint8, offset=pos, count=need)
+    if mapped:
+        idx = raster.reshape(h, w).astype(np.int32) - cm_first
+        if idx.min() < 0 or idx.max() >= cmap.shape[0]:
+            raise ImageDecodeError("TGA index outside color map")
+        gray = cmap[idx].astype(np.uint8)
+    else:
+        gray = _tga_to_gray(raster, depth, h, w)
+    if not desc & 0x20:  # bit 5 clear: bottom-up origin
+        gray = gray[::-1]
+    if desc & 0x10:  # bit 4: right-to-left
+        gray = gray[:, ::-1]
+    return gray, int(w), int(h)
+
+
+def encode_tga_gray8(img: np.ndarray, rle: bool = False,
+                     top_down: bool = True) -> bytes:
+    """Deterministic grayscale TGA fixture encoder (types 3 / 11)."""
+    h, w = img.shape
+    desc = 0x20 if top_down else 0
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 11 if rle else 3,
+                      0, 0, 0, 0, 0, w, h, 8, desc)
+    rows = img if top_down else img[::-1]
+    flat = rows.reshape(-1)
+    if not rle:
+        return hdr + flat.tobytes()
+    out = bytearray(hdr)
+    i, n = 0, flat.shape[0]
+    while i < n:
+        v = int(flat[i])
+        run = 1
+        while i + run < n and int(flat[i + run]) == v and run < 128:
+            run += 1
+        if run > 1:
+            out.append(0x80 | (run - 1))
+            out.append(v)
+        else:
+            out.append(0)
+            out.append(v)
+        i += run
+    return bytes(out)
+
+
+def decode_hdr(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Radiance HDR / RGBE (the public .hdr picture format): header
+    lines to the blank line, -Y h +X w resolution string, then per-
+    scanline new-style RLE (2-2-h-l marker, per-component runs) or
+    flat RGBE; shared-exponent pixels tone-fold to uint8 via a log2
+    ramp so equal radiance maps to equal gray deterministically."""
+    try:
+        return _decode_hdr(payload)
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise ImageDecodeError(f"corrupt HDR: {exc}") from exc
+
+
+def _decode_hdr(payload: bytes) -> tuple[np.ndarray, int, int]:
+    if not (payload.startswith(b"#?RADIANCE") or payload.startswith(b"#?RGBE")):
+        raise ImageDecodeError("not a Radiance HDR")
+    nl = payload.find(b"\n\n")
+    if nl < 0:
+        raise ImageDecodeError("HDR header unterminated")
+    res_end = payload.find(b"\n", nl + 2)
+    if res_end < 0:
+        raise ImageDecodeError("HDR resolution line missing")
+    parts = payload[nl + 2 : res_end].split()
+    if len(parts) != 4 or parts[0] != b"-Y" or parts[2] != b"+X":
+        raise ImageDecodeError("unsupported HDR orientation")
+    h, w = int(parts[1]), int(parts[3])
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ImageDecodeError(f"HDR dimensions out of bounds {w}x{h}")
+    d = payload
+    i = res_end + 1
+    rgbe = np.empty((h, w, 4), dtype=np.uint8)
+    for y in range(h):
+        if i + 4 > len(d):
+            raise ImageDecodeError("HDR raster truncated")
+        if d[i] == 2 and d[i + 1] == 2 and ((d[i + 2] << 8) | d[i + 3]) == w:
+            if w < 8 or w > 0x7FFF:
+                raise ImageDecodeError("HDR RLE scanline width out of range")
+            i += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    if i >= len(d):
+                        raise ImageDecodeError("HDR RLE truncated")
+                    cnt = d[i]
+                    i += 1
+                    if cnt > 128:  # run
+                        cnt -= 128
+                        if x + cnt > w or i >= len(d):
+                            raise ImageDecodeError("HDR RLE run overflow")
+                        rgbe[y, x : x + cnt, c] = d[i]
+                        i += 1
+                    else:  # literal
+                        if cnt == 0 or x + cnt > w or i + cnt > len(d):
+                            raise ImageDecodeError("HDR RLE literal overflow")
+                        rgbe[y, x : x + cnt, c] = np.frombuffer(d, np.uint8, cnt, i)
+                        i += cnt
+                    x += cnt
+        else:  # flat scanline
+            need = w * 4
+            row = np.frombuffer(d, np.uint8, need, i)
+            rgbe[y] = row.reshape(w, 4)
+            i += need
+    m = rgbe[:, :, :3].astype(np.float64)
+    e = rgbe[:, :, 3].astype(np.int32)
+    scale = np.ldexp(1.0, e - 136)  # 2^(e-128) / 256, Radiance decoding
+    rgb = m * scale[:, :, None]
+    lum = (0.2126 * rgb[:, :, 0] + 0.7152 * rgb[:, :, 1]
+           + 0.0722 * rgb[:, :, 2])
+    # deterministic log2 fold: 0 stays 0; ~[2^-8, 2^8) spans the ramp
+    with np.errstate(divide="ignore"):
+        lg = np.where(lum > 0, np.log2(np.maximum(lum, 1e-30)), -8.0)
+    gray = np.clip((lg + 8.0) * (255.0 / 16.0), 0, 255)
+    return gray.astype(np.uint8), int(w), int(h)
+
+
+def encode_hdr_gray8(img: np.ndarray, rle: bool = True) -> bytes:
+    """Deterministic Radiance fixture encoder: gray v → luminance on
+    the decoder's inverse ramp, stored as RGBE with a shared exponent
+    per pixel (r=g=b so the log-fold round-trips bit-exact)."""
+    h, w = img.shape
+    lum = np.exp2(img.astype(np.float64) * (16.0 / 255.0) - 8.0)
+    # encode value v as mantissa/exponent: v = m * 2^(e-136), m in [128,256)
+    e = np.floor(np.log2(lum)).astype(np.int32) + 129
+    m0 = np.clip(np.round(lum / np.ldexp(1.0, e - 136)), 1, 255)
+    # mantissa quantization can land the decoder's log2 fold one gray
+    # level off — pick the neighbor (mantissa, exponent) pair whose
+    # decoded gray hits the source exactly; m0+1 past 255 is the same
+    # value as (128, e+1). Fixture bit-exactness, not format fidelity.
+    def _gray_of(m_arr, e_arr):
+        with np.errstate(divide="ignore"):
+            lg = np.log2(np.maximum(m_arr, 1e-30)) + (e_arr - 136)
+        return np.clip((lg + 8.0) * (255.0 / 16.0), 0, 255).astype(np.uint8)
+
+    m, eb = m0.copy(), e.copy()
+    for cm, ce in (
+        (m0 - 1, e), (m0 + 1, e),
+        (np.full_like(m0, 128.0), e + 1), (np.full_like(m0, 255.0), e - 1),
+    ):
+        cm = np.clip(cm, 1, 255)
+        better = (_gray_of(m, eb) != img) & (_gray_of(cm, ce) == img)
+        m = np.where(better, cm, m)
+        eb = np.where(better, ce, eb)
+    m, e = m.astype(np.uint8), eb
+    out = bytearray(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+    out += b"-Y %d +X %d\n" % (h, w)
+    if not rle or not 8 <= w <= 0x7FFF:
+        px = np.stack([m, m, m, e.astype(np.uint8)], axis=-1)
+        out += px.tobytes()
+        return bytes(out)
+    for y in range(h):
+        out += bytes((2, 2, w >> 8, w & 0xFF))
+        for comp in (m[y], m[y], m[y], e[y].astype(np.uint8)):
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and comp[x + run] == comp[x] and run < 127:
+                    run += 1
+                if run > 1:
+                    out.append(128 + run)
+                    out.append(int(comp[x]))
+                    x += run
+                else:
+                    lit = 1
+                    while (x + lit < w and lit < 128
+                           and (x + lit + 1 >= w
+                                or comp[x + lit] != comp[x + lit + 1])):
+                        lit += 1
+                    out.append(lit)
+                    out += comp[x : x + lit].tobytes()
+                    x += lit
+    return bytes(out)

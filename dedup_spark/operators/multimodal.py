@@ -85,6 +85,8 @@ def detect_kind_from_magic(payload: bytes | None) -> str:
         return "image"
     if payload[:8] == b"farbfeld":
         return "image"
+    if payload[:10] == b"#?RADIANCE" or payload[:6] == b"#?RGBE":
+        return "image"
     # PNM BINARY variants only (P4/P5/P6 + whitespace + digit/comment):
     # the ASCII variants (P1-P3) are indistinguishable from plain text
     # at the magic layer, so routing stays conservative — decode_pixels
@@ -157,6 +159,11 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
             "image",                                                  # BMP + reserved zeros
         )
         .when(F.substring(hx, 1, 16) == "6661726266656c64", "image")  # farbfeld
+        .when(
+            (F.substring(hx, 1, 20) == "233f52414449414e4345")        # "#?RADIANCE"
+            | (F.substring(hx, 1, 12) == "233f52474245"),             # "#?RGBE"
+            "image",
+        )
         .when(
             # PNM binary variants (P4/P5/P6 + ws + digit/comment/ws),
             # byte for byte the Python sniffer's predicate
@@ -270,6 +277,10 @@ def sniff_media_format(payload: bytes | None) -> str | None:
         return "qoi"
     if d[:8] == b"farbfeld":
         return "ff"
+    if d[:10] == b"#?RADIANCE" or d[:6] == b"#?RGBE":
+        return "hdr"
+    # TGA: no leading magic — token only derivable from a path
+    # extension, which payload-only sniffing does not have
     if (d[:4] == b"\x00\x00\x01\x00" and d[5] == 0 and 1 <= d[4] <= 64):
         return "ico"
     if d[:4] in (b"IIRO", b"IIRS"):
@@ -477,9 +488,10 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
     embedded-JPEG-preview route (``functions/rawimage.py``; decoder
     names the flavor), and the simple-spec formats the reference's
     image crate also opens — Netpbm P1-P6, QOI, farbfeld, ICO
-    (PNG- and DIB-coded entries).
-    Everything else (WebP, JPEG 2000, arithmetic-coded JPEG, TGA —
-    which has no leading magic to sniff, …)
+    (PNG- and DIB-coded entries), Radiance HDR, and TGA (no leading
+    magic — attempted last, behind strict structural checks, for
+    assets that reach this decoder by kind tag).
+    Everything else (WebP, JPEG 2000, arithmetic-coded JPEG, …)
     keeps the honest-stub policy: ``fake=True`` falls back to the
     deterministic byte-structure fake (also used when a real-looking
     payload turns out corrupt), ``fake=False`` raises. ``decoder`` in
@@ -491,10 +503,12 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
         decode_bmp,
         decode_farbfeld,
         decode_gif,
+        decode_hdr,
         decode_ico,
         decode_png,
         decode_pnm,
         decode_qoi,
+        decode_tga,
         decode_tiff,
         is_ico,
     )
@@ -547,6 +561,16 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
                 return img, w, h, flavor
             img, w, h = decode_tiff(raw)
             return img, w, h, "tiff"
+        if raw[:10] == b"#?RADIANCE" or raw[:6] == b"#?RGBE":
+            img, w, h = decode_hdr(raw)
+            return img, w, h, "hdr"
+        # TGA last: it has NO magic, so it is attempted only for
+        # payloads that reached this decoder (kind-tagged image or a
+        # sniffed format whose decode fell through) and only when the
+        # strict structural checks accept — same route the reference
+        # takes (extension → image::open, media_dedup.rs:150-177)
+        img, w, h = decode_tga(raw)
+        return img, w, h, "tga"
     except ImageDecodeError:
         pass  # corrupt or unsupported variant → stub policy below
     if fake:
@@ -941,10 +965,23 @@ def media_near_dup_clusters(
     from dedup_spark.config import DedupConfig
 
     cfg = config or DedupConfig()
+    # routing = content magic first, the caller's kind tag as the
+    # fallback — exactly the reference's detect_media_type order
+    # (content via `infer`, THEN extension-based detection,
+    # media_dedup.rs:136-163). The fallback is what routes magic-less
+    # formats a caller knows about (TGA from a .tga path); a wrong tag
+    # only costs a failed decode + the byte-shingle reroute.
+    magic_kind = kind_from_magic_col(F.col("payload"))
+    tag_kind = F.when(
+        F.col("kind").isin("image", "audio", "video"), F.col("kind")
+    ).otherwise(F.lit("blob"))
     # four downstream branches consume this frame — cut lineage so the
     # upstream scan + magic sniff run once, not once per branch
     tagged = lineage_cut(
-        assets.withColumn("_m", kind_from_magic_col(F.col("payload"))),
+        assets.withColumn(
+            "_m",
+            F.when(magic_kind != "blob", magic_kind).otherwise(tag_kind),
+        ),
         cfg,
         eager=False,
     )

@@ -247,6 +247,10 @@ def test_kind_column_matches_python(spark):
         b"\x00\x00\x01\x00\x00\x00" + bytes(20),  # ICO count 0 -> blob
         b"\x00\x00\x01\x00\xff\x00" + bytes(20),  # ICO count 255 -> blob
         b"\x00\x00\x01\x00\x01\x01" + bytes(20),  # count high byte -> blob
+        b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 2 +X 2\n",  # HDR -> image
+        b"#?RGBE\n\n-Y 1 +X 1\n" + bytes(4),  # RGBE variant -> image
+        b"#?RADIANT text, not an hdr",  # near-miss -> blob
+        b"#? comment-looking text",  # near-miss -> blob
     ]
     rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
     df = spark.createDataFrame(rows, "i long, payload binary")

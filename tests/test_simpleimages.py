@@ -140,3 +140,83 @@ def test_decode_pixels_tokens_and_cluster(spark):
     assert len({r["cluster_id"] for r in out}) == 1
     assert all(r["modality"] == "image" for r in out)
     assert sorted(r["decoder"] for r in out) == sorted(carriers)
+
+
+def test_tga_round_trips_and_strictness():
+    from dedup_spark.functions.imagecodec import decode_tga, encode_tga_gray8
+
+    img = _img(21, 13, seed=6)
+    for kw in ({}, {"rle": True}, {"top_down": False},
+               {"rle": True, "top_down": False}):
+        gray, w, h = decode_tga(encode_tga_gray8(img, **kw))
+        assert (w, h) == (21, 13) and np.array_equal(gray, img), kw
+    # strictness: text and near-miss headers are rejected, never
+    # mis-decoded (TGA has no magic — these checks ARE the gate)
+    for bad in (
+        b"plain text that is definitely not a targa file....",
+        bytes(18),                       # type 0 (no image data)
+        b"\x00\x00\x02" + bytes(9) + b"\x04\x00\x03\x00\x20\x00" + bytes(6),  # truncated raster
+        b"\x00\x00\x0b" + bytes(9) + b"\x04\x00\x03\x00\x08\x00" + b"\x8f\x01",  # RLE overflow
+    ):
+        with pytest.raises(ImageDecodeError):
+            decode_tga(bad)
+
+
+def test_hdr_round_trips_and_strictness():
+    from dedup_spark.functions.imagecodec import decode_hdr, encode_hdr_gray8
+
+    img = _img(21, 13, seed=8)
+    for rle in (True, False):
+        gray, w, h = decode_hdr(encode_hdr_gray8(img, rle=rle))
+        assert (w, h) == (21, 13) and np.array_equal(gray, img), rle
+    ramp = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    gray, _, _ = decode_hdr(encode_hdr_gray8(ramp))
+    assert np.array_equal(gray, ramp)
+    for bad in (
+        b"#?RADIANCE\nno blank line -Y 2 +X 2\n",
+        b"#?RADIANCE\n\n+Y 2 +X 2\n" + bytes(16),   # unsupported orientation
+        b"#?RADIANCE\n\n-Y 4 +X 4\n" + bytes(10),   # truncated raster
+        b"#?RGBE\n\n-Y %d +X 2\n" % (10**9),        # allocation cap
+    ):
+        with pytest.raises(ImageDecodeError):
+            decode_hdr(bad)
+
+
+def test_tga_and_hdr_join_the_image_pipeline(spark):
+    """HDR routes by magic; TGA routes via the kind tag (it has no
+    magic — the reference reaches TGA through the file extension the
+    same way). Both fingerprint with their own decoder token and
+    cluster with the PNG carrier of the same image."""
+    from dedup_spark.functions.imagecodec import (
+        encode_hdr_gray8,
+        encode_tga_gray8,
+    )
+    from dedup_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_pixels,
+        image_phash,
+        media_near_dup_clusters,
+        sniff_media_format,
+    )
+
+    img = _img(24, 16, seed=4)
+    tga, hdr = encode_tga_gray8(img), encode_hdr_gray8(img)
+    assert decode_pixels(tga, fake=False)[3] == "tga"
+    assert decode_pixels(hdr, fake=False)[3] == "hdr"
+    assert sniff_media_format(hdr) == "hdr"
+    assert sniff_media_format(tga) is None  # documented: no magic
+    rows = [
+        (1, "image", encode_png_gray8(img), None),
+        (2, "image", tga, None),   # kind-tagged, like an .tga extension
+        (3, "blob", hdr, None),    # magic-routed
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    ph = {r["asset_id"]: r for r in image_phash(assets, fake=False).collect()}
+    assert ph[2]["decoder"] == "tga" and ph[3]["decoder"] == "hdr"
+    assert (ph[2]["width"], ph[2]["height"]) == (24, 16)
+    out = media_near_dup_clusters(assets).collect()
+    # HDR's log2 tone fold preserves ordering, not values — the PNG
+    # and TGA twins are bit-identical planes and MUST share a cluster
+    assert ph[1]["phash"] == ph[2]["phash"]
+    cids = {r["asset_id"]: r["cluster_id"] for r in out}
+    assert cids[1] == cids[2]
