@@ -1219,25 +1219,29 @@ def _documents_as_media_assets(
 
 def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
     """Fixture adapter for the REAL lossless-image decode paths:
-    byte-derived pixels cycled (text length % 7) through PNG,
+    byte-derived pixels cycled (text length % 9) through PNG,
     little-endian uncompressed TIFF, big-endian TIFF-LZW with the
-    horizontal predictor, binary PGM (P5), QOI, farbfeld and a
-    DIB-coded ICO — so the format-blind geometry oracle
-    (`png_decode_meta`) value-verifies every lossless image decoder
-    through one query (no fake on any row)."""
+    horizontal predictor, binary PGM (P5), QOI, farbfeld, a
+    DIB-coded ICO, an RLE TGA (decoded via the kind-tag route: the
+    format has no magic) and an RLE Radiance HDR — so the
+    format-blind geometry oracle (`png_decode_meta`) value-verifies
+    every lossless-class image decoder through one query (no fake on
+    any row)."""
 
     def make(raw: bytes) -> bytes:
         from dedup_spark.functions.imagecodec import (
             encode_farbfeld_gray8,
+            encode_hdr_gray8,
             encode_ico_gray8,
             encode_png_gray8,
             encode_pnm_gray8,
             encode_qoi_gray8,
+            encode_tga_gray8,
             encode_tiff_gray8,
         )
 
         img = _fake_pixels(raw)[0]
-        sel = len(raw) % 7
+        sel = len(raw) % 9
         if sel == 0:
             return encode_png_gray8(img)
         if sel == 1:
@@ -1251,7 +1255,11 @@ def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
             return encode_qoi_gray8(img)
         if sel == 5:
             return encode_farbfeld_gray8(img)
-        return encode_ico_gray8(img, png_entry=False)
+        if sel == 6:
+            return encode_ico_gray8(img, png_entry=False)
+        if sel == 7:
+            return encode_tga_gray8(img, rle=True)
+        return encode_hdr_gray8(img)
 
     return _documents_as_media_assets(spark, sf_dir, "image", "image/png", make)
 
