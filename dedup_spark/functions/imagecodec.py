@@ -1534,3 +1534,169 @@ def encode_hdr_gray8(img: np.ndarray, rle: bool = True) -> bytes:
                     out += comp[x : x + lit].tobytes()
                     x += lit
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# DDS (DirectDraw Surface) — BC1/BC2/BC3 block compression is plain
+# block-truncation coding from the public spec (two RGB565 endpoints +
+# 2-bit interpolation indices per 4x4 block), no entropy tables, so it
+# belongs with the real decoders; uncompressed RGB/RGBA DDS decodes
+# bit-exact. Magic "DDS " routes it like any other sniffable format.
+# --------------------------------------------------------------------------
+
+
+def _rgb565_expand(c: np.ndarray) -> np.ndarray:
+    """(n,) uint16 RGB565 → (n, 3) uint8 with the standard bit-replicate
+    expansion r=(r5<<3)|(r5>>2) etc."""
+    r5 = (c >> 11) & 31
+    g6 = (c >> 5) & 63
+    b5 = c & 31
+    return np.stack(
+        [(r5 << 3) | (r5 >> 2), (g6 << 2) | (g6 >> 4), (b5 << 3) | (b5 >> 2)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def decode_dds(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """DDS → grayscale: BC1 (DXT1, both 3- and 4-color block modes),
+    BC2/BC3 (DXT3/DXT5 — color block decoded, alpha ignored like every
+    other decoder here), and uncompressed 24/32-bit surfaces via the
+    pixel-format masks. Top mip level only (the full-resolution image,
+    which is what a fingerprint wants)."""
+    try:
+        return _decode_dds(payload)
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise ImageDecodeError(f"corrupt DDS: {exc}") from exc
+
+
+def _decode_dds(payload: bytes) -> tuple[np.ndarray, int, int]:
+    if payload[:4] != b"DDS " or len(payload) < 128:
+        raise ImageDecodeError("not a DDS")
+    (hdr_size,) = struct.unpack("<I", payload[4:8])
+    if hdr_size != 124:
+        raise ImageDecodeError(f"bad DDS header size {hdr_size}")
+    h, w = struct.unpack("<II", payload[12:20])
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ImageDecodeError(f"DDS dimensions out of bounds {w}x{h}")
+    (pf_size, pf_flags) = struct.unpack("<II", payload[76:84])
+    fourcc = payload[84:88]
+    if pf_size != 32:
+        raise ImageDecodeError(f"bad DDS pixel format size {pf_size}")
+    if pf_flags & 0x4:  # DDPF_FOURCC
+        if fourcc not in (b"DXT1", b"DXT3", b"DXT5"):
+            raise ImageDecodeError(f"unsupported DDS fourCC {fourcc!r}")
+        bw, bh = (w + 3) // 4, (h + 3) // 4
+        block_bytes = 8 if fourcc == b"DXT1" else 16
+        need = bw * bh * block_bytes
+        data = np.frombuffer(payload, np.uint8, offset=128, count=need)
+        blocks = data.reshape(bw * bh, block_bytes)
+        color = blocks[:, -8:]  # BC2/BC3 carry alpha in the first 8
+        c0 = color[:, 0].astype(np.uint16) | (color[:, 1].astype(np.uint16) << 8)
+        c1 = color[:, 2].astype(np.uint16) | (color[:, 3].astype(np.uint16) << 8)
+        p0, p1 = _rgb565_expand(c0).astype(np.int32), _rgb565_expand(c1).astype(np.int32)
+        # palette entries 2/3: 4-color mode interpolates thirds;
+        # BC1's c0<=c1 selects 3-color mode (midpoint + black).
+        # DXT3/DXT5 color blocks are ALWAYS 4-color per spec.
+        four = (c0 > c1) | (fourcc != b"DXT1")
+        f = four[:, None].astype(np.int32)
+        p2 = f * ((2 * p0 + p1) // 3) + (1 - f) * ((p0 + p1) // 2)
+        p3 = f * ((p0 + 2 * p1) // 3)
+        pal = np.stack([p0, p1, p2, p3], axis=1).astype(np.uint32)  # (n, 4, 3)
+        gray_pal = (
+            (_LUMA_R * pal[:, :, 0] + _LUMA_G * pal[:, :, 1]
+             + _LUMA_B * pal[:, :, 2]) >> 8
+        ).astype(np.uint8)  # (n, 4)
+        idx_word = (
+            color[:, 4].astype(np.uint32)
+            | (color[:, 5].astype(np.uint32) << 8)
+            | (color[:, 6].astype(np.uint32) << 16)
+            | (color[:, 7].astype(np.uint32) << 24)
+        )
+        sel = (idx_word[:, None] >> (2 * np.arange(16, dtype=np.uint32))) & 3
+        texels = np.take_along_axis(gray_pal, sel.astype(np.int64), axis=1)
+        grid = texels.reshape(bh, bw, 4, 4)
+        gray = grid.transpose(0, 2, 1, 3).reshape(bh * 4, bw * 4)[:h, :w]
+        return np.ascontiguousarray(gray), int(w), int(h)
+    if pf_flags & 0x40:  # DDPF_RGB, uncompressed
+        (bitcount,) = struct.unpack("<I", payload[88:92])
+        rm, gm, bm = struct.unpack("<III", payload[92:104])
+        if bitcount not in (24, 32) or 0 in (rm, gm, bm):
+            raise ImageDecodeError(
+                f"unsupported uncompressed DDS ({bitcount}-bit)")
+        bypp = bitcount // 8
+        need = w * h * bypp
+        data = np.frombuffer(payload, np.uint8, offset=128, count=need)
+        px = data.reshape(h, w, bypp).astype(np.uint32)
+        val = px[:, :, 0]
+        for i in range(1, bypp):
+            val = val | (px[:, :, i] << (8 * i))
+
+        def chan(mask: int) -> np.ndarray:
+            shift = (mask & -mask).bit_length() - 1
+            width = int(mask >> shift).bit_length()
+            v = (val >> shift) & ((1 << width) - 1)
+            return (v * 255) // ((1 << width) - 1)
+
+        gray = (_LUMA_R * chan(rm) + _LUMA_G * chan(gm) + _LUMA_B * chan(bm)) >> 8
+        return gray.astype(np.uint8), int(w), int(h)
+    raise ImageDecodeError("unsupported DDS pixel format")
+
+
+def _dds_header(w: int, h: int, fourcc: bytes | None, bitcount: int = 32) -> bytes:
+    flags = 0x1 | 0x2 | 0x4 | 0x1000 | (0x80000 if fourcc else 0x8)
+    if fourcc:
+        pf = struct.pack("<II4sIIIII", 32, 0x4, fourcc, 0, 0, 0, 0, 0)
+    else:
+        pf = struct.pack("<II4sIIIII", 32, 0x40, b"\x00" * 4, bitcount,
+                         0xFF, 0xFF00, 0xFF0000, 0)
+    return (b"DDS " + struct.pack("<IIIIIII", 124, flags, h, w, 0, 0, 0)
+            + b"\x00" * 44 + pf + struct.pack("<IIIII", 0x1000, 0, 0, 0, 0))
+
+
+def encode_dds_rgb32_gray8(img: np.ndarray) -> bytes:
+    """Uncompressed 32-bit DDS fixture (r=g=b → bit-exact round trip)."""
+    h, w = img.shape
+    px = np.stack([img, img, img, np.zeros_like(img)], axis=-1)
+    return _dds_header(w, h, None) + px.tobytes()
+
+
+def encode_dds_bc1_gray8(img: np.ndarray) -> bytes:
+    """BC1/DXT1 fixture encoder: per 4x4 block, endpoints = block
+    min/max gray packed to RGB565, indices = nearest palette entry.
+    Lossy (565 quantization + 4-entry palette) by the format's nature
+    — the pHash gate absorbs it, exactly like the JPEG fixtures."""
+    h, w = img.shape
+    bh, bw = (h + 3) // 4, (w + 3) // 4
+    padded = np.zeros((bh * 4, bw * 4), dtype=np.uint8)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[h - 1 : h, :]  # edge-extend padding
+    padded[:, w:] = padded[:, w - 1 : w]
+    out = bytearray(_dds_header(w, h, b"DXT1"))
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+            lo, hi = int(blk.min()), int(blk.max())
+
+            def pack565(v: int) -> int:
+                return ((v >> 3) << 11) | ((v >> 2) << 5) | (v >> 3)
+
+            c0, c1 = pack565(hi), pack565(lo)
+            if c0 == c1:
+                out += struct.pack("<HHI", c0, c1, 0)
+                continue
+            if c0 < c1:  # keep 4-color mode
+                c0, c1 = c1, c0
+            pal = _rgb565_expand(np.array([c0, c1], dtype=np.uint16)).astype(np.int32)
+            p0, p1 = pal[0], pal[1]
+            grays = np.array([
+                (_LUMA_R * p[0] + _LUMA_G * p[1] + _LUMA_B * p[2]) >> 8
+                for p in (p0, p1, (2 * p0 + p1) // 3, (p0 + 2 * p1) // 3)
+            ])
+            sel = np.abs(blk.reshape(-1, 1).astype(int) - grays).argmin(axis=1)
+            word = 0
+            for i, s in enumerate(sel):
+                word |= int(s) << (2 * i)
+            out += struct.pack("<HHI", c0, c1, word)
+    return bytes(out)

@@ -59,6 +59,7 @@ _MAGIC_KINDS = {
     "49495500": "image",  # Panasonic RW2 ("II\\x55\\0" — TIFF layout)
     "ffd8ffe0": "image",  # JPEG/JFIF (see 3-byte prefix rule below)
     "716f6966": "image",  # QOI ("qoif")
+    "44445320": "image",  # DDS ("DDS ")
     "49443303": "audio",  # MP3/ID3
     "664c6143": "audio",  # FLAC ("fLaC")
     "4f676753": "audio",  # Ogg ("OggS") — Vorbis et al.
@@ -186,6 +187,7 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
         )
         .when(hx.startswith("89504e47"), "image")                     # PNG
         .when(hx.startswith("716f6966"), "image")                     # QOI ("qoif")
+        .when(hx.startswith("44445320"), "image")                     # DDS ("DDS ")
         .when(hx.startswith("47494638"), "image")                     # GIF87a/89a
         .when(hx.startswith("49492a00"), "image")                     # TIFF "II" (+ ARW/NEF/CR2)
         .when(hx.startswith("4d4d002a"), "image")                     # TIFF "MM"
@@ -279,6 +281,8 @@ def sniff_media_format(payload: bytes | None) -> str | None:
         return "ff"
     if d[:10] == b"#?RADIANCE" or d[:6] == b"#?RGBE":
         return "hdr"
+    if d[:4] == b"DDS ":
+        return "dds"
     # TGA: no leading magic — token only derivable from a path
     # extension, which payload-only sniffing does not have
     if (d[:4] == b"\x00\x00\x01\x00" and d[5] == 0 and 1 <= d[4] <= 64):
@@ -501,6 +505,7 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
     from dedup_spark.functions.imagecodec import (
         ImageDecodeError,
         decode_bmp,
+        decode_dds,
         decode_farbfeld,
         decode_gif,
         decode_hdr,
@@ -564,6 +569,9 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
         if raw[:10] == b"#?RADIANCE" or raw[:6] == b"#?RGBE":
             img, w, h = decode_hdr(raw)
             return img, w, h, "hdr"
+        if raw[:4] == b"DDS ":
+            img, w, h = decode_dds(raw)
+            return img, w, h, "dds"
         # TGA last: it has NO magic, so it is attempted only for
         # payloads that reached this decoder (kind-tagged image or a
         # sniffed format whose decode fell through) and only when the
@@ -1219,17 +1227,18 @@ def _documents_as_media_assets(
 
 def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
     """Fixture adapter for the REAL lossless-image decode paths:
-    byte-derived pixels cycled (text length % 9) through PNG,
+    byte-derived pixels cycled (text length % 10) through PNG,
     little-endian uncompressed TIFF, big-endian TIFF-LZW with the
     horizontal predictor, binary PGM (P5), QOI, farbfeld, a
     DIB-coded ICO, an RLE TGA (decoded via the kind-tag route: the
-    format has no magic) and an RLE Radiance HDR — so the
-    format-blind geometry oracle (`png_decode_meta`) value-verifies
-    every lossless-class image decoder through one query (no fake on
-    any row)."""
+    format has no magic), an RLE Radiance HDR and an uncompressed
+    32-bit DDS — so the format-blind geometry oracle
+    (`png_decode_meta`) value-verifies every lossless-class image
+    decoder through one query (no fake on any row)."""
 
     def make(raw: bytes) -> bytes:
         from dedup_spark.functions.imagecodec import (
+            encode_dds_rgb32_gray8,
             encode_farbfeld_gray8,
             encode_hdr_gray8,
             encode_ico_gray8,
@@ -1241,7 +1250,7 @@ def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
         )
 
         img = _fake_pixels(raw)[0]
-        sel = len(raw) % 9
+        sel = len(raw) % 10
         if sel == 0:
             return encode_png_gray8(img)
         if sel == 1:
@@ -1259,7 +1268,9 @@ def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
             return encode_ico_gray8(img, png_entry=False)
         if sel == 7:
             return encode_tga_gray8(img, rle=True)
-        return encode_hdr_gray8(img)
+        if sel == 8:
+            return encode_hdr_gray8(img)
+        return encode_dds_rgb32_gray8(img)
 
     return _documents_as_media_assets(spark, sf_dir, "image", "image/png", make)
 

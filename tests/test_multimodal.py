@@ -251,6 +251,8 @@ def test_kind_column_matches_python(spark):
         b"#?RGBE\n\n-Y 1 +X 1\n" + bytes(4),  # RGBE variant -> image
         b"#?RADIANT text, not an hdr",  # near-miss -> blob
         b"#? comment-looking text",  # near-miss -> blob
+        b"DDS |" + bytes(124),  # DDS -> image
+        b"DDSX not a surface",  # near-miss -> blob
     ]
     rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
     df = spark.createDataFrame(rows, "i long, payload binary")

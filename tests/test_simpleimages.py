@@ -220,3 +220,46 @@ def test_tga_and_hdr_join_the_image_pipeline(spark):
     assert ph[1]["phash"] == ph[2]["phash"]
     cids = {r["asset_id"]: r["cluster_id"] for r in out}
     assert cids[1] == cids[2]
+
+
+def test_dds_round_trips_and_bc1():
+    from dedup_spark.functions.imagecodec import (
+        decode_dds,
+        encode_dds_bc1_gray8,
+        encode_dds_rgb32_gray8,
+        phash64,
+    )
+
+    img = _img(21, 13, seed=12)
+    gray, w, h = decode_dds(encode_dds_rgb32_gray8(img))
+    assert (w, h) == (21, 13) and np.array_equal(gray, img)
+    # BC1 is lossy by construction (RGB565 endpoints + 4-entry
+    # palette); decode must crop block padding exactly and stay
+    # within the pHash gate — same contract as the JPEG fixtures
+    tex = _img(48, 32, seed=3)
+    g2, w2, h2 = decode_dds(encode_dds_bc1_gray8(tex))
+    assert (w2, h2) == (48, 32)
+    assert np.abs(g2.astype(int) - tex.astype(int)).max() <= 64
+    assert bin(phash64(g2) ^ phash64(tex)).count("1") <= 6
+    for bad in (
+        b"DDS " + bytes(100),                               # short header
+        b"DDS " + (99).to_bytes(4, "little") + bytes(120),  # bad size
+        b"DDX " + bytes(124),                               # bad magic
+    ):
+        with pytest.raises(ImageDecodeError):
+            decode_dds(bad)
+
+
+def test_dds_routes_and_sniffs(spark):
+    from dedup_spark.functions.imagecodec import encode_dds_rgb32_gray8
+    from dedup_spark.operators.multimodal import (
+        decode_pixels,
+        detect_kind_from_magic,
+        sniff_media_format,
+    )
+
+    dds = encode_dds_rgb32_gray8(_img(16, 12))
+    assert detect_kind_from_magic(dds) == "image"
+    assert sniff_media_format(dds) == "dds"
+    g, w, h, dec = decode_pixels(dds, fake=False)
+    assert (dec, w, h) == ("dds", 16, 12)
