@@ -550,3 +550,217 @@ def encode_flac_pcm16(x: np.ndarray, rate: int = 8000, block: int = 4096) -> byt
     return bytes(out)
 
 
+
+
+# --------------------------------------------------------------------------
+# AIFF / AIFF-C (uncompressed) and Sun AU — the classic uncompressed
+# audio containers the reference fingerprints via ffmpeg. AIFF's only
+# nontrivial field is the 80-bit IEEE-extended sample rate; AU's
+# G.711 mu-law/A-law companding decodes from the published formulas
+# (no opaque tables — each byte maps by sign/segment/mantissa math).
+# --------------------------------------------------------------------------
+
+
+def _read_f80(b: bytes) -> float:
+    """80-bit IEEE 754 extended (the AIFF sampleRate field) → float."""
+    if len(b) != 10:
+        raise AudioDecodeError("bad 80-bit float field")
+    se = int.from_bytes(b[:2], "big")
+    mant = int.from_bytes(b[2:], "big")
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise AudioDecodeError("non-finite AIFF sample rate")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _write_f80(v: float) -> bytes:
+    if v <= 0:
+        raise ValueError("sample rate must be positive")
+    exp = 16383 + 63
+    m = float(v)
+    while m >= 1 << 64:
+        m /= 2.0
+        exp += 1
+    while m < 1 << 63:
+        m *= 2.0
+        exp -= 1
+    return exp.to_bytes(2, "big") + int(round(m)).to_bytes(8, "big")
+
+
+def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """AIFF / AIFF-C → (mono float64 in [-1, 1], rate): FORM/AIFF(-C)
+    walk, COMM (channels, frames, bits, 80-bit rate, AIFC compression
+    'NONE'/'sowt'), SSND big-endian (or 'sowt' little-endian) PCM at
+    8/16/24/32 bits. Same airtight corrupt-stream contract as WAV."""
+    try:
+        return _decode_aiff(payload)
+    except AudioDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise AudioDecodeError(f"corrupt AIFF: {exc}") from exc
+
+
+def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    if len(payload) < 12 or payload[:4] != b"FORM" or payload[8:12] not in (
+        b"AIFF", b"AIFC"
+    ):
+        raise AudioDecodeError("not an AIFF payload")
+    is_aifc = payload[8:12] == b"AIFC"
+    pos, n = 12, len(payload)
+    comm = None
+    data = None
+    little = False
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        (clen,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if tag == b"COMM":
+            if len(body) < 18:
+                raise AudioDecodeError("AIFF COMM chunk truncated")
+            channels, frames = struct.unpack(">HI", body[:6])
+            (bits,) = struct.unpack(">H", body[6:8])
+            rate = _read_f80(body[8:18])
+            if is_aifc:
+                comp = body[18:22]
+                if comp == b"sowt":
+                    little = True
+                elif comp not in (b"NONE", b""):
+                    raise AudioDecodeError(
+                        f"unsupported AIFF-C compression {comp!r}")
+            comm = (channels, frames, bits, rate)
+        elif tag == b"SSND":
+            if len(body) < 8:
+                raise AudioDecodeError("AIFF SSND chunk truncated")
+            (off, _block) = struct.unpack(">II", body[:8])
+            data = body[8 + off :]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if comm is None or data is None:
+        raise AudioDecodeError("AIFF missing COMM or SSND chunk")
+    channels, frames, bits, rate_f = comm
+    rate = int(round(rate_f))
+    if channels < 1 or rate <= 0 or bits not in (8, 16, 24, 32):
+        raise AudioDecodeError(
+            f"invalid AIFF header (ch={channels}, rate={rate}, bits={bits})")
+    bypf = bits // 8
+    need = frames * channels * bypf
+    if len(data) < need:
+        raise AudioDecodeError("AIFF sample data truncated")
+    raw = np.frombuffer(data, np.uint8, count=need).reshape(-1, bypf)
+    order = raw[:, ::-1] if not little else raw  # to little-endian bytes
+    val = order[:, 0].astype(np.int64)
+    for i in range(1, bypf):
+        val = val | (order[:, i].astype(np.int64) << (8 * i))
+    val = val - ((val >> (bits - 1)) << bits)  # sign-extend
+    x = val.astype(np.float64) / float(1 << (bits - 1))
+    if channels > 1:
+        x = x[: (x.shape[0] // channels) * channels]
+        x = x.reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
+def encode_aiff_pcm16(x: np.ndarray, rate: int, sowt: bool = False) -> bytes:
+    """Deterministic AIFF (or AIFF-C/'sowt' little-endian) fixture.
+    ``x``: floats in [-1, 1], same convention as encode_wav_pcm16."""
+    q = np.clip(np.asarray(x, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(q * 32767.0).astype("<i2" if sowt else ">i2")
+    frames = pcm.shape[0]
+    if sowt:
+        comm = struct.pack(">HIH", 1, frames, 16) + _write_f80(rate) \
+            + b"sowt" + b"\x0e" + b"not compressed\x00"
+        form_type = b"AIFC"
+    else:
+        comm = struct.pack(">HIH", 1, frames, 16) + _write_f80(rate)
+        form_type = b"AIFF"
+    ssnd = struct.pack(">II", 0, 0) + pcm.tobytes()
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack(">I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    body = form_type + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def _mulaw_to_linear(u: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte → int16, from the published formula."""
+    u = (~u.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    seg = (u >> 4) & 7
+    mant = u & 0x0F
+    val = (((mant << 3) | 0x84) << seg) - 0x84
+    return np.where(sign, -val, val)
+
+
+def _alaw_to_linear(a: np.ndarray) -> np.ndarray:
+    """G.711 A-law byte → int16, from the published formula. Note the
+    A-law sign convention is inverted vs mu-law: a SET sign bit (after
+    the 0x55 toggle) means POSITIVE (CCITT alaw2linear)."""
+    a = a.astype(np.int64) ^ 0x55
+    sign = a & 0x80
+    seg = (a >> 4) & 7
+    mant = a & 0x0F
+    val = np.where(seg == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (seg - 1))
+    return np.where(sign, val, -val)
+
+
+def _linear_to_mulaw(x: np.ndarray) -> np.ndarray:
+    v = np.clip(x.astype(np.int64), -32635, 32635)
+    sign = np.where(v < 0, 0x80, 0)
+    v = np.abs(v) + 0x84
+    seg = np.floor(np.log2(v)).astype(np.int64) - 7
+    mant = (v >> (seg + 3)) & 0x0F
+    return ((~(sign | (seg << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """Sun AU (.snd): big-endian header, encodings 1 (G.711 mu-law),
+    2 (8-bit linear PCM), 3 (16-bit BE PCM) and 27 (G.711 A-law)."""
+    try:
+        if len(payload) < 24 or payload[:4] != b".snd":
+            raise AudioDecodeError("not an AU payload")
+        off, dsize, enc, rate, channels = struct.unpack(">IIIII", payload[4:24])
+        if off < 24 or channels < 1 or rate <= 0:
+            raise AudioDecodeError("invalid AU header")
+        data = payload[off:]
+        if dsize != 0xFFFFFFFF:
+            if len(data) < dsize:
+                raise AudioDecodeError("AU sample data truncated")
+            data = data[:dsize]
+        if enc == 1:
+            x = _mulaw_to_linear(np.frombuffer(data, np.uint8)) / 32768.0
+        elif enc == 2:
+            x = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+        elif enc == 3:
+            if len(data) & 1:
+                raise AudioDecodeError("odd AU 16-bit data length")
+            x = np.frombuffer(data, ">i2").astype(np.float64) / 32768.0
+        elif enc == 27:
+            x = _alaw_to_linear(np.frombuffer(data, np.uint8)) / 32768.0
+        else:
+            raise AudioDecodeError(f"unsupported AU encoding {enc}")
+        if channels > 1:
+            x = x[: (x.shape[0] // channels) * channels]
+            x = x.reshape(-1, channels).mean(axis=1)
+        return np.asarray(x, dtype=np.float64), int(rate)
+    except AudioDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise AudioDecodeError(f"corrupt AU: {exc}") from exc
+
+
+def encode_au_pcm16(x: np.ndarray, rate: int, mulaw: bool = False) -> bytes:
+    """Deterministic AU fixture: 16-bit BE PCM or G.711 mu-law.
+    ``x``: floats in [-1, 1], same convention as encode_wav_pcm16."""
+    q = np.clip(np.asarray(x, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(q * 32767.0).astype(np.int64)
+    if mulaw:
+        body = _linear_to_mulaw(pcm).tobytes()
+        enc = 1
+    else:
+        body = pcm.astype(">i2").tobytes()
+        enc = 3
+    return (b".snd" + struct.pack(">IIIII", 24, len(body), enc, rate, 1)
+            + body)

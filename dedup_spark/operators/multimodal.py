@@ -61,6 +61,7 @@ _MAGIC_KINDS = {
     "716f6966": "image",  # QOI ("qoif")
     "44445320": "image",  # DDS ("DDS ")
     "49443303": "audio",  # MP3/ID3
+    "2e736e64": "audio",  # Sun AU (".snd")
     "664c6143": "audio",  # FLAC ("fLaC")
     "4f676753": "audio",  # Ogg ("OggS") — Vorbis et al.
     "1a45dfa3": "video",  # Matroska/WebM
@@ -115,6 +116,10 @@ def detect_kind_from_magic(payload: bytes | None) -> str:
             return "audio"
         if payload[8:12] == b"AVI ":
             return "video"
+    if payload[:4] == b"FORM" and len(payload) >= 12 and payload[8:12] in (
+        b"AIFF", b"AIFC"
+    ):
+        return "audio"
     kind = _MAGIC_KINDS.get(payload[:4].hex())
     if kind is not None:
         return kind
@@ -202,6 +207,12 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
             hx.startswith("52494646") & (F.substring(hx, 17, 8) == "41564920"),
             "video",                                                  # RIFF/AVI
         )
+        .when(
+            hx.startswith("464f524d")
+            & F.substring(hx, 17, 8).isin("41494646", "41494643"),
+            "audio",                                                  # FORM/AIFF(-C)
+        )
+        .when(hx.startswith("2e736e64"), "audio")                     # Sun AU ".snd"
         .when(hx.startswith("59555634"), "video")                     # "YUV4" Y4M
         .when(hx.startswith("49443303"), "audio")                     # MP3/ID3
         .when(hx.startswith("664c6143"), "audio")                     # FLAC
@@ -307,6 +318,10 @@ def sniff_media_format(payload: bytes | None) -> str | None:
         if d[8:12] == b"AVI ":
             return "avi"
         return None
+    if d[:4] == b"FORM" and d[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
+    if d[:4] == b".snd":
+        return "au"
     if d[:9] == b"YUV4MPEG2":
         return "y4m"
     if d[:3] == b"ID3":
@@ -842,6 +857,8 @@ def decode_samples(payload: bytes, fake: bool = False) -> tuple:
     fake (also for corrupt payloads), ``fake=False`` raises."""
     from dedup_spark.functions.audiocodec import (
         AudioDecodeError,
+        decode_aiff,
+        decode_au,
         decode_flac,
         decode_wav,
     )
@@ -853,6 +870,12 @@ def decode_samples(payload: bytes, fake: bool = False) -> tuple:
         if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
             x, rate = decode_wav(raw)
             return x, rate, "wav"
+        if raw[:4] == b"FORM" and raw[8:12] in (b"AIFF", b"AIFC"):
+            x, rate = decode_aiff(raw)
+            return x, rate, "aiff"
+        if raw[:4] == b".snd":
+            x, rate = decode_au(raw)
+            return x, rate, "au"
         if raw[:4] == b"fLaC":
             x, rate = decode_flac(raw)
             return x, rate, "flac"

@@ -361,3 +361,107 @@ def test_flac_wav_cross_format_near_dup_merges(spark):
     assert out[1]["decoder"] == "wav" and out[2]["decoder"] == "flac"
     assert out[1]["cluster_id"] == out[2]["cluster_id"]
     assert out[3]["cluster_id"] != out[1]["cluster_id"]
+
+
+# ----------------------------------------------------- AIFF / Sun AU ----
+
+
+def test_aiff_round_trips_both_endiannesses():
+    from dedup_spark.functions.audiocodec import decode_aiff, encode_aiff_pcm16
+
+    x = np.sin(np.linspace(0, 60, 3001)) * 0.38
+    for sowt in (False, True):
+        y, r = decode_aiff(encode_aiff_pcm16(x, 8000, sowt=sowt))
+        assert r == 8000 and y.shape[0] == 3001
+        assert np.allclose(y * 32768.0, np.round(x * 32767.0)), sowt
+
+
+def test_aiff_rejects_corrupt():
+    from dedup_spark.functions.audiocodec import (
+        AudioDecodeError,
+        decode_aiff,
+        encode_aiff_pcm16,
+    )
+
+    x = np.arange(64) / 64.0
+    good = encode_aiff_pcm16(x, 8000)
+    for bad in (
+        b"FORM\x00\x00\x00\x04AIFF",            # no chunks
+        good[:40],                                # truncated SSND
+        good.replace(b"AIFF", b"WAVE", 1),        # wrong form type
+        good.replace(b"COMM", b"XOMM", 1),        # missing COMM
+    ):
+        with pytest.raises(AudioDecodeError):
+            decode_aiff(bad)
+    # AIFF-C with an unsupported compressor is rejected, not mis-read
+    aifc = encode_aiff_pcm16(x, 8000, sowt=True).replace(b"sowt", b"ima4", 1)
+    with pytest.raises(AudioDecodeError):
+        decode_aiff(aifc)
+
+
+def test_au_pcm_and_g711():
+    from dedup_spark.functions.audiocodec import (
+        AudioDecodeError,
+        _alaw_to_linear,
+        _linear_to_mulaw,
+        _mulaw_to_linear,
+        decode_au,
+        encode_au_pcm16,
+    )
+
+    x = np.sin(np.linspace(0, 60, 3001)) * 0.38
+    q = np.round(x * 32767.0)
+    y, r = decode_au(encode_au_pcm16(x, 16000))
+    assert r == 16000 and np.allclose(y * 32768.0, q)
+    # G.711 mu-law: companding error bounded by the half-step of each
+    # segment (published behavior: ~= 3% mid-scale, max at segment 0)
+    y2, _ = decode_au(encode_au_pcm16(x, 8000, mulaw=True))
+    rel = np.abs(y2 * 32768.0 - q) / np.maximum(np.abs(q), 64)
+    assert rel.max() <= 0.07
+    # published anchor points (CCITT ulaw2linear/alaw2linear): mu-law
+    # 0xFF→0, 0x00→−32124, 0x80→+32124; A-law's sign bit is INVERTED
+    # vs mu-law (set = positive), code 0x55 (a=0) → −8
+    assert _linear_to_mulaw(np.array([0]))[0] == 0xFF
+    assert _mulaw_to_linear(np.array([0xFF]))[0] == 0
+    assert _mulaw_to_linear(np.array([0x00]))[0] == -32124
+    assert _mulaw_to_linear(np.array([0x80]))[0] == 32124
+    assert _alaw_to_linear(np.array([0x55]))[0] == -8
+    assert _alaw_to_linear(np.array([0x55 ^ 0x80]))[0] == 8
+    with pytest.raises(AudioDecodeError):
+        decode_au(b".snd" + bytes(20))  # offset < 24
+    with pytest.raises(AudioDecodeError):
+        decode_au(b".snd" + np.array([24, 8, 9, 8000, 1], ">u4").tobytes()
+                  + bytes(8))  # unsupported encoding
+
+
+def test_aiff_au_join_the_audio_pipeline(spark):
+    from dedup_spark.functions.audiocodec import (
+        encode_aiff_pcm16,
+        encode_au_pcm16,
+        encode_wav_pcm16,
+    )
+    from dedup_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_samples,
+        detect_kind_from_magic,
+        media_near_dup_clusters,
+        sniff_media_format,
+    )
+
+    x = np.sin(np.linspace(0, 40, 4096)) * 0.27
+    aiff, au = encode_aiff_pcm16(x, 8000), encode_au_pcm16(x, 8000)
+    for p, tok in ((aiff, "aiff"), (au, "au")):
+        assert detect_kind_from_magic(p) == "audio", tok
+        assert sniff_media_format(p) == tok
+        _y, rate, dec = decode_samples(p, fake=False)
+        assert (rate, dec) == (8000, tok)
+    rows = [
+        (1, "blob", encode_wav_pcm16(x, 8000), None),
+        (2, "blob", aiff, None),
+        (3, "blob", au, None),
+    ]
+    out = media_near_dup_clusters(
+        spark.createDataFrame(rows, ASSET_SCHEMA)
+    ).collect()
+    assert len({r["cluster_id"] for r in out}) == 1  # one recording
+    assert sorted(r["decoder"] for r in out) == ["aiff", "au", "wav"]

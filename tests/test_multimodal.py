@@ -253,6 +253,11 @@ def test_kind_column_matches_python(spark):
         b"#? comment-looking text",  # near-miss -> blob
         b"DDS |" + bytes(124),  # DDS -> image
         b"DDSX not a surface",  # near-miss -> blob
+        b"FORM\x00\x00\x00\x20AIFF" + bytes(8),  # AIFF -> audio
+        b"FORM\x00\x00\x00\x20AIFC" + bytes(8),  # AIFF-C -> audio
+        b"FORM\x00\x00\x00\x208SVX" + bytes(8),  # other IFF form -> blob
+        b".snd" + bytes(20),  # Sun AU -> audio
+        b".sndwich text, oddly",  # AU magic is only 4 bytes -> audio (header validates later)
     ]
     rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
     df = spark.createDataFrame(rows, "i long, payload binary")
