@@ -1,0 +1,1104 @@
+"""WebP container walk + VP8L (lossless) decode in pure Python/numpy.
+
+Reference parity: the reference opens .webp through the Rust ``image``
+crate (Cargo.toml:50) when media mode fingerprints images
+(/root/reference/src/media_dedup.rs:150-177, :182-202).  This module
+gives the engine the LOSSLESS half of WebP for real: the RIFF walk
+(simple VP8L files and VP8X extended files carrying a VP8L chunk) and a
+complete VP8L bitstream decoder from the published spec (RFC 9649 §3 /
+"WebP Lossless Bitstream Specification"):
+
+- LSB-first bit packing; canonical prefix codes in both "simple"
+  (1-2 symbol) and code-length-coded form (DEFLATE-style code-length
+  alphabet with the 16/17/18 repeat codes and the optional max-symbol
+  limit);
+- spatially-varying entropy: the meta-prefix image selecting one of
+  many 5-code groups (green+length+cache / red / blue / alpha /
+  distance) per pixel block;
+- the color cache (32-bit multiplicative hash, 1-11 bits);
+- LZ77 backward references: length/distance prefix-plus-extra-bits
+  values and the 120-entry two-dimensional distance mapping (the
+  plane-code table; pinned byte-for-byte against libwebp when the
+  system library is present — tests/test_webp.py);
+- all four inverse transforms: predictor (14 modes, with the spec's
+  flat-array top-right quirk on the last column), cross-color,
+  subtract-green, and color-indexing with sub-byte pixel bundling.
+
+Decoded streams from the system libwebp encoder (WebPEncodeLosslessRGBA
+via ctypes, every transform/meta-huffman/cache decision made by the
+real encoder) are asserted BIT-IDENTICAL in ARGB to this decoder —
+the strongest oracle available in this sandbox.  Lossy VP8 stays
+honestly stubbed (boolean arithmetic coder over opaque probability
+tables — no verifiable public-subset path here); its frame-header
+geometry is still parsed for metadata parity (``webp_meta``).
+
+Error contract matches the other image decoders: any parse failure on
+untrusted bytes raises ``ImageDecodeError`` (the orchestrator's stub
+policy then reroutes the asset), never an uncaught exception, and
+header-claimed dimensions are bounded by the shared 64M-pixel cap
+before any allocation.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from dedup_spark.functions.imagecodec import (
+    _LUMA_B,
+    _LUMA_G,
+    _LUMA_R,
+    MAX_PIXELS,
+    ImageDecodeError,
+)
+
+_REV8 = bytes(
+    ((i & 0x01) << 7) | ((i & 0x02) << 5) | ((i & 0x04) << 3) | ((i & 0x08) << 1)
+    | ((i & 0x10) >> 1) | ((i & 0x20) >> 3) | ((i & 0x40) >> 5) | ((i & 0x80) >> 7)
+    for i in range(256)
+)
+
+# VP8L plane-code table: the 120 two-dimensional LZ77 distance codes.
+# Byte k encodes (dx, dy) of code k+1 as dy = byte >> 4, dx = 8 - (byte
+# & 0xF) — the spec's published table; tests re-extract it from the
+# system libwebp binary when present and assert byte equality.
+_PLANE_CODES = bytes.fromhex(
+    "1807171928062729161a262a38053739151b363a252b48044749141c353b464a"
+    "242c58454b343c035759131d565a232d444c555b333d68026769121e666a222e"
+    "545c434d656b323e78017779535d111f646c424e767a212f757b313f636d525e"
+    "00747c414f1020626e30737d515f40727e616f50717f6070"
+)
+
+# code-length-code transmission order (spec §3.7.1.2)
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+_NUM_LITERALS = 256
+_NUM_LENGTH_CODES = 24
+_NUM_DISTANCE_CODES = 40
+_HASH_MUL = 0x1E35A7BD
+
+
+class _Bits:
+    """LSB-first bit reader. Prefix codewords are read first-bit-on-top
+    (tree-walk order), so a bit-REVERSED shadow buffer lets the next 16
+    stream bits be peeked as one MSB-first integer — one LUT hit per
+    codeword (same discipline as the Vorbis decoder's reader)."""
+
+    __slots__ = ("d", "p", "n", "rd")
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.p = 0
+        self.n = len(data) * 8
+        self.rd = bytes(_REV8[x] for x in data) + b"\x00\x00\x00\x00"
+
+    def read(self, nbits: int) -> int:
+        p = self.p
+        if p + nbits > self.n:
+            raise ImageDecodeError("VP8L stream exhausted")
+        d = self.d
+        v = 0
+        got = 0
+        while got < nbits:
+            byte = d[p >> 3]
+            off = p & 7
+            take = min(8 - off, nbits - got)
+            v |= ((byte >> off) & ((1 << take) - 1)) << got
+            got += take
+            p += take
+        self.p = p
+        return v
+
+    def peek_msb16(self) -> int:
+        p = self.p
+        window = int.from_bytes(self.rd[p >> 3 : (p >> 3) + 4], "big")
+        return (window >> (16 - (p & 7))) & 0xFFFF
+
+
+class _Prefix:
+    """One canonical prefix code, decoded via a maxlen-bit-window LUT
+    (VP8L codeword lengths are <= 15). ``single`` short-circuits the
+    spec's zero-bit single-symbol code."""
+
+    __slots__ = ("lut_val", "lut_len", "maxlen", "single")
+
+    def __init__(self) -> None:
+        self.lut_val: list[int] = []
+        self.lut_len: list[int] = []
+        self.maxlen = 0
+        self.single: int | None = None
+
+    @classmethod
+    def from_lengths(cls, lengths: list[int]) -> "_Prefix":
+        """DEFLATE-canonical assignment: symbols of equal length get
+        consecutive codes in symbol order; shorter lengths come first.
+        Over- or under-subscribed codes raise (spec: invalid), except
+        the single-used-symbol code which costs zero bits."""
+        self = cls()
+        used = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
+        if not used:
+            raise ImageDecodeError("VP8L prefix code with no symbols")
+        if len(used) == 1:
+            self.single = used[0][0]
+            return self
+        maxlen = max(ln for _s, ln in used)
+        if maxlen > 15:
+            raise ImageDecodeError("VP8L codeword length > 15")
+        bl_count = [0] * (maxlen + 1)
+        for _s, ln in used:
+            bl_count[ln] += 1
+        kraft = sum(bl_count[ln] << (maxlen - ln) for ln in range(1, maxlen + 1))
+        if kraft != 1 << maxlen:
+            raise ImageDecodeError("over/under-subscribed VP8L prefix code")
+        next_code = [0] * (maxlen + 2)
+        code = 0
+        for ln in range(1, maxlen + 1):
+            code = (code + bl_count[ln - 1]) << 1
+            next_code[ln] = code
+        size = 1 << maxlen
+        self.maxlen = maxlen
+        self.lut_val = [0] * size
+        self.lut_len = [0] * size
+        for s, ln in used:
+            c = next_code[ln]
+            next_code[ln] += 1
+            start = c << (maxlen - ln)
+            span = 1 << (maxlen - ln)
+            self.lut_val[start : start + span] = [s] * span
+            self.lut_len[start : start + span] = [ln] * span
+        return self
+
+    @classmethod
+    def explicit(cls, pairs: list[tuple[int, int, int]]) -> "_Prefix":
+        """Direct (code, len, symbol) construction — the simple-code
+        path, where the FIRST LISTED symbol gets code 0 (the listed
+        order is meaningful, not sorted)."""
+        self = cls()
+        if len(pairs) == 1:
+            self.single = pairs[0][2]
+            return self
+        maxlen = max(ln for _c, ln, _s in pairs)
+        self.maxlen = maxlen
+        size = 1 << maxlen
+        self.lut_val = [0] * size
+        self.lut_len = [0] * size
+        for c, ln, s in pairs:
+            start = c << (maxlen - ln)
+            span = 1 << (maxlen - ln)
+            self.lut_val[start : start + span] = [s] * span
+            self.lut_len[start : start + span] = [ln] * span
+        return self
+
+    def read(self, b: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        v = b.peek_msb16() >> (16 - self.maxlen)
+        ln = self.lut_len[v]
+        if ln == 0:
+            raise ImageDecodeError("invalid VP8L codeword")
+        if b.p + ln > b.n:
+            raise ImageDecodeError("VP8L stream exhausted mid-codeword")
+        b.p += ln
+        return self.lut_val[v]
+
+
+def _read_code_lengths(b: _Bits, clc: _Prefix, num_symbols: int) -> list[int]:
+    """Symbol code lengths via the code-length code (spec §3.7.1.2):
+    literals 0-15, 16 = repeat previous nonzero 3-6x, 17/18 = zero runs,
+    under the optional transmitted max-symbol limit."""
+    if b.read(1):  # use a length cap
+        length_nbits = 2 + 2 * b.read(3)
+        max_symbol = 2 + b.read(length_nbits)
+        if max_symbol > num_symbols:
+            raise ImageDecodeError("VP8L max_symbol exceeds alphabet")
+    else:
+        max_symbol = num_symbols
+    lengths = [0] * num_symbols
+    prev_len = 8
+    symbol = 0
+    while symbol < num_symbols:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        s = clc.read(b)
+        if s < 16:
+            lengths[symbol] = s
+            symbol += 1
+            if s != 0:
+                prev_len = s
+        else:
+            if s == 16:
+                repeat = 3 + b.read(2)
+                fill = prev_len
+            elif s == 17:
+                repeat = 3 + b.read(3)
+                fill = 0
+            else:
+                repeat = 11 + b.read(7)
+                fill = 0
+            if symbol + repeat > num_symbols:
+                raise ImageDecodeError("VP8L code-length repeat overruns alphabet")
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return lengths
+
+
+def _read_prefix(b: _Bits, alphabet_size: int) -> _Prefix:
+    if b.read(1):  # simple code
+        num_symbols = b.read(1) + 1
+        first_is_8bit = b.read(1)
+        s0 = b.read(8 if first_is_8bit else 1)
+        pairs = [(0, 1, s0)]
+        if num_symbols == 2:
+            s1 = b.read(8)
+            pairs.append((1, 1, s1))
+        else:
+            pairs = [(0, 0, s0)]
+        for _c, _l, s in pairs:
+            if s >= alphabet_size:
+                raise ImageDecodeError("VP8L simple-code symbol out of range")
+        return _Prefix.explicit(pairs)
+    num_codes = b.read(4) + 4
+    if num_codes > len(_CLC_ORDER):
+        raise ImageDecodeError("VP8L code-length-code count out of range")
+    clc_lengths = [0] * 19
+    for i in range(num_codes):
+        clc_lengths[_CLC_ORDER[i]] = b.read(3)
+    clc = _Prefix.from_lengths(clc_lengths)
+    lengths = _read_code_lengths(b, clc, alphabet_size)
+    return _Prefix.from_lengths(lengths)
+
+
+def _lz77_value(prefix: int, b: _Bits) -> int:
+    """Length/distance prefix value (spec §3.6.2.2): 4 direct codes,
+    then (2 + lsb) << extra_bits windows."""
+    if prefix < 4:
+        return prefix + 1
+    extra = (prefix - 2) >> 1
+    offset = (2 + (prefix & 1)) << extra
+    return offset + b.read(extra) + 1
+
+
+def _plane_to_dist(code: int, width: int) -> int:
+    if code > 120:
+        return code - 120
+    byte = _PLANE_CODES[code - 1]
+    dx = 8 - (byte & 0xF)
+    dy = byte >> 4
+    dist = dy * width + dx
+    return dist if dist >= 1 else 1
+
+
+def _decode_image_stream(b: _Bits, w: int, h: int, level0: bool):
+    """One VP8L entropy-coded image (spec §3.8): returns (flat ARGB
+    python list, final_w) — final_w differs from w when a
+    color-indexing transform bundles pixels. Transforms are read here
+    (level0 only) and inverted before returning."""
+    transforms: list[tuple] = []
+    seen_types: set[int] = set()
+    cur_w = w
+    if level0:
+        while b.read(1):
+            ttype = b.read(2)
+            if ttype in seen_types:
+                raise ImageDecodeError("VP8L transform repeated")
+            seen_types.add(ttype)
+            if ttype in (0, 1):  # predictor / cross-color
+                size_bits = b.read(3) + 2
+                bw = _ceil_shift(cur_w, size_bits)
+                bh = _ceil_shift(h, size_bits)
+                data, _ = _decode_image_stream(b, bw, bh, False)
+                transforms.append((ttype, size_bits, data, cur_w))
+            elif ttype == 2:  # subtract-green
+                transforms.append((2,))
+            else:  # color indexing
+                n_colors = b.read(8) + 1
+                pal, _ = _decode_image_stream(b, n_colors, 1, False)
+                if n_colors <= 2:
+                    xbits = 3
+                elif n_colors <= 4:
+                    xbits = 2
+                elif n_colors <= 16:
+                    xbits = 1
+                else:
+                    xbits = 0
+                transforms.append((3, xbits, pal, cur_w, n_colors))
+                cur_w = _ceil_shift(cur_w, xbits)
+
+    # color cache
+    cache_bits = 0
+    if b.read(1):
+        cache_bits = b.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ImageDecodeError("VP8L color-cache bits out of range")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    # meta prefix image (spatially varying entropy; ARGB level only)
+    meta = None
+    meta_bits = 0
+    meta_w = 0
+    num_groups = 1
+    if level0 and b.read(1):
+        meta_bits = b.read(3) + 2
+        meta_w = _ceil_shift(cur_w, meta_bits)
+        meta_h = _ceil_shift(h, meta_bits)
+        meta_px, _ = _decode_image_stream(b, meta_w, meta_h, False)
+        meta = [((v >> 8) & 0xFFFF) for v in meta_px]  # (red << 8) | green
+        num_groups = max(meta) + 1
+
+    green_size = _NUM_LITERALS + _NUM_LENGTH_CODES + cache_size
+    groups = []
+    for _g in range(num_groups):
+        groups.append(
+            (
+                _read_prefix(b, green_size),
+                _read_prefix(b, 256),
+                _read_prefix(b, 256),
+                _read_prefix(b, 256),
+                _read_prefix(b, _NUM_DISTANCE_CODES),
+            )
+        )
+
+    n = cur_w * h
+    argb: list[int] = [0] * n
+    cache = [0] * cache_size
+    cache_shift = 32 - cache_bits if cache_bits else 0
+    pos = 0
+    x = 0
+    y = 0
+    g_green, g_red, g_blue, g_alpha, g_dist = groups[0]
+    multi = meta is not None
+    while pos < n:
+        if multi:
+            g_green, g_red, g_blue, g_alpha, g_dist = groups[
+                meta[(y >> meta_bits) * meta_w + (x >> meta_bits)]
+            ]
+        s = g_green.read(b)
+        if s < _NUM_LITERALS:
+            # literal: G already in s; R, B, A follow, each from its code
+            r = g_red.read(b)
+            bl = g_blue.read(b)
+            a = g_alpha.read(b)
+            v = (a << 24) | (r << 16) | (s << 8) | bl
+            argb[pos] = v
+            pos += 1
+            x += 1
+            if x == cur_w:
+                x = 0
+                y += 1
+            if cache_bits:
+                cache[(_HASH_MUL * v & 0xFFFFFFFF) >> cache_shift] = v
+        elif s < _NUM_LITERALS + _NUM_LENGTH_CODES:
+            length = _lz77_value(s - _NUM_LITERALS, b)
+            dist_code = _lz77_value(g_dist.read(b), b)
+            dist = _plane_to_dist(dist_code, cur_w)
+            if dist > pos or pos + length > n:
+                raise ImageDecodeError("VP8L backward reference out of range")
+            if cache_bits:
+                for _ in range(length):
+                    v = argb[pos - dist]
+                    argb[pos] = v
+                    cache[(_HASH_MUL * v & 0xFFFFFFFF) >> cache_shift] = v
+                    pos += 1
+            else:
+                for _ in range(length):
+                    argb[pos] = argb[pos - dist]
+                    pos += 1
+            x = pos % cur_w
+            y = pos // cur_w
+        else:
+            idx = s - _NUM_LITERALS - _NUM_LENGTH_CODES
+            if idx >= cache_size:
+                raise ImageDecodeError("VP8L cache index without cache")
+            argb[pos] = cache[idx]
+            pos += 1
+            x += 1
+            if x == cur_w:
+                x = 0
+                y += 1
+
+    for t in reversed(transforms):
+        argb, cur_w = _apply_inverse_transform(t, argb, cur_w, h)
+    return argb, cur_w
+
+
+def _ceil_shift(v: int, bits: int) -> int:
+    return (v + (1 << bits) - 1) >> bits
+
+
+# ------------------------------------------------- inverse transforms ----
+
+
+def _apply_inverse_transform(t: tuple, argb: list[int], w: int, h: int):
+    kind = t[0]
+    if kind == 2:  # subtract-green: r += g, b += g (mod 256)
+        a = np.asarray(argb, dtype=np.uint32)
+        g = (a >> 8) & 0xFF
+        r = (((a >> 16) & 0xFF) + g) & 0xFF
+        bl = ((a & 0xFF) + g) & 0xFF
+        out = (a & 0xFF00FF00) | (r << 16) | bl
+        return out.tolist(), w
+    if kind == 1:  # cross-color
+        _k, size_bits, data, tw = t
+        return _inverse_color_transform(argb, w, h, size_bits, data), w
+    if kind == 0:  # predictor
+        _k, size_bits, data, tw = t
+        return _inverse_predictor(argb, w, h, size_bits, data), w
+    # color indexing
+    _k, xbits, pal, orig_w, n_colors = t
+    return _inverse_color_index(argb, w, h, xbits, pal, orig_w, n_colors), orig_w
+
+
+def _inverse_color_index(
+    argb: list[int], w: int, h: int, xbits: int, pal: list[int], orig_w: int,
+    n_colors: int,
+) -> list[int]:
+    # palette rows are delta-coded per byte lane (spec §3.5.4)
+    p = np.asarray(pal, dtype=np.uint32)
+    lanes = np.stack(
+        [(p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF]
+    ).astype(np.uint8)
+    lanes = np.cumsum(lanes, axis=1, dtype=np.uint32).astype(np.uint8).astype(np.uint32)
+    palette = (
+        (lanes[0] << 24) | (lanes[1] << 16) | (lanes[2] << 8) | lanes[3]
+    )
+    a = np.asarray(argb, dtype=np.uint32).reshape(h, w)
+    green = (a >> 8) & 0xFF
+    if xbits == 0:
+        idx = green
+    else:
+        bpp = 8 >> xbits
+        per = 1 << xbits
+        xs = np.arange(orig_w)
+        shifts = (xs & (per - 1)) * bpp
+        idx = (green[:, xs >> xbits] >> shifts[None, :]) & ((1 << bpp) - 1)
+    if int(idx.max(initial=0)) >= n_colors:
+        raise ImageDecodeError("VP8L palette index out of range")
+    return palette[idx].ravel().tolist()
+
+
+def _cdelta(t: int, c: int) -> int:
+    # ColorTransformDelta: signed int8 * signed int8 >> 5 (arith shift)
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _inverse_color_transform(
+    argb: list[int], w: int, h: int, size_bits: int, data: list[int]
+) -> list[int]:
+    bw = _ceil_shift(w, size_bits)
+    a = np.asarray(argb, dtype=np.uint32).reshape(h, w)
+    red = ((a >> 16) & 0xFF).astype(np.int32)
+    green = ((a >> 8) & 0xFF).astype(np.int32)
+    blue = (a & 0xFF).astype(np.int32)
+    d = np.asarray(data, dtype=np.uint32).reshape(-1, bw)
+    ys = np.arange(h) >> size_bits
+    xs = np.arange(w) >> size_bits
+    cte = d[ys[:, None], xs[None, :]]
+    g2r = ((cte & 0xFF).astype(np.int32) + 128) % 256 - 128
+    g2b = (((cte >> 8) & 0xFF).astype(np.int32) + 128) % 256 - 128
+    r2b = (((cte >> 16) & 0xFF).astype(np.int32) + 128) % 256 - 128
+    sg = (green + 128) % 256 - 128
+    red = (red + ((g2r * sg) >> 5)) & 0xFF
+    sr = (red + 128) % 256 - 128
+    blue = (blue + ((g2b * sg) >> 5) + ((r2b * sr) >> 5)) & 0xFF
+    out = (a & 0xFF00FF00) | (red.astype(np.uint32) << 16) | blue.astype(np.uint32)
+    return out.ravel().tolist()
+
+
+def _avg2(p0: int, p1: int) -> int:
+    # per-byte-lane (p0 + p1) >> 1 without unpacking
+    return (((p0 ^ p1) & 0xFEFEFEFE) >> 1) + (p0 & p1)
+
+
+def _clamp_add_sub_full(l: int, t: int, tl: int) -> int:
+    v = 0
+    for sh in (24, 16, 8, 0):
+        c = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        if c < 0:
+            c = 0
+        elif c > 255:
+            c = 255
+        v |= c << sh
+    return v
+
+
+def _clamp_add_sub_half(l: int, t: int, tl: int) -> int:
+    ave = _avg2(l, t)
+    v = 0
+    for sh in (24, 16, 8, 0):
+        a = (ave >> sh) & 0xFF
+        b = (tl >> sh) & 0xFF
+        d = a - b
+        # C truncation toward zero
+        c = a + (d // 2 if d >= 0 else -((-d) // 2))
+        if c < 0:
+            c = 0
+        elif c > 255:
+            c = 255
+        v |= c << sh
+    return v
+
+
+def _select(t: int, l: int, tl: int) -> int:
+    s = 0
+    for sh in (24, 16, 8, 0):
+        ca = (t >> sh) & 0xFF
+        cb = (l >> sh) & 0xFF
+        cc = (tl >> sh) & 0xFF
+        s += abs(cb - cc) - abs(ca - cc)
+    return t if s <= 0 else l
+
+
+def _inverse_predictor(
+    argb: list[int], w: int, h: int, size_bits: int, data: list[int]
+) -> list[int]:
+    bw = _ceil_shift(w, size_bits)
+    out = argb  # in place over the flat list (residuals -> pixels)
+    M = 0xFFFFFFFF
+    for y in range(h):
+        row0 = y * w
+        mrow = (y >> size_bits) * bw
+        for x in range(w):
+            pos = row0 + x
+            if y == 0:
+                pred = 0xFF000000 if x == 0 else out[pos - 1]  # black / L
+            elif x == 0:
+                pred = out[pos - w]  # T
+            else:
+                mode = (data[mrow + (x >> size_bits)] >> 8) & 0xFF
+                left = out[pos - 1]
+                top = out[pos - w]
+                # flat-array addressing: for x == w-1 this is the first
+                # pixel of the CURRENT row (already decoded) — the
+                # spec's top-right quirk, free with flat indexing
+                tr = out[pos - w + 1]
+                tl = out[pos - w - 1]
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = left
+                elif mode == 2:
+                    pred = top
+                elif mode == 3:
+                    pred = tr
+                elif mode == 4:
+                    pred = tl
+                elif mode == 5:
+                    pred = _avg2(_avg2(left, tr), top)
+                elif mode == 6:
+                    pred = _avg2(left, tl)
+                elif mode == 7:
+                    pred = _avg2(left, top)
+                elif mode == 8:
+                    pred = _avg2(tl, top)
+                elif mode == 9:
+                    pred = _avg2(top, tr)
+                elif mode == 10:
+                    pred = _avg2(_avg2(left, tl), _avg2(top, tr))
+                elif mode == 11:
+                    pred = _select(top, left, tl)
+                elif mode == 12:
+                    pred = _clamp_add_sub_full(left, top, tl)
+                elif mode == 13:
+                    pred = _clamp_add_sub_half(left, top, tl)
+                else:
+                    raise ImageDecodeError("VP8L predictor mode out of range")
+            # per-byte-lane add modulo 256
+            v = out[pos]
+            out[pos] = (
+                ((v & 0x00FF00FF) + (pred & 0x00FF00FF)) & 0x00FF00FF
+                | ((v & 0xFF00FF00) + (pred & 0xFF00FF00)) & 0xFF00FF00
+            ) & M
+    return out
+
+
+# ------------------------------------------------------ container walk ----
+
+
+def _riff_chunks(payload: bytes):
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ImageDecodeError("not a WebP payload")
+    pos = 12
+    n = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ImageDecodeError("WebP chunk truncated")
+        yield tag, body
+        pos += 8 + size + (size & 1)
+
+
+def _find_vp8l(payload: bytes) -> bytes:
+    lossy = False
+    for tag, body in _riff_chunks(payload):
+        if tag == b"VP8L":
+            return body
+        if tag == b"VP8 ":
+            lossy = True
+    if lossy:
+        raise ImageDecodeError(
+            "lossy VP8 WebP (arithmetic-coded; outside the verifiable "
+            "pure-numpy subset — stub policy)"
+        )
+    raise ImageDecodeError("WebP payload has no VP8L chunk")
+
+
+def decode_vp8l_argb(chunk: bytes) -> tuple[np.ndarray, int, int]:
+    """VP8L chunk body → ((h, w) uint32 ARGB, width, height)."""
+    if len(chunk) < 5 or chunk[0] != 0x2F:
+        raise ImageDecodeError("bad VP8L signature")
+    b = _Bits(chunk[1:])
+    w = b.read(14) + 1
+    h = b.read(14) + 1
+    b.read(1)  # alpha-is-used hint
+    if b.read(3) != 0:
+        raise ImageDecodeError("unsupported VP8L version")
+    if w * h > MAX_PIXELS:
+        raise ImageDecodeError("VP8L dimensions exceed pixel cap")
+    argb, final_w = _decode_image_stream(b, w, h, True)
+    if final_w != w:
+        raise ImageDecodeError("VP8L width mismatch after transforms")
+    return np.asarray(argb, dtype=np.uint32).reshape(h, w), w, h
+
+
+def decode_webp(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """WebP → (grayscale uint8 (h, w), width, height) — lossless (VP8L)
+    files only; lossy VP8 raises the typed error (stub policy). Same
+    integer BT.601 luma as every other decoder in the image family, so
+    a PNG and its lossless-WebP re-encode land on identical planes."""
+    try:
+        argb, w, h = decode_vp8l_argb(_find_vp8l(payload))
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise ImageDecodeError(f"corrupt WebP: {exc}") from exc
+    r = (argb >> 16) & 0xFF
+    g = (argb >> 8) & 0xFF
+    bl = argb & 0xFF
+    gray = ((_LUMA_R * r + _LUMA_G * g + _LUMA_B * bl) >> 8).astype(np.uint8)
+    return gray, w, h
+
+
+def webp_meta(payload: bytes) -> dict:
+    """Geometry/format metadata for ALL WebP flavors (including lossy
+    VP8, whose plain-bit frame header is public even though its
+    arithmetic-coded payload stays stubbed): container, variant,
+    width, height, has_alpha."""
+    try:
+        meta = {"container": "webp", "variant": None, "width": None,
+                "height": None, "has_alpha": False}
+        for tag, body in _riff_chunks(payload):
+            if tag == b"VP8X" and len(body) >= 10:
+                meta["has_alpha"] = bool(body[0] & 0x10)
+                meta["width"] = 1 + int.from_bytes(body[4:7], "little")
+                meta["height"] = 1 + int.from_bytes(body[7:10], "little")
+                meta["variant"] = "extended"
+            elif tag == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+                bits = int.from_bytes(body[1:5], "little")
+                if meta["variant"] != "extended":
+                    meta["width"] = (bits & 0x3FFF) + 1
+                    meta["height"] = ((bits >> 14) & 0x3FFF) + 1
+                    meta["has_alpha"] = bool((bits >> 28) & 1)
+                meta["variant"] = meta["variant"] or "lossless"
+                return meta
+            elif tag == b"VP8 " and len(body) >= 10:
+                # frame tag (3 bytes LE), start code 9d 01 2a, then
+                # 14-bit width/height with 2-bit scale, all plain bits
+                if body[3:6] != b"\x9d\x01\x2a":
+                    raise ImageDecodeError("bad VP8 start code")
+                if meta["variant"] != "extended":
+                    meta["width"] = int.from_bytes(body[6:8], "little") & 0x3FFF
+                    meta["height"] = int.from_bytes(body[8:10], "little") & 0x3FFF
+                meta["variant"] = meta["variant"] or "lossy"
+                return meta
+        if meta["variant"] == "extended":
+            return meta
+        raise ImageDecodeError("WebP payload has no image chunk")
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError) as exc:
+        raise ImageDecodeError(f"corrupt WebP: {exc}") from exc
+
+
+# ------------------------------------------------------ fixture encoder ---
+
+
+class _BitW:
+    """LSB-first bit writer (the VP8L packer)."""
+
+    __slots__ = ("out", "acc", "nb")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nb = 0
+
+    def write(self, v: int, nbits: int) -> None:
+        self.acc |= (v & ((1 << nbits) - 1)) << self.nb
+        self.nb += nbits
+        while self.nb >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nb -= 8
+
+    def write_code(self, code: int, ln: int) -> None:
+        """Codeword bits go first-transmitted = tree-root = MSB."""
+        for i in range(ln - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        if self.nb:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nb = 0
+        return bytes(self.out)
+
+
+def _flat_lengths(n: int) -> list[int]:
+    """Kraft-complete near-flat code: with L = ceil(log2 n), the first
+    2^L - n symbols get L-1 bits, the rest L bits."""
+    if n == 1:
+        return [1]
+    L = (n - 1).bit_length()
+    k = (1 << L) - n
+    return [L - 1] * k + [L] * (n - k)
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    used = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
+    maxlen = max(ln for _s, ln in used)
+    bl_count = [0] * (maxlen + 1)
+    for _s, ln in used:
+        bl_count[ln] += 1
+    next_code = [0] * (maxlen + 2)
+    code = 0
+    for ln in range(1, maxlen + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    out = {}
+    for s, ln in used:
+        out[s] = (next_code[ln], ln)
+        next_code[ln] += 1
+    return out
+
+
+def _write_full_code(w: _BitW, lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """Emit a code-length-coded prefix code: the 19-entry code-length
+    code, then one clc symbol per alphabet entry (no repeats — fixture
+    simplicity; the decoder's repeat paths are covered by the
+    libwebp-encoded oracle streams)."""
+    w.write(0, 1)  # not simple
+    used_lens = sorted({ln for ln in lengths})
+    clc_lengths = [0] * 19
+    flat = _flat_lengths(len(used_lens))
+    for ln, bits in zip(used_lens, flat):
+        clc_lengths[ln] = bits
+    clc_codes = _canonical_codes(clc_lengths)
+    w.write(15, 4)  # num_codes = 19
+    for sym in _CLC_ORDER:
+        w.write(clc_lengths[sym], 3)
+    w.write(0, 1)  # no max-symbol cap
+    if len(used_lens) == 1:
+        # single used clc symbol: zero-bit code — nothing to write per
+        # entry; the decoder's single-symbol path repeats it
+        ln = used_lens[0]
+        if sum(1 for x in lengths if x == ln) != len(lengths):
+            raise ValueError("inconsistent single-length table")
+    else:
+        for ln in lengths:
+            c, bits = clc_codes[ln]
+            w.write_code(c, bits)
+    return _canonical_codes(lengths)
+
+
+def _write_simple_code(w: _BitW, symbols: list[int]) -> dict[int, tuple[int, int]]:
+    w.write(1, 1)
+    w.write(len(symbols) - 1, 1)
+    s0 = symbols[0]
+    if s0 > 1:
+        w.write(1, 1)
+        w.write(s0, 8)
+    else:
+        w.write(0, 1)
+        w.write(s0, 1)
+    if len(symbols) == 2:
+        w.write(symbols[1], 8)
+        return {symbols[0]: (0, 1), symbols[1]: (1, 1)}
+    return {s0: (0, 0)}
+
+
+def _lz77_sym(v: int) -> tuple[int, int, int]:
+    """value -> (prefix symbol, n extra bits, extra value); the exact
+    inverse of _lz77_value."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for p in range(4, 40):
+        e = (p - 2) >> 1
+        off = (2 + (p & 1)) << e
+        if off + 1 <= v <= off + (1 << e):
+            return p, e, v - off - 1
+    raise ValueError("LZ77 value out of range")
+
+
+def encode_vp8l_rgb8(
+    rgb: np.ndarray,
+    subtract_green: bool = False,
+    predictor_mode: int | None = None,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    palette: bool = False,
+    plane_codes: bool = False,
+) -> bytes:
+    """Deterministic VP8L encoder for fixtures: near-flat
+    code-length-coded prefix codes, one entropy group, and opt-in
+    feature coverage — subtract-green, a whole-image single-block
+    predictor (simple-coded mode image), color cache, dist-1/-width
+    LZ77 runs (plain or 2-D plane codes), and palette indexing with
+    sub-byte bundling. Exercises every decoder path our own fixtures
+    need; the general case is covered by libwebp-encoded streams."""
+    rgb = np.asarray(rgb)
+    if rgb.ndim == 2:
+        rgb = np.stack([rgb] * 3, axis=-1)
+    h, wd, _ = rgb.shape
+    argb = (
+        (np.uint32(0xFF) << 24)
+        | (rgb[:, :, 0].astype(np.uint32) << 16)
+        | (rgb[:, :, 1].astype(np.uint32) << 8)
+        | rgb[:, :, 2].astype(np.uint32)
+    )
+    w = _BitW()
+    w.write(0x2F, 8)
+    w.write(wd - 1, 14)
+    w.write(h - 1, 14)
+    w.write(0, 1)  # alpha hint
+    w.write(0, 3)  # version
+
+    enc_w = wd
+    pal = None
+    if palette:
+        colors = np.unique(argb.ravel())
+        if colors.size > 256:
+            raise ValueError("palette fixture needs <= 256 colors")
+        pal = colors
+        lut = {int(c): i for i, c in enumerate(colors.tolist())}
+        idx = np.vectorize(lambda v: lut[int(v)], otypes=[np.uint32])(argb)
+        w.write(1, 1)  # transform present
+        w.write(3, 2)  # color indexing
+        w.write(colors.size - 1, 8)
+        # palette sub-image: delta-coded per byte lane, literal stream
+        deltas = []
+        prev = 0
+        for c in colors.tolist():
+            d = 0
+            for sh in (24, 16, 8, 0):
+                d |= ((((c >> sh) & 0xFF) - ((prev >> sh) & 0xFF)) & 0xFF) << sh
+            deltas.append(d)
+            prev = c
+        _encode_literal_stream(w, deltas)
+        n = colors.size
+        xbits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+        if xbits:
+            per = 1 << xbits
+            bpp = 8 >> xbits
+            enc_w = _ceil_shift(wd, xbits)
+            packed = np.zeros((h, enc_w), dtype=np.uint32)
+            for sub in range(per):
+                cols = idx[:, sub::per]
+                packed[:, : cols.shape[1]] |= cols << (sub * bpp)
+            argb = (np.uint32(0xFF) << 24) | (packed << 8)
+        else:
+            enc_w = wd
+            argb = (np.uint32(0xFF) << 24) | (idx << 8)
+    if predictor_mode is not None:
+        if palette:
+            raise ValueError("fixture combines at most one spatial transform")
+        size_bits = max(2, max(enc_w - 1, h - 1).bit_length())
+        if size_bits > 9:
+            raise ValueError("image too large for single-block predictor fixture")
+        w.write(1, 1)
+        w.write(0, 2)  # predictor transform
+        w.write(size_bits - 2, 3)
+        _encode_simple_pixel_stream(w, 0xFF000000 | (predictor_mode << 8))
+        argb = _forward_predictor(argb, predictor_mode)
+    if subtract_green:
+        w.write(1, 1)
+        w.write(2, 2)
+        g = (argb >> 8) & 0xFF
+        r = (((argb >> 16) & 0xFF) - g) & 0xFF
+        bl = ((argb & 0xFF) - g) & 0xFF
+        argb = (argb & 0xFF00FF00) | (r << 16) | bl
+    w.write(0, 1)  # no more transforms
+
+    _encode_main_stream(
+        w, argb.ravel().tolist(), enc_w, cache_bits=cache_bits, lz77=lz77,
+        plane_codes=plane_codes,
+    )
+    chunk = w.bytes()
+    return _wrap_riff(chunk, wd, h)
+
+
+def _forward_predictor(argb: np.ndarray, mode: int) -> np.ndarray:
+    h, w = argb.shape
+    flat = argb.ravel().tolist()
+    res = [0] * (h * w)
+    for y in range(h - 1, -1, -1):
+        for x in range(w - 1, -1, -1):
+            pos = y * w + x
+            if y == 0:
+                pred = 0xFF000000 if x == 0 else flat[pos - 1]
+            elif x == 0:
+                pred = flat[pos - w]
+            else:
+                left = flat[pos - 1]
+                top = flat[pos - w]
+                tr = flat[pos - w + 1]
+                tl = flat[pos - w - 1]
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = left
+                elif mode == 2:
+                    pred = top
+                elif mode == 3:
+                    pred = tr
+                elif mode == 4:
+                    pred = tl
+                elif mode == 5:
+                    pred = _avg2(_avg2(left, tr), top)
+                elif mode == 6:
+                    pred = _avg2(left, tl)
+                elif mode == 7:
+                    pred = _avg2(left, top)
+                elif mode == 8:
+                    pred = _avg2(tl, top)
+                elif mode == 9:
+                    pred = _avg2(top, tr)
+                elif mode == 10:
+                    pred = _avg2(_avg2(left, tl), _avg2(top, tr))
+                elif mode == 11:
+                    pred = _select(top, left, tl)
+                elif mode == 12:
+                    pred = _clamp_add_sub_full(left, top, tl)
+                else:
+                    pred = _clamp_add_sub_half(left, top, tl)
+            v = flat[pos]
+            # guard bits above each lane stop inter-lane borrows
+            res[pos] = (
+                (((v & 0x00FF00FF) | 0x01000100) - (pred & 0x00FF00FF))
+                & 0x00FF00FF
+                | (((v & 0xFF00FF00) | 0x100010000) - (pred & 0xFF00FF00))
+                & 0xFF00FF00
+            )
+    return np.asarray(res, dtype=np.uint32).reshape(h, w)
+
+
+def _encode_simple_pixel_stream(w: _BitW, pixel: int) -> None:
+    """Sub-image whose every pixel is the same ARGB value, via
+    zero-bit simple codes (1x1 predictor/meta images)."""
+    w.write(0, 1)  # no cache
+    g_codes = _write_simple_code(w, [(pixel >> 8) & 0xFF])
+    _write_simple_code(w, [(pixel >> 16) & 0xFF])  # red
+    _write_simple_code(w, [pixel & 0xFF])  # blue
+    _write_simple_code(w, [(pixel >> 24) & 0xFF])  # alpha
+    _write_simple_code(w, [0])  # distance (unused)
+    del g_codes  # zero-bit pixels: nothing further to write
+
+
+def _encode_literal_stream(w: _BitW, pixels: list[int]) -> None:
+    """Literal-only stream (palette rows): near-flat full codes."""
+    w.write(0, 1)  # no color cache
+    green = _write_full_code(w, _flat_lengths(280))
+    red = _write_full_code(w, _flat_lengths(256))
+    blue = _write_full_code(w, _flat_lengths(256))
+    alpha = _write_full_code(w, _flat_lengths(256))
+    _write_full_code(w, _flat_lengths(40))
+    for v in pixels:
+        c, ln = green[(v >> 8) & 0xFF]
+        w.write_code(c, ln)
+        c, ln = red[(v >> 16) & 0xFF]
+        w.write_code(c, ln)
+        c, ln = blue[v & 0xFF]
+        w.write_code(c, ln)
+        c, ln = alpha[(v >> 24) & 0xFF]
+        w.write_code(c, ln)
+
+
+def _encode_main_stream(
+    w: _BitW, pixels: list[int], width: int, cache_bits: int, lz77: bool,
+    plane_codes: bool,
+) -> None:
+    if cache_bits:
+        w.write(1, 1)
+        w.write(cache_bits, 4)
+    else:
+        w.write(0, 1)
+    w.write(0, 1)  # no meta-prefix image
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green = _write_full_code(w, _flat_lengths(280 + cache_size))
+    red = _write_full_code(w, _flat_lengths(256))
+    blue = _write_full_code(w, _flat_lengths(256))
+    alpha = _write_full_code(w, _flat_lengths(256))
+    dist = _write_full_code(w, _flat_lengths(40))
+    cache = [None] * cache_size
+    shift = 32 - cache_bits if cache_bits else 0
+    n = len(pixels)
+    i = 0
+    while i < n:
+        v = pixels[i]
+        if lz77 and i > 0 and pixels[i - 1] == v:
+            run = 1
+            while i + run < n and pixels[i + run] == v and run < 4096:
+                run += 1
+            if run >= 3:
+                ps, ne, ev = _lz77_sym(run)
+                c, ln = green[256 + ps]
+                w.write_code(c, ln)
+                w.write(ev, ne)
+                # distance 1: plane code 2 ((1,0)) or plain 1 + 120
+                dval = 2 if plane_codes else 121
+                ds, dne, dev = _lz77_sym(dval)
+                c, ln = dist[ds]
+                w.write_code(c, ln)
+                w.write(dev, dne)
+                if cache_bits:
+                    key = (_HASH_MUL * v & 0xFFFFFFFF) >> shift
+                    cache[key] = v
+                i += run
+                continue
+        if cache_bits:
+            key = (_HASH_MUL * v & 0xFFFFFFFF) >> shift
+            if cache[key] == v:
+                c, ln = green[280 + key]
+                w.write_code(c, ln)
+                i += 1
+                continue
+            cache[key] = v
+        c, ln = green[(v >> 8) & 0xFF]
+        w.write_code(c, ln)
+        c, ln = red[(v >> 16) & 0xFF]
+        w.write_code(c, ln)
+        c, ln = blue[v & 0xFF]
+        w.write_code(c, ln)
+        c, ln = alpha[(v >> 24) & 0xFF]
+        w.write_code(c, ln)
+        i += 1
+
+
+def _wrap_riff(vp8l_chunk: bytes, w: int, h: int) -> bytes:
+    body = b"WEBP" + b"VP8L" + struct.pack("<I", len(vp8l_chunk)) + vp8l_chunk
+    if len(vp8l_chunk) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_webp_gray8(img: np.ndarray, **kwargs) -> bytes:
+    """Gray uint8 (h, w) → lossless WebP (r = g = b = gray)."""
+    return encode_vp8l_rgb8(np.asarray(img, dtype=np.uint8), **kwargs)

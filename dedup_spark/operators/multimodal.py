@@ -120,6 +120,8 @@ def detect_kind_from_magic(payload: bytes | None) -> str:
         b"AIFF", b"AIFC"
     ):
         return "audio"
+    if payload[:4] == b"RIFF" and len(payload) >= 12 and payload[8:12] == b"WEBP":
+        return "image"
     kind = _MAGIC_KINDS.get(payload[:4].hex())
     if kind is not None:
         return kind
@@ -206,6 +208,10 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
         .when(
             hx.startswith("52494646") & (F.substring(hx, 17, 8) == "41564920"),
             "video",                                                  # RIFF/AVI
+        )
+        .when(
+            hx.startswith("52494646") & (F.substring(hx, 17, 8) == "57454250"),
+            "image",                                                  # RIFF/WEBP
         )
         .when(
             hx.startswith("464f524d")
@@ -317,6 +323,8 @@ def sniff_media_format(payload: bytes | None) -> str | None:
             return "wav"
         if d[8:12] == b"AVI ":
             return "avi"
+        if d[8:12] == b"WEBP":
+            return "webp"
         return None
     if d[:4] == b"FORM" and d[8:12] in (b"AIFF", b"AIFC"):
         return "aiff"
@@ -510,7 +518,10 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
     (PNG- and DIB-coded entries), Radiance HDR, and TGA (no leading
     magic — attempted last, behind strict structural checks, for
     assets that reach this decoder by kind tag).
-    Everything else (WebP, JPEG 2000, arithmetic-coded JPEG, …)
+    WebP decodes for real in its LOSSLESS form (VP8L — full bitstream
+    per RFC 9649 §3, ``functions/webp.py``, pinned bit-exact against
+    the system libwebp encoder when present).
+    Everything else (lossy VP8, JPEG 2000, arithmetic-coded JPEG, …)
     keeps the honest-stub policy: ``fake=True`` falls back to the
     deterministic byte-structure fake (also used when a real-looking
     payload turns out corrupt), ``fake=False`` raises. ``decoder`` in
@@ -581,6 +592,13 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
                 return img, w, h, flavor
             img, w, h = decode_tiff(raw)
             return img, w, h, "tiff"
+        if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+            # lossless (VP8L) decodes for real; lossy VP8 raises the
+            # typed error inside and falls to the stub policy below
+            from dedup_spark.functions.webp import decode_webp
+
+            img, w, h = decode_webp(raw)
+            return img, w, h, "webp"
         if raw[:10] == b"#?RADIANCE" or raw[:6] == b"#?RGBE":
             img, w, h = decode_hdr(raw)
             return img, w, h, "hdr"
@@ -1254,10 +1272,12 @@ def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
     little-endian uncompressed TIFF, big-endian TIFF-LZW with the
     horizontal predictor, binary PGM (P5), QOI, farbfeld, a
     DIB-coded ICO, an RLE TGA (decoded via the kind-tag route: the
-    format has no magic), an RLE Radiance HDR and an uncompressed
-    32-bit DDS — so the format-blind geometry oracle
-    (`png_decode_meta`) value-verifies every lossless-class image
-    decoder through one query (no fake on any row)."""
+    format has no magic), an RLE Radiance HDR, an uncompressed
+    32-bit DDS and a lossless WebP (VP8L; feature flags cycled so
+    subtract-green, LZ77 runs and the color cache all run at scale)
+    — so the format-blind geometry oracle (`png_decode_meta`)
+    value-verifies every lossless-class image decoder through one
+    query (no fake on any row)."""
 
     def make(raw: bytes) -> bytes:
         from dedup_spark.functions.imagecodec import (
@@ -1273,7 +1293,7 @@ def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
         )
 
         img = _fake_pixels(raw)[0]
-        sel = len(raw) % 10
+        sel = len(raw) % 11
         if sel == 0:
             return encode_png_gray8(img)
         if sel == 1:
@@ -1293,7 +1313,16 @@ def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
             return encode_tga_gray8(img, rle=True)
         if sel == 8:
             return encode_hdr_gray8(img)
-        return encode_dds_rgb32_gray8(img)
+        if sel == 9:
+            return encode_dds_rgb32_gray8(img)
+        from dedup_spark.functions.webp import encode_webp_gray8
+
+        return encode_webp_gray8(
+            img,
+            subtract_green=bool(len(raw) % 2),
+            lz77=True,
+            cache_bits=4 if len(raw) % 3 == 0 else 0,
+        )
 
     return _documents_as_media_assets(spark, sf_dir, "image", "image/png", make)
 
