@@ -1,0 +1,399 @@
+"""OpenEXR scanline decode in pure Python/numpy.
+
+Reference parity: the reference's Rust ``image`` crate (Cargo.toml:50)
+opens .exr by default (its exr feature), so media mode fingerprints
+EXR files like any other image (/root/reference/src/media_dedup.rs:
+150-177).  This module decodes the verifiable subset of the published
+OpenEXR file layout (openexr.com, "Technical Introduction to OpenEXR"
++ the file-format notes):
+
+- magic 0x76 0x2F 0x31 0x01, version 2, single-part scanline images
+  (tiled / deep / multi-part raise the typed error);
+- the attribute walk (channels chlist, compression, dataWindow,
+  lineOrder; unknown attributes skipped by their stored size);
+- HALF / FLOAT / UINT channels at sampling 1, chlist-ordered rows;
+- compressions NONE, RLE, ZIPS (1 line) and ZIP (16 lines): zlib
+  inflate (allocation-bounded, PNG-decoder discipline) or the RLE
+  byte codes, then the OpenEXR predictor undo (t[i] += t[i-1] - 128)
+  and the two-half de-interleave, then per-channel row extraction —
+  including the spec's store-raw fallback (a chunk whose stored size
+  equals the unpacked size is uncompressed);
+- both INCREASING_Y and DECREASING_Y line orders (each chunk carries
+  its own y coordinate);
+- PIZ / PXR24 / B44 / DWA stay honestly stubbed: their wavelet /
+  half-quantization tables are outside the zlib-expressible subset.
+
+The HDR-class float image folds to uint8 gray via the SAME log2 ramp
+the Radiance HDR decoder uses (imagecodec._decode_hdr), with
+round-to-nearest quantization — so one radiance map carried as .hdr
+and as .exr lands on matching planes and clusters together.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from dedup_spark.functions.imagecodec import MAX_PIXELS, ImageDecodeError
+
+_MAGIC = b"\x76\x2f\x31\x01"
+
+# pixel type codes (chlist)
+_UINT, _HALF, _FLOAT = 0, 1, 2
+_TYPE_SIZE = {_UINT: 4, _HALF: 2, _FLOAT: 4}
+_TYPE_NP = {_UINT: "<u4", _HALF: "<f2", _FLOAT: "<f4"}
+
+_LINES_PER_CHUNK = {0: 1, 1: 1, 2: 1, 3: 16}  # NONE, RLE, ZIPS, ZIP
+
+
+def _cstr(d: bytes, pos: int, limit: int = 256) -> tuple[bytes, int]:
+    end = d.find(b"\x00", pos, pos + limit)
+    if end < 0:
+        raise ImageDecodeError("EXR string unterminated")
+    return d[pos:end], end + 1
+
+
+def _parse_chlist(v: bytes) -> list[tuple[str, int]]:
+    chans: list[tuple[str, int]] = []
+    pos = 0
+    while pos < len(v) and v[pos] != 0:
+        name, pos = _cstr(v, pos)
+        if pos + 16 > len(v):
+            raise ImageDecodeError("EXR channel entry truncated")
+        # int32 type, uint8 pLinear + 3 reserved, int32 xSampling/ySampling
+        ptype, _plin, xs, ys = struct.unpack("<iIii", v[pos : pos + 16])
+        pos += 16
+        if ptype not in _TYPE_SIZE:
+            raise ImageDecodeError(f"EXR pixel type {ptype} unknown")
+        if xs != 1 or ys != 1:
+            raise ImageDecodeError("EXR subsampled channels unsupported")
+        chans.append((name.decode("latin-1"), ptype))
+    if not chans:
+        raise ImageDecodeError("EXR channel list empty")
+    return chans
+
+
+def _undo_predictor_and_reorder(t: bytearray) -> bytes:
+    """OpenEXR ZIP/RLE post-processing: cumulative predictor undo over
+    the reordered buffer, then re-interleave the two halves."""
+    arr = np.frombuffer(bytes(t), dtype=np.uint8).astype(np.int64)
+    arr += -128
+    np.cumsum(arr, out=arr)
+    arr = (arr + 128) & 0xFF  # first byte restored exactly
+    n = arr.shape[0]
+    half = (n + 1) // 2
+    out = np.empty(n, dtype=np.uint8)
+    out[0::2] = arr[:half]
+    out[1::2] = arr[half:]
+    return out.tobytes()
+
+
+def _rle_uncompress(d: bytes, expected: int) -> bytearray:
+    out = bytearray()
+    i = 0
+    n = len(d)
+    while i < n:
+        c = d[i]
+        i += 1
+        if c > 127:  # signed char < 0: literal run of 256 - c bytes
+            cnt = 256 - c
+            if i + cnt > n:
+                raise ImageDecodeError("EXR RLE literal overruns input")
+            out += d[i : i + cnt]
+            i += cnt
+        else:  # repeat next byte c + 1 times
+            if i >= n:
+                raise ImageDecodeError("EXR RLE run missing byte")
+            out += d[i : i + 1] * (c + 1)
+            i += 1
+        if len(out) > expected:
+            raise ImageDecodeError("EXR RLE output overruns chunk")
+    if len(out) != expected:
+        raise ImageDecodeError("EXR RLE output short")
+    return out
+
+
+def _inflate_bounded(d: bytes, expected: int) -> bytearray:
+    dec = zlib.decompressobj()
+    try:
+        out = dec.decompress(d, expected)
+    except zlib.error as exc:
+        raise ImageDecodeError(f"EXR zlib stream corrupt: {exc}") from exc
+    if dec.unconsumed_tail or len(out) != expected:
+        raise ImageDecodeError("EXR zlib output size mismatch")
+    return bytearray(out)
+
+
+def decode_exr(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """OpenEXR → (grayscale uint8 (h, w), width, height): BT.709 luma
+    over R/G/B channels (or the single Y/first channel), folded to
+    uint8 by the Radiance decoder's log2 ramp (round-to-nearest)."""
+    try:
+        return _decode_exr(payload)
+    except ImageDecodeError:
+        raise
+    except (ValueError, struct.error, IndexError, OverflowError, MemoryError,
+            zlib.error) as exc:
+        raise ImageDecodeError(f"corrupt EXR: {exc}") from exc
+
+
+def _decode_exr(payload: bytes) -> tuple[np.ndarray, int, int]:
+    if len(payload) < 12 or payload[:4] != _MAGIC:
+        raise ImageDecodeError("not an EXR payload")
+    (version,) = struct.unpack("<I", payload[4:8])
+    if version & 0xFF != 2:
+        raise ImageDecodeError(f"EXR version {version & 0xFF} unsupported")
+    if version & 0x200:
+        raise ImageDecodeError("tiled EXR outside the scanline subset")
+    if version & (0x800 | 0x1000):
+        raise ImageDecodeError("deep/multi-part EXR unsupported")
+
+    pos = 8
+    chans = None
+    compression = None
+    dw = None
+    line_order = 0
+    while True:
+        if pos >= len(payload):
+            raise ImageDecodeError("EXR header unterminated")
+        if payload[pos] == 0:
+            pos += 1
+            break
+        name, pos = _cstr(payload, pos)
+        atype, pos = _cstr(payload, pos)
+        if pos + 4 > len(payload):
+            raise ImageDecodeError("EXR attribute size truncated")
+        (asize,) = struct.unpack("<i", payload[pos : pos + 4])
+        pos += 4
+        if asize < 0 or pos + asize > len(payload):
+            raise ImageDecodeError("EXR attribute overruns file")
+        value = payload[pos : pos + asize]
+        pos += asize
+        if name == b"channels" and atype == b"chlist":
+            chans = _parse_chlist(value)
+        elif name == b"compression" and atype == b"compression":
+            compression = value[0]
+        elif name == b"dataWindow" and atype == b"box2i":
+            dw = struct.unpack("<iiii", value[:16])
+        elif name == b"lineOrder" and atype == b"lineOrder":
+            line_order = value[0]
+
+    if chans is None or compression is None or dw is None:
+        raise ImageDecodeError("EXR missing required attributes")
+    if compression not in _LINES_PER_CHUNK:
+        raise ImageDecodeError(
+            f"EXR compression {compression} outside the NONE/RLE/ZIPS/ZIP "
+            "subset (PIZ/PXR24/B44/DWA stay stubbed)"
+        )
+    if line_order not in (0, 1):
+        raise ImageDecodeError("EXR RANDOM_Y line order unsupported")
+    x_min, y_min, x_max, y_max = dw
+    w = x_max - x_min + 1
+    h = y_max - y_min + 1
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ImageDecodeError(f"EXR dimensions out of bounds {w}x{h}")
+
+    lpc = _LINES_PER_CHUNK[compression]
+    n_chunks = (h + lpc - 1) // lpc
+    pos += 8 * n_chunks  # offset table (chunks parsed sequentially)
+
+    row_bytes = sum(w * _TYPE_SIZE[t] for _n, t in chans)
+    planes = {
+        name: np.zeros((h, w), dtype=np.float64) for name, _t in chans
+    }
+    rows_seen = 0
+    for _c in range(n_chunks):
+        if pos + 8 > len(payload):
+            raise ImageDecodeError("EXR chunk header truncated")
+        y, dsize = struct.unpack("<ii", payload[pos : pos + 8])
+        pos += 8
+        if dsize < 0 or pos + dsize > len(payload):
+            raise ImageDecodeError("EXR chunk overruns file")
+        data = payload[pos : pos + dsize]
+        pos += dsize
+        y0 = y - y_min
+        if not 0 <= y0 < h:
+            raise ImageDecodeError("EXR chunk y outside data window")
+        lines = min(lpc, h - y0)
+        expected = lines * row_bytes
+        if dsize == expected or compression == 0:
+            if dsize != expected:
+                raise ImageDecodeError("EXR uncompressed chunk size mismatch")
+            raw = data
+        elif compression == 1:
+            raw = _undo_predictor_and_reorder(_rle_uncompress(data, expected))
+        else:
+            raw = _undo_predictor_and_reorder(_inflate_bounded(data, expected))
+        o = 0
+        for li in range(lines):
+            for name, t in chans:
+                nb = w * _TYPE_SIZE[t]
+                vals = np.frombuffer(raw, dtype=_TYPE_NP[t], count=w, offset=o)
+                planes[name][y0 + li] = vals.astype(np.float64)
+                o += nb
+        rows_seen += lines
+    if rows_seen != h:
+        raise ImageDecodeError("EXR scanline coverage incomplete")
+
+    names = {n for n, _t in chans}
+    if {"R", "G", "B"} <= names:
+        lum = (0.2126 * planes["R"] + 0.7152 * planes["G"]
+               + 0.0722 * planes["B"])
+    elif "Y" in names:
+        lum = planes["Y"]
+    else:
+        lum = planes[chans[0][0]]
+    with np.errstate(divide="ignore"):
+        lg = np.where(lum > 0, np.log2(np.maximum(lum, 1e-30)), -8.0)
+    gray = np.clip(np.rint((lg + 8.0) * (255.0 / 16.0)), 0, 255)
+    return gray.astype(np.uint8), int(w), int(h)
+
+
+def exr_meta(payload: bytes) -> dict:
+    """Header-only geometry/type metadata (the ffprobe-analog read)."""
+    gray, w, h = None, None, None
+    # reuse the header walk without decoding pixels
+    if len(payload) < 12 or payload[:4] != _MAGIC:
+        raise ImageDecodeError("not an EXR payload")
+    pos = 8
+    meta = {"container": "exr", "width": None, "height": None,
+            "channels": None, "compression": None}
+    while pos < len(payload) and payload[pos] != 0:
+        name, pos = _cstr(payload, pos)
+        _atype, pos = _cstr(payload, pos)
+        (asize,) = struct.unpack("<i", payload[pos : pos + 4])
+        pos += 4
+        value = payload[pos : pos + asize]
+        pos += asize
+        if name == b"dataWindow":
+            x0, y0, x1, y1 = struct.unpack("<iiii", value[:16])
+            meta["width"], meta["height"] = x1 - x0 + 1, y1 - y0 + 1
+        elif name == b"channels":
+            meta["channels"] = ",".join(n for n, _t in _parse_chlist(value))
+        elif name == b"compression":
+            meta["compression"] = value[0]
+    return meta
+
+
+# ------------------------------------------------------ fixture encoder ---
+
+
+def _predict_and_reorder(raw: bytes) -> bytes:
+    """Forward of _undo_predictor_and_reorder (compress side)."""
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    n = arr.shape[0]
+    half = (n + 1) // 2
+    tmp = np.empty(n, dtype=np.uint8)
+    tmp[:half] = arr[0::2]
+    tmp[half:] = arr[1::2]
+    t = tmp.astype(np.int16)
+    d = np.empty_like(t)
+    d[0] = t[0]
+    d[1:] = (t[1:] - t[:-1] + 128) & 0xFF
+    return d.astype(np.uint8).tobytes()
+
+
+def _rle_compress(d: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(d)
+    while i < n:
+        run = 1
+        while i + run < n and d[i + run] == d[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out.append(run - 1)
+            out.append(d[i])
+            i += run
+        else:
+            lit = 1
+            while (i + lit < n and lit < 127
+                   and (i + lit + 2 >= n or d[i + lit] != d[i + lit + 1]
+                        or d[i + lit] != d[i + lit + 2])):
+                lit += 1
+            out.append(256 - lit)
+            out += d[i : i + lit]
+            i += lit
+    return bytes(out)
+
+
+def _attr(name: bytes, atype: bytes, value: bytes) -> bytes:
+    return name + b"\x00" + atype + b"\x00" + struct.pack("<i", len(value)) + value
+
+
+def encode_exr_gray8(
+    img: np.ndarray, compression: str = "zip", pixel_type: str = "half",
+    rgb: bool = False, line_order_decreasing: bool = False,
+) -> bytes:
+    """Deterministic OpenEXR fixture: gray uint8 → luminance on the
+    decoder's inverse log2 ramp, stored as a single HALF/FLOAT 'Y'
+    channel (or as R=G=B FLOAT), scanline chunks under the requested
+    compression with the spec's store-raw fallback."""
+    comp_code = {"none": 0, "rle": 1, "zips": 2, "zip": 3}[compression]
+    ptype = {"half": _HALF, "float": _FLOAT}[pixel_type]
+    h, w = img.shape
+    lum = np.exp2(img.astype(np.float64) * (16.0 / 255.0) - 8.0)
+    if rgb:
+        chans = [("B", _FLOAT), ("G", _FLOAT), ("R", _FLOAT)]  # alphabetical
+        plane_of = {n: lum for n, _t in chans}
+    else:
+        chans = [("Y", ptype)]
+        plane_of = {"Y": lum}
+
+    chlist = bytearray()
+    for name, t in chans:
+        chlist += name.encode() + b"\x00"
+        chlist += struct.pack("<iBBBBii", t, 0, 0, 0, 0, 1, 1)
+    chlist += b"\x00"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = bytearray()
+    header += _MAGIC + struct.pack("<I", 2)
+    header += _attr(b"channels", b"chlist", bytes(chlist))
+    header += _attr(b"compression", b"compression", bytes([comp_code]))
+    header += _attr(b"dataWindow", b"box2i", box)
+    header += _attr(b"displayWindow", b"box2i", box)
+    header += _attr(b"lineOrder", b"lineOrder",
+                    bytes([1 if line_order_decreasing else 0]))
+    header += _attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+    header += _attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0, 0))
+    header += _attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+    header += b"\x00"
+
+    lpc = _LINES_PER_CHUNK[comp_code]
+    n_chunks = (h + lpc - 1) // lpc
+    chunks: list[bytes] = []
+    ys = range(0, h, lpc)
+    for y0 in ys:
+        lines = min(lpc, h - y0)
+        raw = bytearray()
+        for li in range(lines):
+            for name, t in chans:
+                raw += plane_of[name][y0 + li].astype(_TYPE_NP[t]).tobytes()
+        raw = bytes(raw)
+        if comp_code == 0:
+            packed = raw
+        else:
+            body = _predict_and_reorder(raw)
+            packed = (_rle_compress(body) if comp_code == 1
+                      else zlib.compress(body))
+            if len(packed) >= len(raw):
+                packed = raw  # spec: store raw when compression loses
+        chunks.append(struct.pack("<ii", y0, len(packed)) + packed)
+    if line_order_decreasing:
+        chunks = chunks[::-1]
+
+    table_pos = len(header)
+    data_pos = table_pos + 8 * n_chunks
+    offsets = []
+    p = data_pos
+    for c in chunks:
+        offsets.append(p)
+        p += len(c)
+    out = bytearray(header)
+    for o in offsets:
+        out += struct.pack("<Q", o)
+    for c in chunks:
+        out += c
+    return bytes(out)

@@ -122,6 +122,8 @@ def detect_kind_from_magic(payload: bytes | None) -> str:
         return "audio"
     if payload[:4] == b"RIFF" and len(payload) >= 12 and payload[8:12] == b"WEBP":
         return "image"
+    if payload[:4] == b"\x76\x2f\x31\x01":
+        return "image"  # OpenEXR
     kind = _MAGIC_KINDS.get(payload[:4].hex())
     if kind is not None:
         return kind
@@ -213,6 +215,7 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
             hx.startswith("52494646") & (F.substring(hx, 17, 8) == "57454250"),
             "image",                                                  # RIFF/WEBP
         )
+        .when(hx.startswith("762f3101"), "image")                     # OpenEXR
         .when(
             hx.startswith("464f524d")
             & F.substring(hx, 17, 8).isin("41494646", "41494643"),
@@ -326,6 +329,8 @@ def sniff_media_format(payload: bytes | None) -> str | None:
         if d[8:12] == b"WEBP":
             return "webp"
         return None
+    if d[:4] == b"\x76\x2f\x31\x01":
+        return "exr"
     if d[:4] == b"FORM" and d[8:12] in (b"AIFF", b"AIFC"):
         return "aiff"
     if d[:4] == b".snd":
@@ -599,6 +604,11 @@ def decode_pixels(payload: bytes, fake: bool = False) -> tuple:
 
             img, w, h = decode_webp(raw)
             return img, w, h, "webp"
+        if raw[:4] == b"\x76\x2f\x31\x01":
+            from dedup_spark.functions.exr import decode_exr
+
+            img, w, h = decode_exr(raw)
+            return img, w, h, "exr"
         if raw[:10] == b"#?RADIANCE" or raw[:6] == b"#?RGBE":
             img, w, h = decode_hdr(raw)
             return img, w, h, "hdr"
@@ -1273,11 +1283,12 @@ def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
     horizontal predictor, binary PGM (P5), QOI, farbfeld, a
     DIB-coded ICO, an RLE TGA (decoded via the kind-tag route: the
     format has no magic), an RLE Radiance HDR, an uncompressed
-    32-bit DDS and a lossless WebP (VP8L; feature flags cycled so
+    32-bit DDS, a lossless WebP (VP8L; feature flags cycled so
     subtract-green, LZ77 runs and the color cache all run at scale)
-    — so the format-blind geometry oracle (`png_decode_meta`)
-    value-verifies every lossless-class image decoder through one
-    query (no fake on any row)."""
+    and an OpenEXR (compression cycled none/RLE/ZIPS/ZIP) — so the
+    format-blind geometry oracle (`png_decode_meta`) value-verifies
+    every lossless-class image decoder through one query (no fake on
+    any row)."""
 
     def make(raw: bytes) -> bytes:
         from dedup_spark.functions.imagecodec import (
@@ -1293,7 +1304,7 @@ def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
         )
 
         img = _fake_pixels(raw)[0]
-        sel = len(raw) % 11
+        sel = len(raw) % 12
         if sel == 0:
             return encode_png_gray8(img)
         if sel == 1:
@@ -1315,13 +1326,21 @@ def documents_as_png_assets(spark, sf_dir: str) -> DataFrame:
             return encode_hdr_gray8(img)
         if sel == 9:
             return encode_dds_rgb32_gray8(img)
-        from dedup_spark.functions.webp import encode_webp_gray8
+        if sel == 10:
+            from dedup_spark.functions.webp import encode_webp_gray8
 
-        return encode_webp_gray8(
+            return encode_webp_gray8(
+                img,
+                subtract_green=bool(len(raw) % 2),
+                lz77=True,
+                cache_bits=4 if len(raw) % 3 == 0 else 0,
+            )
+        from dedup_spark.functions.exr import encode_exr_gray8
+
+        return encode_exr_gray8(
             img,
-            subtract_green=bool(len(raw) % 2),
-            lz77=True,
-            cache_bits=4 if len(raw) % 3 == 0 else 0,
+            compression=("none", "rle", "zips", "zip")[len(raw) % 4],
+            pixel_type="float" if len(raw) % 2 else "half",
         )
 
     return _documents_as_media_assets(spark, sf_dir, "image", "image/png", make)

@@ -1351,8 +1351,9 @@ FROM t
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
        CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) AS width,
        CAST(16 + (octet_length(encode(text)) // 7) % 48 AS BIGINT) AS height,
-       ['png','tiff','tiff','pgm','qoi','ff','ico','tga','hdr','dds','webp']
-           [CAST(octet_length(encode(text)) % 11 AS INT) + 1] AS decoder
+       ['png','tiff','tiff','pgm','qoi','ff','ico','tga','hdr','dds','webp',
+        'exr']
+           [CAST(octet_length(encode(text)) % 12 AS INT) + 1] AS decoder
 FROM documents
 """,
     "jpeg_decode_meta": """

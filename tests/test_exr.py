@@ -1,0 +1,182 @@
+"""OpenEXR scanline decode contracts: bit-exact round trips across
+compressions/pixel types/line orders, the predictor+reorder kernel,
+the store-raw fallback, strict corrupt rejection, and pipeline
+integration (sniffers, decode token, HDR+EXR one-cluster e2e — the
+two HDR-class formats share the log2 gray fold)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from dedup_spark.functions.exr import (
+    _predict_and_reorder,
+    _rle_compress,
+    _rle_uncompress,
+    _undo_predictor_and_reorder,
+    decode_exr,
+    encode_exr_gray8,
+    exr_meta,
+)
+from dedup_spark.functions.imagecodec import ImageDecodeError
+
+
+def _img(h: int, w: int, seed: int = 4) -> np.ndarray:
+    return np.random.RandomState(seed).randint(0, 256, (h, w), np.uint8)
+
+
+@pytest.mark.parametrize("comp", ["none", "rle", "zips", "zip"])
+@pytest.mark.parametrize("ptype", ["half", "float"])
+def test_round_trip_bit_exact(comp, ptype):
+    img = _img(37, 29)
+    g, w, h = decode_exr(encode_exr_gray8(img, compression=comp,
+                                          pixel_type=ptype))
+    assert (w, h) == (29, 37)
+    assert np.array_equal(g, img)
+
+
+def test_every_gray_level_survives_the_fold():
+    """exp2/log2 ramp round-trips all 256 levels exactly in both
+    HALF and FLOAT storage."""
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    for ptype in ("half", "float"):
+        g, _w, _h = decode_exr(encode_exr_gray8(img, pixel_type=ptype))
+        assert np.array_equal(g, img), ptype
+
+
+def test_rgb_channels_and_decreasing_line_order():
+    img = _img(21, 18, seed=8)
+    g, _w, _h = decode_exr(encode_exr_gray8(img, rgb=True))
+    assert np.array_equal(g, img)
+    g2, _w, _h = decode_exr(
+        encode_exr_gray8(img, line_order_decreasing=True, compression="zip")
+    )
+    assert np.array_equal(g2, img)
+
+
+def test_multi_chunk_zip_paths():
+    """h > 16 forces multiple ZIP chunks incl. a short final one."""
+    img = _img(50, 23, seed=2)
+    g, _w, _h = decode_exr(encode_exr_gray8(img, compression="zip"))
+    assert np.array_equal(g, img)
+
+
+def test_predictor_reorder_kernel_inverts():
+    rng = np.random.RandomState(0)
+    for n in (1, 2, 3, 64, 255, 1024):
+        raw = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+        assert _undo_predictor_and_reorder(
+            bytearray(_predict_and_reorder(raw))
+        ) == raw, n
+
+
+def test_rle_codes_invert():
+    rng = np.random.RandomState(1)
+    cases = [
+        b"\x00" * 500,
+        bytes(rng.randint(0, 3, 400).astype(np.uint8)),
+        bytes(rng.randint(0, 256, 513).astype(np.uint8)),
+        b"a",
+        b"ababab" + b"c" * 200,
+    ]
+    for raw in cases:
+        assert bytes(_rle_uncompress(_rle_compress(raw), len(raw))) == raw
+
+
+def test_store_raw_fallback_round_trips():
+    """Noise at FLOAT precision makes zlib/RLE lose; the encoder then
+    stores raw chunks (spec rule: stored == unpacked size means
+    uncompressed) and the decoder takes the size-equality branch."""
+    img = _img(17, 19, seed=9)
+    payload = encode_exr_gray8(img, compression="rle", pixel_type="float")
+    g, _w, _h = decode_exr(payload)
+    assert np.array_equal(g, img)
+
+
+def test_corrupt_streams_raise_typed():
+    good = encode_exr_gray8(_img(8, 8))
+    version_bad = bytearray(good)
+    version_bad[4] = 3
+    tiled = bytearray(good)
+    tiled[5] |= 0x02  # 0x200 tile bit
+    cases = [
+        b"",
+        b"\x76\x2f\x31\x02" + good[4:],         # wrong magic
+        bytes(version_bad),
+        bytes(tiled),
+        good[:30],                                # header truncated
+        good[: len(good) - 5],                    # chunk truncated
+    ]
+    for payload in cases:
+        with pytest.raises(ImageDecodeError):
+            decode_exr(payload)
+    # PIZ compression (code 4) is honestly out of subset
+    piz = bytearray(good)
+    i = good.find(b"compression\x00compression\x00")
+    assert i > 0
+    piz[i + len(b"compression\x00compression\x00") + 4] = 4
+    with pytest.raises(ImageDecodeError):
+        decode_exr(bytes(piz))
+    # dimension bomb: dataWindow far past the pixel cap
+    j = good.find(b"dataWindow\x00box2i\x00")
+    bomb = bytearray(good)
+    bomb[j + 17 + 4 : j + 17 + 20] = struct.pack("<iiii", 0, 0, 2**24, 2**24)
+    with pytest.raises(ImageDecodeError):
+        decode_exr(bytes(bomb))
+
+
+def test_mutation_fuzz_never_escapes_typed_error():
+    rng = np.random.RandomState(3)
+    good = bytearray(encode_exr_gray8(_img(12, 15), compression="zip"))
+    for _ in range(200):
+        bad = bytearray(good)
+        i = rng.randint(0, len(bad))
+        bad[i] ^= 1 << rng.randint(0, 8)
+        try:
+            decode_exr(bytes(bad))
+        except ImageDecodeError:
+            pass
+
+
+def test_exr_meta():
+    m = exr_meta(encode_exr_gray8(_img(19, 23), compression="rle"))
+    assert (m["width"], m["height"], m["channels"], m["compression"]) == (
+        23, 19, "Y", 1,
+    )
+    m2 = exr_meta(encode_exr_gray8(_img(5, 6), rgb=True))
+    assert m2["channels"] == "B,G,R"
+
+
+def test_exr_joins_the_image_pipeline(spark):
+    from dedup_spark.functions.imagecodec import encode_hdr_gray8
+    from dedup_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_pixels,
+        detect_kind_from_magic,
+        media_near_dup_clusters,
+        sniff_media_format,
+    )
+
+    img = _img(24, 16, seed=5)
+    payload = encode_exr_gray8(img, compression="zip")
+    assert detect_kind_from_magic(payload) == "image"
+    assert sniff_media_format(payload) == "exr"
+    g, w, h, dec = decode_pixels(payload, fake=False)
+    assert (dec, w, h) == ("exr", 16, 24)
+    assert np.array_equal(g, img)
+    # HDR and EXR share the log2 fold: one radiance map, two HDR-class
+    # containers, ONE cluster — and a different map stays apart
+    rows = [
+        (1, "blob", encode_hdr_gray8(img), None),
+        (2, "blob", payload, None),
+        (3, "blob", encode_exr_gray8(255 - img), None),
+    ]
+    out = media_near_dup_clusters(
+        spark.createDataFrame(rows, ASSET_SCHEMA)
+    ).collect()
+    by_id = {r["asset_id"]: r for r in out}
+    assert by_id[1]["cluster_id"] == by_id[2]["cluster_id"]
+    assert by_id[3]["cluster_id"] != by_id[1]["cluster_id"]
+    assert by_id[1]["decoder"] == "hdr" and by_id[2]["decoder"] == "exr"
