@@ -1,0 +1,279 @@
+"""System-library cross-pins (skip-gated): production codecs present
+in this sandbox validate the engine's pure-numpy decoders on streams
+the engine's own fixture encoders would never produce.
+
+- libpng (simplified png_image API): its ENCODER picks adaptive
+  per-row filters (Sub/Up/Average/Paeth) that our fixture encoder
+  (filter 0 only) never emits — so decoding libpng-written files
+  exercises every unfilter path against ground truth; the reverse
+  direction feeds our fixtures through libpng's reader.
+- libtiff: its LZW writer (with the horizontal predictor, multi-row
+  strips) pins our TIFF-LZW early-change decode; the reverse
+  direction reads our fixtures via TIFFReadRGBAImage.
+- libwebp pins live in tests/test_webp.py.
+
+These complement (not replace) the offline spec tests: they are
+skipped cleanly on hosts without the libraries.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from dedup_spark.functions.imagecodec import (
+    _LUMA_B,
+    _LUMA_G,
+    _LUMA_R,
+    decode_png,
+    encode_png_gray8,
+    encode_png_gray16,
+    encode_png_gray8_interlaced,
+    encode_png_rgb8,
+)
+
+
+class _PngImage(ctypes.Structure):
+    # libpng 1.6 simplified-API control struct (png.h: png_image)
+    _fields_ = [
+        ("opaque", ctypes.c_void_p),
+        ("version", ctypes.c_uint32),
+        ("width", ctypes.c_uint32),
+        ("height", ctypes.c_uint32),
+        ("format", ctypes.c_uint32),
+        ("flags", ctypes.c_uint32),
+        ("colormap_entries", ctypes.c_uint32),
+        ("warning_or_error", ctypes.c_uint32),
+        ("message", ctypes.c_char * 64),
+    ]
+
+
+_FMT_GRAY = 0
+_FMT_RGB = 2
+_FMT_RGBA = 3
+
+
+def _libpng():
+    try:
+        return ctypes.CDLL("libpng16.so.16")
+    except OSError:
+        return None
+
+
+def _png_write(lp, pixels: np.ndarray, fmt: int) -> bytes:
+    h, w = pixels.shape[:2]
+    ch = 1 if fmt == _FMT_GRAY else (3 if fmt == _FMT_RGB else 4)
+    img = _PngImage()
+    img.version = 1
+    img.width = w
+    img.height = h
+    img.format = fmt
+    size = ctypes.c_size_t(0)
+    raw = np.ascontiguousarray(pixels).tobytes()
+    assert lp.png_image_write_to_memory(
+        ctypes.byref(img), None, ctypes.byref(size), 0, raw, w * ch, None
+    ), img.message
+    buf = ctypes.create_string_buffer(size.value)
+    assert lp.png_image_write_to_memory(
+        ctypes.byref(img), buf, ctypes.byref(size), 0, raw, w * ch, None
+    ), img.message
+    return buf.raw[: size.value]
+
+
+def _png_read(lp, payload: bytes, fmt: int) -> np.ndarray:
+    img = _PngImage()
+    img.version = 1
+    assert lp.png_image_begin_read_from_memory(
+        ctypes.byref(img), payload, len(payload)
+    ), img.message
+    w, h = img.width, img.height
+    ch = 1 if fmt == _FMT_GRAY else (3 if fmt == _FMT_RGB else 4)
+    img.format = fmt
+    out = ctypes.create_string_buffer(w * h * ch)
+    assert lp.png_image_finish_read(
+        ctypes.byref(img), None, out, w * ch, None
+    ), img.message
+    arr = np.frombuffer(out.raw, np.uint8)
+    return arr.reshape(h, w) if ch == 1 else arr.reshape(h, w, ch)
+
+
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    c = rgb.astype(np.uint32)
+    return (
+        (_LUMA_R * c[:, :, 0] + _LUMA_G * c[:, :, 1] + _LUMA_B * c[:, :, 2])
+        >> 8
+    ).astype(np.uint8)
+
+
+@pytest.mark.skipif(_libpng() is None, reason="system libpng not present")
+def test_decodes_real_libpng_streams():
+    """Adaptive-filtered streams from the production libpng encoder
+    (gray, RGB, RGBA; gradients, photo-ish, noise, flat runs) decode
+    to the exact per-pixel luma."""
+    lp = _libpng()
+    rng = np.random.RandomState(17)
+    for (h, w) in [(1, 1), (5, 3), (23, 31), (64, 48)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        imgs = [
+            ((xx * 7 + yy * 3) % 256).astype(np.uint8),
+            rng.randint(0, 256, (h, w)).astype(np.uint8),
+            np.full((h, w), 129, np.uint8),
+        ]
+        for gray in imgs:
+            payload = _png_write(lp, gray, _FMT_GRAY)
+            g, ww, hh = decode_png(payload)
+            assert (ww, hh) == (w, h)
+            assert np.array_equal(g, gray)
+        rgb = np.stack(
+            [(xx * 7) % 256, (yy * 5 + xx) % 256, (xx * xx + yy) % 256], -1
+        ).astype(np.uint8)
+        g, _, _ = decode_png(_png_write(lp, rgb, _FMT_RGB))
+        assert np.array_equal(g, _luma(rgb))
+        rgba = np.concatenate(
+            [rng.randint(0, 256, (h, w, 3)).astype(np.uint8),
+             np.full((h, w, 1), 255, np.uint8)], axis=2,
+        )
+        g, _, _ = decode_png(_png_write(lp, rgba, _FMT_RGBA))
+        assert np.array_equal(g, _luma(rgba[:, :, :3]))
+
+
+@pytest.mark.skipif(_libpng() is None, reason="system libpng not present")
+def test_libpng_reads_our_fixtures():
+    """The reverse pin: libpng accepts this repo's fixture encoders
+    (gray8, rgb8, gray16, Adam7-interlaced gray8) and agrees."""
+    lp = _libpng()
+    rng = np.random.RandomState(23)
+    gray = rng.randint(0, 256, (19, 27)).astype(np.uint8)
+    assert np.array_equal(
+        _png_read(lp, encode_png_gray8(gray), _FMT_GRAY), gray
+    )
+    assert np.array_equal(
+        _png_read(lp, encode_png_gray8_interlaced(gray), _FMT_GRAY), gray
+    )
+    rgb = rng.randint(0, 256, (13, 9, 3)).astype(np.uint8)
+    assert np.array_equal(_png_read(lp, encode_png_rgb8(rgb), _FMT_RGB), rgb)
+    # 16-bit: read back through PNG_FORMAT_LINEAR_Y (the simplified
+    # API's native 16-bit path — its 8-bit formats would apply the
+    # linear→sRGB transfer, which is conversion policy, not decoding)
+    g16 = rng.randint(0, 1 << 16, (7, 11)).astype(np.uint16)
+    payload = encode_png_gray16(g16)
+    img = _PngImage()
+    img.version = 1
+    assert lp.png_image_begin_read_from_memory(
+        ctypes.byref(img), payload, len(payload)
+    ), img.message
+    img.format = 4  # PNG_FORMAT_LINEAR_Y
+    out = ctypes.create_string_buffer(img.width * img.height * 2)
+    assert lp.png_image_finish_read(
+        ctypes.byref(img), None, out, img.width, None
+    ), img.message
+    got = np.frombuffer(out.raw, np.uint16).reshape(7, 11)
+    assert np.array_equal(got, g16)
+
+
+# ------------------------------------------------------------ libtiff ----
+
+
+def _libtiff():
+    try:
+        lt = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        return None
+    lt.TIFFOpen.restype = ctypes.c_void_p
+    lt.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lt.TIFFWriteScanline.restype = ctypes.c_int
+    lt.TIFFWriteScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16,
+    ]
+    lt.TIFFReadRGBAImage.restype = ctypes.c_int
+    lt.TIFFReadRGBAImage.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_void_p, ctypes.c_int,
+    ]
+    lt.TIFFClose.argtypes = [ctypes.c_void_p]
+    return lt
+
+
+def _tiff_write_gray(lt, img, compression: int, predictor: int,
+                     rows_per_strip: int) -> bytes:
+    import os
+    import tempfile
+
+    h, w = img.shape
+    path = tempfile.mktemp(suffix=".tif")
+    tif = lt.TIFFOpen(path.encode(), b"w")
+    assert tif
+    SF = lt.TIFFSetField
+    p = ctypes.c_void_p(tif)
+    SF(p, ctypes.c_uint32(256), ctypes.c_uint32(w))
+    SF(p, ctypes.c_uint32(257), ctypes.c_uint32(h))
+    SF(p, ctypes.c_uint32(258), ctypes.c_int(8))
+    SF(p, ctypes.c_uint32(259), ctypes.c_int(compression))
+    SF(p, ctypes.c_uint32(262), ctypes.c_int(1))  # min-is-black
+    SF(p, ctypes.c_uint32(277), ctypes.c_int(1))
+    SF(p, ctypes.c_uint32(278), ctypes.c_uint32(rows_per_strip))
+    if predictor:
+        SF(p, ctypes.c_uint32(317), ctypes.c_int(predictor))
+    for y in range(h):
+        assert lt.TIFFWriteScanline(tif, img[y].tobytes(), y, 0) == 1
+    lt.TIFFClose(p)
+    payload = open(path, "rb").read()
+    os.unlink(path)
+    return payload
+
+
+@pytest.mark.skipif(_libtiff() is None, reason="system libtiff not present")
+def test_decodes_real_libtiff_streams():
+    """libtiff-written strips (none / LZW / LZW+predictor, incl.
+    multi-strip layouts) decode exactly — canonical coverage for the
+    LZW early-change path our own encoder exercises only one way."""
+    from dedup_spark.functions.imagecodec import decode_tiff
+
+    lt = _libtiff()
+    rng = np.random.RandomState(31)
+    for (h, w) in [(5, 7), (21, 33), (40, 17)]:
+        imgs = [
+            (np.arange(h * w, dtype=np.uint32).reshape(h, w) * 13 % 256
+             ).astype(np.uint8),
+            rng.randint(0, 256, (h, w)).astype(np.uint8),
+        ]
+        for img in imgs:
+            for comp, pred, rps in [
+                (1, 0, h), (5, 0, h), (5, 2, 8), (5, 2, 1),
+            ]:
+                payload = _tiff_write_gray(lt, img, comp, pred, rps)
+                g, ww, hh = decode_tiff(payload)
+                assert (ww, hh) == (w, h), (comp, pred, rps)
+                assert np.array_equal(g, img), (comp, pred, rps)
+
+
+@pytest.mark.skipif(_libtiff() is None, reason="system libtiff not present")
+def test_libtiff_reads_our_fixtures():
+    """TIFFReadRGBAImage (bottom-up ABGR raster) accepts this repo's
+    fixture encoder in all four layout variants and agrees."""
+    import os
+    import tempfile
+
+    from dedup_spark.functions.imagecodec import encode_tiff_gray8
+
+    lt = _libtiff()
+    img = np.random.RandomState(37).randint(0, 256, (19, 23)).astype(np.uint8)
+    h, w = img.shape
+    for kwargs in [
+        {}, {"lzw": True}, {"big_endian": True},
+        {"lzw": True, "big_endian": True, "predictor": True},
+    ]:
+        payload = encode_tiff_gray8(img, **kwargs)
+        path = tempfile.mktemp(suffix=".tif")
+        with open(path, "wb") as f:
+            f.write(payload)
+        tif = lt.TIFFOpen(path.encode(), b"r")
+        assert tif, kwargs
+        raster = (ctypes.c_uint32 * (w * h))()
+        assert lt.TIFFReadRGBAImage(ctypes.c_void_p(tif), w, h, raster, 0), kwargs
+        lt.TIFFClose(ctypes.c_void_p(tif))
+        os.unlink(path)
+        abgr = np.frombuffer(raster, np.uint32).reshape(h, w)[::-1]  # flip
+        assert np.array_equal((abgr & 0xFF).astype(np.uint8), img), kwargs
