@@ -636,13 +636,37 @@ def _riff_chunks(payload: bytes):
         pos += 8 + size + (size & 1)
 
 
+def _sub_chunks(body: bytes):
+    """Chunk walk inside an ANMF frame payload (16-byte frame header,
+    then ordinary chunks — RFC 9649 animation layout)."""
+    pos = 16
+    n = len(body)
+    while pos + 8 <= n:
+        tag = body[pos : pos + 4]
+        (size,) = struct.unpack("<I", body[pos + 4 : pos + 8])
+        sub = body[pos + 8 : pos + 8 + size]
+        if len(sub) < size:
+            raise ImageDecodeError("WebP ANMF sub-chunk truncated")
+        yield tag, sub
+        pos += 8 + size + (size & 1)
+
+
 def _find_vp8l(payload: bytes) -> bytes:
+    """First VP8L bitstream: top-level (simple/extended files) or
+    inside the first ANMF frame (animated files — first-frame
+    fingerprinting, the same view the reference's image crate takes)."""
     lossy = False
     for tag, body in _riff_chunks(payload):
         if tag == b"VP8L":
             return body
         if tag == b"VP8 ":
             lossy = True
+        elif tag == b"ANMF":
+            for stag, sub in _sub_chunks(body):
+                if stag == b"VP8L":
+                    return sub
+                if stag == b"VP8 ":
+                    lossy = True
     if lossy:
         raise ImageDecodeError(
             "lossy VP8 WebP (arithmetic-coded; outside the verifiable "
@@ -700,10 +724,10 @@ def webp_meta(payload: bytes) -> dict:
                 meta["has_alpha"] = bool(body[0] & 0x10)
                 meta["width"] = 1 + int.from_bytes(body[4:7], "little")
                 meta["height"] = 1 + int.from_bytes(body[7:10], "little")
-                meta["variant"] = "extended"
+                meta["variant"] = "animated" if body[0] & 0x02 else "extended"
             elif tag == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
                 bits = int.from_bytes(body[1:5], "little")
-                if meta["variant"] != "extended":
+                if meta["variant"] not in ("extended", "animated"):
                     meta["width"] = (bits & 0x3FFF) + 1
                     meta["height"] = ((bits >> 14) & 0x3FFF) + 1
                     meta["has_alpha"] = bool((bits >> 28) & 1)
@@ -714,12 +738,12 @@ def webp_meta(payload: bytes) -> dict:
                 # 14-bit width/height with 2-bit scale, all plain bits
                 if body[3:6] != b"\x9d\x01\x2a":
                     raise ImageDecodeError("bad VP8 start code")
-                if meta["variant"] != "extended":
+                if meta["variant"] not in ("extended", "animated"):
                     meta["width"] = int.from_bytes(body[6:8], "little") & 0x3FFF
                     meta["height"] = int.from_bytes(body[8:10], "little") & 0x3FFF
                 meta["variant"] = meta["variant"] or "lossy"
                 return meta
-        if meta["variant"] == "extended":
+        if meta["variant"] in ("extended", "animated"):
             return meta
         raise ImageDecodeError("WebP payload has no image chunk")
     except ImageDecodeError:

@@ -342,3 +342,36 @@ def test_kind_column_sees_webp(spark):
     for i, p in enumerate(payloads):
         assert got[i] == detect_kind_from_magic(p), i
     assert got[0] == "image" and got[1] == "image"
+
+
+def test_animated_webp_first_frame_decodes():
+    """VP8X+ANIM+ANMF layout: the first animation frame's VP8L decodes
+    (first-frame fingerprinting); webp_meta reports the animated
+    variant with the canvas geometry."""
+    img = _img(9, 12, seed=6)
+    inner = encode_webp_gray8(img)
+    vp8l_chunk = inner[20:20 + struct.unpack("<I", inner[16:20])[0]]
+    vp8l = b"VP8L" + struct.pack("<I", len(vp8l_chunk)) + vp8l_chunk
+    if len(vp8l_chunk) & 1:
+        vp8l += b"\x00"
+    anmf_body = (
+        b"\x00\x00\x00" * 2                       # frame x, y
+        + (12 - 1).to_bytes(3, "little")          # frame width - 1
+        + (9 - 1).to_bytes(3, "little")           # frame height - 1
+        + b"\x64\x00\x00" + b"\x00"               # duration, flags
+        + vp8l
+    )
+    vp8x = bytes([0x02]) + b"\x00\x00\x00" + (12 - 1).to_bytes(
+        3, "little") + (9 - 1).to_bytes(3, "little")
+    body = (
+        b"WEBP"
+        + b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+        + b"ANIM" + struct.pack("<I", 6) + b"\x00\x00\x00\x00\x00\x00"
+        + b"ANMF" + struct.pack("<I", len(anmf_body)) + anmf_body
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    g, w, h = decode_webp(payload)
+    assert (w, h) == (12, 9)
+    assert np.array_equal(g, img)
+    m = webp_meta(payload)
+    assert (m["variant"], m["width"], m["height"]) == ("animated", 12, 9)
