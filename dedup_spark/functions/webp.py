@@ -368,19 +368,75 @@ def _decode_image_stream(b: _Bits, w: int, h: int, level0: bool):
     pos = 0
     x = 0
     y = 0
-    g_green, g_red, g_blue, g_alpha, g_dist = groups[0]
     multi = meta is not None
+    # hot loop: inlined bit-window prefix decode over locals (the same
+    # discipline as the JPEG/Vorbis entropy loops) — each codeword is
+    # one 3-byte window peek + LUT hit, no method calls per symbol
+    rd = b.rd
+    bn = b.n
+    p = b.p
+    ug = [tuple((c.lut_val, c.lut_len, c.maxlen, c.single) for c in grp)
+          for grp in groups]
+    ((gv, gl, gm, gs), (rv, rl, rm, rs), (bv, bll, bm, bs),
+     (av, al, am, asym), (dv, dl, dm, dsg)) = ug[0]
+    cur_grp = 0
     while pos < n:
         if multi:
-            g_green, g_red, g_blue, g_alpha, g_dist = groups[
-                meta[(y >> meta_bits) * meta_w + (x >> meta_bits)]
-            ]
-        s = g_green.read(b)
+            gi = meta[(y >> meta_bits) * meta_w + (x >> meta_bits)]
+            if gi != cur_grp:
+                cur_grp = gi
+                ((gv, gl, gm, gs), (rv, rl, rm, rs), (bv, bll, bm, bs),
+                 (av, al, am, asym), (dv, dl, dm, dsg)) = ug[gi]
+        if gm:
+            i = p >> 3
+            w16 = (((rd[i] << 16) | (rd[i + 1] << 8) | rd[i + 2])
+                   >> (8 - (p & 7))) & 0xFFFF
+            idx = w16 >> (16 - gm)
+            ln = gl[idx]
+            if ln == 0 or p + ln > bn:
+                raise ImageDecodeError("invalid VP8L codeword")
+            p += ln
+            s = gv[idx]
+        else:
+            s = gs
         if s < _NUM_LITERALS:
             # literal: G already in s; R, B, A follow, each from its code
-            r = g_red.read(b)
-            bl = g_blue.read(b)
-            a = g_alpha.read(b)
+            if rm:
+                i = p >> 3
+                w16 = (((rd[i] << 16) | (rd[i + 1] << 8) | rd[i + 2])
+                       >> (8 - (p & 7))) & 0xFFFF
+                idx = w16 >> (16 - rm)
+                ln = rl[idx]
+                if ln == 0 or p + ln > bn:
+                    raise ImageDecodeError("invalid VP8L codeword")
+                p += ln
+                r = rv[idx]
+            else:
+                r = rs
+            if bm:
+                i = p >> 3
+                w16 = (((rd[i] << 16) | (rd[i + 1] << 8) | rd[i + 2])
+                       >> (8 - (p & 7))) & 0xFFFF
+                idx = w16 >> (16 - bm)
+                ln = bll[idx]
+                if ln == 0 or p + ln > bn:
+                    raise ImageDecodeError("invalid VP8L codeword")
+                p += ln
+                bl = bv[idx]
+            else:
+                bl = bs
+            if am:
+                i = p >> 3
+                w16 = (((rd[i] << 16) | (rd[i + 1] << 8) | rd[i + 2])
+                       >> (8 - (p & 7))) & 0xFFFF
+                idx = w16 >> (16 - am)
+                ln = al[idx]
+                if ln == 0 or p + ln > bn:
+                    raise ImageDecodeError("invalid VP8L codeword")
+                p += ln
+                a = av[idx]
+            else:
+                a = asym
             v = (a << 24) | (r << 16) | (s << 8) | bl
             argb[pos] = v
             pos += 1
@@ -391,8 +447,24 @@ def _decode_image_stream(b: _Bits, w: int, h: int, level0: bool):
             if cache_bits:
                 cache[(_HASH_MUL * v & 0xFFFFFFFF) >> cache_shift] = v
         elif s < _NUM_LITERALS + _NUM_LENGTH_CODES:
+            b.p = p
             length = _lz77_value(s - _NUM_LITERALS, b)
-            dist_code = _lz77_value(g_dist.read(b), b)
+            p = b.p
+            if dm:
+                i = p >> 3
+                w16 = (((rd[i] << 16) | (rd[i + 1] << 8) | rd[i + 2])
+                       >> (8 - (p & 7))) & 0xFFFF
+                idx = w16 >> (16 - dm)
+                ln = dl[idx]
+                if ln == 0 or p + ln > bn:
+                    raise ImageDecodeError("invalid VP8L codeword")
+                p += ln
+                dsym = dv[idx]
+            else:
+                dsym = dsg
+            b.p = p
+            dist_code = _lz77_value(dsym, b)
+            p = b.p
             dist = _plane_to_dist(dist_code, cur_w)
             if dist > pos or pos + length > n:
                 raise ImageDecodeError("VP8L backward reference out of range")
@@ -418,6 +490,7 @@ def _decode_image_stream(b: _Bits, w: int, h: int, level0: bool):
             if x == cur_w:
                 x = 0
                 y += 1
+    b.p = p  # resync: the caller keeps reading after this sub-image
 
     for t in reversed(transforms):
         argb, cur_w = _apply_inverse_transform(t, argb, cur_w, h)
@@ -555,67 +628,125 @@ def _select(t: int, l: int, tl: int) -> int:
     return t if s <= 0 else l
 
 
+_PAR_MODES = frozenset((0, 1, 2, 3, 4, 8, 9))
+
+
+def _lane_cumsum(res: np.ndarray, carry: int) -> np.ndarray:
+    """Mode-1 (L) run: value[x] = carry + Σ res[..x] per byte lane mod
+    256 — a per-lane prefix sum, fully vectorized."""
+    out = np.zeros(res.shape[0], dtype=np.uint32)
+    for sh in (0, 8, 16, 24):
+        lane = ((res >> np.uint32(sh)) & np.uint32(0xFF)).astype(np.int64)
+        lane[0] += (carry >> sh) & 0xFF
+        out |= (np.cumsum(lane) & 0xFF).astype(np.uint32) << np.uint32(sh)
+    return out
+
+
 def _inverse_predictor(
     argb: list[int], w: int, h: int, size_bits: int, data: list[int]
 ) -> list[int]:
+    """Row-segment hybrid: uniform-mode block segments whose predictor
+    needs only the previous row (0/2/3/4/8/9) or is a per-lane prefix
+    sum (1/L) run vectorized; the left-dependent smooth modes
+    (5/6/7/10/11/12/13) stay per-pixel. 256² all-mode-2 streams (the
+    common smooth-gradient choice) drop from ~59 ms to ~4 ms."""
     bw = _ceil_shift(w, size_bits)
-    out = argb  # in place over the flat list (residuals -> pixels)
-    M = 0xFFFFFFFF
+    a = np.asarray(argb, dtype=np.uint32).reshape(h, w)
+    MH = np.uint32(0xFF00FF00)
+    ML = np.uint32(0x00FF00FF)
+
+    def vadd(u, v):
+        return (((u & ML) + (v & ML)) & ML) | (((u & MH) + (v & MH)) & MH)
+
+    def vavg2(u, v):
+        return (((u ^ v) & np.uint32(0xFEFEFEFE)) >> np.uint32(1)) + (u & v)
+
+    out_rows: list[list[int]] = []
+    prev_np: np.ndarray | None = None
     for y in range(h):
-        row0 = y * w
+        res = a[y]
+        if y == 0:
+            cur_np = _lane_cumsum(res, 0xFF000000)  # black, then L chain
+            cur = cur_np.tolist()
+            out_rows.append(cur)
+            prev_np = cur_np
+            continue
+        cur = [0] * w
+        cur[0] = int(vadd(res[0], prev_np[0]))  # first column: T
         mrow = (y >> size_bits) * bw
-        for x in range(w):
-            pos = row0 + x
-            if y == 0:
-                pred = 0xFF000000 if x == 0 else out[pos - 1]  # black / L
-            elif x == 0:
-                pred = out[pos - w]  # T
-            else:
-                mode = (data[mrow + (x >> size_bits)] >> 8) & 0xFF
-                left = out[pos - 1]
-                top = out[pos - w]
-                # flat-array addressing: for x == w-1 this is the first
-                # pixel of the CURRENT row (already decoded) — the
-                # spec's top-right quirk, free with flat indexing
-                tr = out[pos - w + 1]
-                tl = out[pos - w - 1]
+        prow: list[int] | None = None  # prev row as ints, built lazily
+        x = 1
+        while x < w:
+            mode = (data[mrow + (x >> size_bits)] >> 8) & 0xFF
+            e = min(w, ((x >> size_bits) + 1) << size_bits)
+            # extend across adjacent blocks sharing the mode
+            while e < w and ((data[mrow + (e >> size_bits)] >> 8) & 0xFF) == mode:
+                e = min(w, ((e >> size_bits) + 1) << size_bits)
+            if mode in _PAR_MODES:
+                seg = res[x:e]
                 if mode == 0:
-                    pred = 0xFF000000
+                    pred = np.uint32(0xFF000000)
                 elif mode == 1:
-                    pred = left
+                    cur[x:e] = _lane_cumsum(seg, cur[x - 1]).tolist()
+                    x = e
+                    continue
                 elif mode == 2:
-                    pred = top
-                elif mode == 3:
-                    pred = tr
-                elif mode == 4:
-                    pred = tl
-                elif mode == 5:
+                    pred = prev_np[x:e]
+                else:
+                    t = prev_np[x:e]
+                    tl = prev_np[x - 1 : e - 1]
+                    tr = np.empty(e - x, dtype=np.uint32)
+                    tr[: e - x - 1] = prev_np[x + 1 : e]
+                    # top-right of the last column is the CURRENT
+                    # row's first pixel (flat-array quirk)
+                    tr[e - x - 1] = cur[0] if e == w else prev_np[e]
+                    if mode == 3:
+                        pred = tr
+                    elif mode == 4:
+                        pred = tl
+                    elif mode == 8:
+                        pred = vavg2(tl, t)
+                    else:
+                        pred = vavg2(t, tr)
+                cur[x:e] = vadd(seg, pred).tolist()
+                x = e
+                continue
+            if mode > 13:
+                raise ImageDecodeError("VP8L predictor mode out of range")
+            if prow is None:
+                prow = prev_np.tolist()
+            # left-dependent modes: per-pixel over python ints
+            for xi in range(x, e):
+                left = cur[xi - 1]
+                top = prow[xi]
+                tr = cur[0] if xi == w - 1 else prow[xi + 1]
+                tl = prow[xi - 1]
+                if mode == 5:
                     pred = _avg2(_avg2(left, tr), top)
                 elif mode == 6:
                     pred = _avg2(left, tl)
                 elif mode == 7:
                     pred = _avg2(left, top)
-                elif mode == 8:
-                    pred = _avg2(tl, top)
-                elif mode == 9:
-                    pred = _avg2(top, tr)
                 elif mode == 10:
                     pred = _avg2(_avg2(left, tl), _avg2(top, tr))
                 elif mode == 11:
                     pred = _select(top, left, tl)
                 elif mode == 12:
                     pred = _clamp_add_sub_full(left, top, tl)
-                elif mode == 13:
-                    pred = _clamp_add_sub_half(left, top, tl)
                 else:
-                    raise ImageDecodeError("VP8L predictor mode out of range")
-            # per-byte-lane add modulo 256
-            v = out[pos]
-            out[pos] = (
-                ((v & 0x00FF00FF) + (pred & 0x00FF00FF)) & 0x00FF00FF
-                | ((v & 0xFF00FF00) + (pred & 0xFF00FF00)) & 0xFF00FF00
-            ) & M
-    return out
+                    pred = _clamp_add_sub_half(left, top, tl)
+                v = int(res[xi])
+                cur[xi] = (
+                    ((v & 0x00FF00FF) + (pred & 0x00FF00FF)) & 0x00FF00FF
+                    | ((v & 0xFF00FF00) + (pred & 0xFF00FF00)) & 0xFF00FF00
+                )
+            x = e
+        out_rows.append(cur)
+        prev_np = np.asarray(cur, dtype=np.uint32)
+    flat: list[int] = []
+    for r in out_rows:
+        flat.extend(r)
+    return flat
 
 
 # ------------------------------------------------------ container walk ----
