@@ -253,6 +253,7 @@ def parse_ogg(payload: bytes) -> dict:
     n_pages = 0
     serials: dict[int, int] = {}  # serial -> last granule
     rate = 0
+    granule_rate = 0
     codec = ""
     while i + 27 <= len(d):
         if d[i : i + 4] != b"OggS":
@@ -271,13 +272,37 @@ def parse_ogg(payload: bytes) -> dict:
         body = i + 27 + nsegs
         if body + body_len > len(d):
             raise ContainerParseError("truncated Ogg page body")
-        if header_type & 0x02:  # BOS
-            pkt = d[body : body + 30]
+        if header_type & 0x02:  # BOS — codec identification headers are
+            # plain bits in every mapped codec (Vorbis I §4.2.2, RFC
+            # 7845 §5.1 OpusHead, the Ogg-FLAC mapping, Theora §6.2,
+            # the Speex manual); granule units differ per codec
+            pkt = d[body : body + 40]
             if pkt[:7] == b"\x01vorbis":
                 codec = "vorbis"
                 rate = int.from_bytes(pkt[12:16], "little")
                 if rate <= 0:
                     raise ContainerParseError("vorbis id header: bad rate")
+                granule_rate = rate
+            elif pkt[:8] == b"OpusHead":
+                codec = "opus"
+                # input rate is informational; Opus granules tick 48 kHz
+                rate = int.from_bytes(pkt[12:16], "little")
+                granule_rate = 48000
+            elif pkt[:5] == b"\x7fFLAC" and pkt[9:13] == b"fLaC":
+                codec = "flac"
+                # STREAMINFO rides in the BOS packet: 20-bit rate at
+                # byte 27 of the mapping header
+                rate = (pkt[27] << 12) | (pkt[28] << 4) | (pkt[29] >> 4)
+                if rate <= 0:
+                    raise ContainerParseError("ogg-flac: bad rate")
+                granule_rate = rate
+            elif pkt[:7] == b"\x80theora":
+                codec = "theora"  # video: granules count frames, not
+                # samples — duration stays granule-agnostic (0 rate)
+            elif pkt[:8] == b"Speex   ":
+                codec = "speex"
+                rate = int.from_bytes(pkt[36:40], "little")
+                granule_rate = rate
         if granule >= 0:
             serials[serial] = granule
         else:
@@ -294,7 +319,9 @@ def parse_ogg(payload: bytes) -> dict:
         "n_frames": n_pages,
         "sample_rate": rate,
         "bitrate_kbps": 0,  # Ogg carries none; Vorbis setup stays undecoded
-        "duration_ms": last_granule * 1000 // rate if rate else 0,
+        "duration_ms": (
+            last_granule * 1000 // granule_rate if granule_rate else 0
+        ),
     }
 
 

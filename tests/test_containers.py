@@ -319,3 +319,39 @@ def test_adts_ogg_parsers_never_leak_raw_errors(payload):
             parse_container(prefix + payload)
         except ContainerParseError:
             pass
+
+
+def test_ogg_identifies_every_mapped_codec():
+    """BOS identification headers are plain bits in every mapped Ogg
+    codec: OpusHead (RFC 7845 §5.1 — granules always tick 48 kHz),
+    Ogg-FLAC (STREAMINFO rides the BOS packet), Theora (video:
+    granules count frames, duration stays 0) and Speex. Duration uses
+    the codec's granule rate, not the informational input rate."""
+    from dedup_spark.functions.containers import _ogg_page, parse_ogg
+
+    def stream(bos_pkt: bytes, granule: int) -> bytes:
+        return (_ogg_page(0x1234, 0, 0, 0x02, bos_pkt)
+                + _ogg_page(0x1234, 1, granule, 0x04, b"\x00data"))
+
+    opus = (b"OpusHead" + bytes([1, 2]) + (312).to_bytes(2, "little")
+            + (24000).to_bytes(4, "little") + bytes(3))
+    m = parse_ogg(stream(opus, 96000))
+    assert (m["codec"], m["sample_rate"]) == ("opus", 24000)
+    assert m["duration_ms"] == 2000  # 96000 granules / 48 kHz, not 24k
+
+    streaminfo = bytes(10) + bytes([
+        0x0A, 0xC4, 0x42,  # 44100 in the top 20 bits
+    ]) + bytes(21)
+    flac = (b"\x7fFLAC" + bytes([1, 0]) + (0).to_bytes(2, "big")
+            + b"fLaC" + b"\x80\x00\x00\x22" + streaminfo)
+    m = parse_ogg(stream(flac, 44100))
+    assert (m["codec"], m["sample_rate"], m["duration_ms"]) == (
+        "flac", 44100, 1000)
+
+    m = parse_ogg(stream(b"\x80theora" + bytes(30), 750))
+    assert (m["codec"], m["duration_ms"]) == ("theora", 0)
+
+    speex = b"Speex   " + bytes(28) + (16000).to_bytes(4, "little")
+    m = parse_ogg(stream(speex, 32000))
+    assert (m["codec"], m["sample_rate"], m["duration_ms"]) == (
+        "speex", 16000, 2000)
