@@ -180,3 +180,32 @@ def test_exr_joins_the_image_pipeline(spark):
     assert by_id[1]["cluster_id"] == by_id[2]["cluster_id"]
     assert by_id[3]["cluster_id"] != by_id[1]["cluster_id"]
     assert by_id[1]["decoder"] == "hdr" and by_id[2]["decoder"] == "exr"
+
+
+# -------------------------------------------------- hypothesis matrix ----
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    comp=st.sampled_from(["none", "rle", "zips", "zip"]),
+    ptype=st.sampled_from(["half", "float"]),
+    dec_y=st.booleans(),
+)
+def test_hypothesis_round_trip(w, h, seed, comp, ptype, dec_y):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    if seed % 3 == 0:  # flat regions exercise the RLE/ZIP win path
+        img[: h // 2 + 1] = img[0, 0]
+    g, ww, hh = decode_exr(
+        encode_exr_gray8(img, compression=comp, pixel_type=ptype,
+                         line_order_decreasing=dec_y)
+    )
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(g, img)

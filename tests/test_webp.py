@@ -375,3 +375,34 @@ def test_animated_webp_first_frame_decodes():
     assert np.array_equal(g, img)
     m = webp_meta(payload)
     assert (m["variant"], m["width"], m["height"]) == ("animated", 12, 9)
+
+
+# -------------------------------------------------- hypothesis matrix ----
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    subtract_green=st.booleans(),
+    lz77=st.booleans(),
+    cache_bits=st.sampled_from([0, 1, 3, 6, 9]),
+)
+def test_hypothesis_round_trip(w, h, seed, subtract_green, lz77, cache_bits):
+    rng = np.random.RandomState(seed)
+    rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    if seed % 3 == 0:  # inject runs so LZ77/cache paths fire
+        rgb[: h // 2 + 1] = rgb[0, 0]
+    payload = encode_vp8l_rgb8(
+        rgb, subtract_green=subtract_green, lz77=lz77, cache_bits=cache_bits
+    )
+    argb, ww, hh = decode_vp8l_argb(_find_vp8l(payload))
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(argb, _expected_argb(
+        np.concatenate([rgb, np.full((h, w, 1), 255, np.uint8)], axis=2)
+    ))
