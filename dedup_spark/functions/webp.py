@@ -350,16 +350,21 @@ def _decode_image_stream(b: _Bits, w: int, h: int, level0: bool):
 
     green_size = _NUM_LITERALS + _NUM_LENGTH_CODES + cache_size
     groups = []
+    lut_budget = 1 << 22  # total LUT entries across all groups: bounds
+    # decoder allocation against a crafted meta image claiming up to
+    # 65536 groups (same discipline as the shared pixel cap)
     for _g in range(num_groups):
-        groups.append(
-            (
-                _read_prefix(b, green_size),
-                _read_prefix(b, 256),
-                _read_prefix(b, 256),
-                _read_prefix(b, 256),
-                _read_prefix(b, _NUM_DISTANCE_CODES),
-            )
+        grp = (
+            _read_prefix(b, green_size),
+            _read_prefix(b, 256),
+            _read_prefix(b, 256),
+            _read_prefix(b, 256),
+            _read_prefix(b, _NUM_DISTANCE_CODES),
         )
+        lut_budget -= sum(len(c.lut_val) for c in grp)
+        if lut_budget < 0:
+            raise ImageDecodeError("VP8L prefix-code allocation cap exceeded")
+        groups.append(grp)
 
     n = cur_w * h
     argb: list[int] = [0] * n
