@@ -253,8 +253,6 @@ def _decode_exr(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 def exr_meta(payload: bytes) -> dict:
     """Header-only geometry/type metadata (the ffprobe-analog read)."""
-    gray, w, h = None, None, None
-    # reuse the header walk without decoding pixels
     if len(payload) < 12 or payload[:4] != _MAGIC:
         raise ImageDecodeError("not an EXR payload")
     pos = 8
