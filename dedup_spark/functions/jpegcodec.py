@@ -284,9 +284,10 @@ def encode_jpeg_gray8(
     restart_interval: int = 0,
 ) -> bytes:
     """Baseline JPEG encoder. ``subsampling``: 'gray' (1 component),
-    '444' or '420' (YCbCr with FLAT chroma = 128, luma = img — lets
-    tests drive the decoder's interleaved/subsampled paths against a
-    known luma plane). ``restart_interval`` > 0 writes DRI + RSTn
+    '444', '420', '422' or '440' (YCbCr with FLAT chroma = 128, luma =
+    img — lets tests drive the decoder's interleaved/subsampled paths,
+    including the one-axis camera-native layouts, against a known luma
+    plane). ``restart_interval`` > 0 writes DRI + RSTn
     markers every that many MCUs (drives the decoder's restart path)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape
@@ -300,6 +301,10 @@ def encode_jpeg_gray8(
         comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
     elif subsampling == "420":
         comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+    elif subsampling == "422":
+        comps = [(1, 2, 1), (2, 1, 1), (3, 1, 1)]
+    elif subsampling == "440":
+        comps = [(1, 1, 2), (2, 1, 1), (3, 1, 1)]
     else:
         raise ValueError(f"unknown subsampling {subsampling!r}")
     hmax = max(c[1] for c in comps)

@@ -57,7 +57,7 @@ def test_marker_structure_is_valid_jpeg():
     assert 0xDB in seen and 0xC0 in seen and 0xC4 in seen
 
 
-@pytest.mark.parametrize("sub", ["gray", "444", "420"])
+@pytest.mark.parametrize("sub", ["gray", "444", "420", "422", "440"])
 def test_roundtrip_bounded_error(sub):
     img = _gradient()
     dec, w, h = decode_jpeg(encode_jpeg_gray8(img, quality=90, subsampling=sub))
@@ -217,3 +217,16 @@ def test_cross_format_near_dup_merges_jpeg_and_png(spark):
     assert out[1]["decoder"] == "png" and out[2]["decoder"] == "jpeg"
     assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
     assert out[3]["cluster_size"] == 1
+
+
+@pytest.mark.parametrize("sub", ["422", "440"])
+def test_roundtrip_odd_dimensions_asymmetric_sampling(sub):
+    """4:2:2 / 4:4:0 (one-axis-subsampled — the camera-native layouts)
+    with non-MCU-aligned dims: the decoder's generic h/v sampling walk
+    must clip the partial MCU on the subsampled axis correctly."""
+    img = _gradient(45, 61)
+    dec, w, h = decode_jpeg(
+        encode_jpeg_gray8(img, quality=95, subsampling=sub)
+    )
+    assert (w, h) == (61, 45)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
