@@ -827,13 +827,34 @@ def _signature_near_dup_clusters(
     # mapInPandas stage runs once, not once per plan branch
     if not precut:
         sigs = lineage_cut(sigs, cfg, eager=False)
+    # exact-signature collapse BEFORE the Hamming join — the same
+    # rep-collapse the text pipeline applies before LSH: a web-scale
+    # media corpus carries one asset verbatim millions of times, and
+    # without this every copy lands in the same block-pair buckets,
+    # the 512-member cap drops the excess (counted, but recall-lossy
+    # for the dropped members). One 16-byte groupBy replaces the mass
+    # with its min-id representative in the join; members rejoin
+    # through the rep's label, so identical-signature clustering is
+    # exact at ANY multiplicity and the Hamming join's bucket load is
+    # bounded by the number of DISTINCT signatures. Found by
+    # scripts/media_scale_probe.py's mass-duplicate variant (recall
+    # 1/3 at 60k assets without the collapse; 1.0 with it).
+    reps = sigs.groupBy(sig_col).agg(F.min("asset_id").alias("asset_id"))
     pairs = simhash_candidate_pairs(
-        sigs.withColumnRenamed(sig_col, "simhash"), cfg, id_col="asset_id"
+        reps.withColumnRenamed(sig_col, "simhash"), cfg, id_col="asset_id"
     ).select("id_a", "id_b")
     comp = connected_components(pairs, config=cfg)
-    labeled = sigs.join(
-        comp.withColumnRenamed("node", "asset_id"), "asset_id", "left"
-    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col("asset_id")))
+    rep_label = (
+        reps.withColumnRenamed("asset_id", "_rep_id")
+        .join(
+            comp.withColumnRenamed("node", "_rep_id"), "_rep_id", "left"
+        )
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("_rep_id")))
+        .select(sig_col, "cluster_id")
+    )
+    labeled = sigs.join(rep_label, sig_col, "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("asset_id"))
+    )
     return labeled.withColumn(
         "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
     )

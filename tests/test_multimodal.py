@@ -409,3 +409,36 @@ def test_media_orchestrator_routes_round5_codecs(spark):
     assert (out[3]["cluster_id"] == out[4]["cluster_id"]
             == out[5]["cluster_id"])                     # video trio merges
     assert out[1]["cluster_id"] != out[3]["cluster_id"]  # never cross-kind
+
+
+def test_mass_duplicate_signatures_cluster_past_bucket_cap(spark):
+    """Web-scale regression (found by scripts/media_scale_probe.py):
+    ONE asset duplicated far past band_bucket_cap must still cluster
+    completely — the exact-signature collapse feeds the Hamming join
+    one representative per distinct signature, so the cap governs
+    DISTINCT-signature skew only, never identical-copy multiplicity."""
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.functions.imagecodec import encode_png_gray8
+    from dedup_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        media_near_dup_clusters,
+    )
+
+    import numpy as np
+
+    img_a = np.arange(24 * 16, dtype=np.uint32).reshape(24, 16) % 256
+    img_b = 255 - img_a
+    a_png = encode_png_gray8(img_a.astype(np.uint8))
+    b_png = encode_png_gray8(img_b.astype(np.uint8))
+    rows = [(i, "blob", a_png, None) for i in range(40)]
+    rows += [(100 + i, "blob", b_png, None) for i in range(3)]
+    cfg = DedupConfig().with_(band_bucket_cap=8)  # 40 copies >> cap
+    out = media_near_dup_clusters(
+        spark.createDataFrame(rows, ASSET_SCHEMA), config=cfg
+    ).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["asset_id"])
+    sizes = sorted(len(v) for v in by_cluster.values())
+    assert sizes == [3, 40], sizes  # complete clusters, no dropped copies
+    assert all(r["cluster_size"] in (3, 40) for r in out)
