@@ -844,15 +844,23 @@ def _signature_near_dup_clusters(
         reps.withColumnRenamed(sig_col, "simhash"), cfg, id_col="asset_id"
     ).select("id_a", "id_b")
     comp = connected_components(pairs, config=cfg)
+    # both attach joins have corpus-sized build candidates at 10^12
+    # (reps ≈ distinct signatures, comp ≈ clustered reps) — pin
+    # sort-merge exactly like the text pipeline's label joins, where
+    # AQE's under-threshold size estimate for checkpoint-derived
+    # frames chose a fatal corpus-side broadcast at 1.6M files
+    # (round-4 fix, pipeline.py:182)
     rep_label = (
         reps.withColumnRenamed("asset_id", "_rep_id")
         .join(
-            comp.withColumnRenamed("node", "_rep_id"), "_rep_id", "left"
+            comp.withColumnRenamed("node", "_rep_id").hint("merge"),
+            "_rep_id",
+            "left",
         )
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col("_rep_id")))
         .select(sig_col, "cluster_id")
     )
-    labeled = sigs.join(rep_label, sig_col, "left").withColumn(
+    labeled = sigs.join(rep_label.hint("merge"), sig_col, "left").withColumn(
         "cluster_id", F.coalesce("cluster_id", F.col("asset_id"))
     )
     return labeled.withColumn(
