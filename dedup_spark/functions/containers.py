@@ -425,6 +425,12 @@ def parse_mkv(payload: bytes) -> dict:
                                 (duration_ticks,) = struct.unpack(">d", d[ia:ib])
                             else:
                                 raise ContainerParseError("bad Duration width")
+                            # a crafted NaN/inf float must die HERE as
+                            # the typed error, not as int(NaN) later
+                            if not (0 <= duration_ticks < 2**53):
+                                raise ContainerParseError(
+                                    "non-finite or out-of-range Duration"
+                                )
                 elif cid == 0x1654AE6B:  # Tracks
                     for tid, ta, tb in _ebml_children(d, ca, cb):
                         if tid != 0xAE:  # TrackEntry

@@ -355,3 +355,25 @@ def test_ogg_identifies_every_mapped_codec():
     m = parse_ogg(stream(speex, 32000))
     assert (m["codec"], m["sample_rate"], m["duration_ms"]) == (
         "speex", 16000, 2000)
+
+
+def test_mkv_nan_duration_raises_typed():
+    """A crafted NaN/inf/negative EBML Duration float must raise the
+    typed error at parse time, never ValueError from int(NaN) at the
+    summary step (found by the mutation fuzz)."""
+    import struct
+
+    from dedup_spark.functions.containers import (
+        ContainerParseError,
+        encode_mkv,
+        parse_mkv,
+    )
+
+    good = bytearray(encode_mkv(5000, ["A_VORBIS"]))
+    i = good.find(b"\x44\x89")  # Duration element (size byte follows)
+    assert i > 0 and good[i + 2] == 0x88  # 8-byte float
+    for bad_val in (float("nan"), float("inf"), -1.0, 2.0**60):
+        bad = bytearray(good)
+        bad[i + 3 : i + 11] = struct.pack(">d", bad_val)
+        with pytest.raises(ContainerParseError):
+            parse_mkv(bytes(bad))
