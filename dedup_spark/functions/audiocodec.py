@@ -499,6 +499,18 @@ class _FlacBitW:
 def encode_flac_pcm16(x: np.ndarray, rate: int = 8000, block: int = 4096) -> bytes:
     """Minimal FLAC encoder: 16-bit mono/stereo, VERBATIM subframes,
     correct CRC-8/CRC-16. x: float in [-1,1], (n,) or (n, ch)."""
+    header, frames = _flac_stream_parts(x, rate, block)
+    return header + b"".join(frames)
+
+
+def _flac_stream_parts(
+    x: np.ndarray, rate: int = 8000, block: int = 4096
+) -> tuple[bytes, list[bytes]]:
+    """The native-FLAC building blocks: (``b'fLaC'`` + STREAMINFO
+    metadata block, one bytes object per audio frame) — so the same
+    frames can be laid out as a flat native stream
+    (``encode_flac_pcm16``) or one-packet-per-frame in Ogg
+    (``encode_ogg_flac_pcm16``, the xiph FLAC-to-Ogg mapping)."""
     x = np.asarray(x, dtype=np.float64)
     if x.ndim == 1:
         x = x[:, None]
@@ -516,6 +528,7 @@ def encode_flac_pcm16(x: np.ndarray, rate: int = 8000, block: int = 4096) -> byt
     si.write(n, 36)
     body = bytes(si.out) + bytes(16)  # md5 zeroed (unverified)
     out += (0x80000000 | (0 << 24) | len(body)).to_bytes(4, "big") + body
+    frames: list[bytes] = []
     fi = 0
     for lo in range(0, n, block):
         hi = min(n, lo + block)
@@ -545,9 +558,80 @@ def encode_flac_pcm16(x: np.ndarray, rate: int = 8000, block: int = 4096) -> byt
         bw.align()
         frame += bytes(bw.out)
         frame += _crc16(bytes(frame)).to_bytes(2, "big")
-        out += frame
+        frames.append(bytes(frame))
         fi += 1
-    return bytes(out)
+    return bytes(out), frames
+
+
+def decode_ogg_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """Ogg-encapsulated FLAC (the xiph FLAC-to-Ogg mapping, the
+    format the reference's ffmpeg route opens as ``flac`` inside
+    ``ogg``): the BOS packet is ``0x7F 'FLAC' maj min n_headers``
+    followed by a native ``'fLaC'`` + STREAMINFO; the next
+    ``n_headers`` packets are native metadata blocks (a VorbisComment
+    is mandatory); every later packet is one native FLAC frame.
+    Decode = reassemble the native stream (STREAMINFO forced to
+    last-metadata since the trailing header packets are dropped) and
+    hand it to ``decode_flac`` — byte-identical frame semantics,
+    zero new tables. Any parse failure raises AudioDecodeError."""
+    from dedup_spark.functions.vorbis import _ogg_packets
+
+    packets, _granule = _ogg_packets(payload or b"")
+    bos = packets[0]
+    if len(bos) < 51 or bos[:5] != b"\x7fFLAC" or bos[9:13] != b"fLaC":
+        raise AudioDecodeError("not an Ogg-FLAC stream")
+    if bos[5] != 1:
+        raise AudioDecodeError(f"ogg-flac: unsupported mapping major {bos[5]}")
+    n_headers = int.from_bytes(bos[7:9], "big")  # 0 = unknown count
+    native = bytearray(bos[9:])
+    native[4] |= 0x80  # STREAMINFO becomes the last metadata block
+    frames: list[bytes] = []
+    skipped = 0
+    for pkt in packets[1:]:
+        if not pkt:
+            continue
+        if skipped < n_headers:
+            skipped += 1
+            continue
+        if not frames and not (
+            len(pkt) >= 2 and pkt[0] == 0xFF and (pkt[1] & 0xFC) == 0xF8
+        ):
+            # unknown header count (n_headers == 0) or an overlong
+            # header inventory: sync-scan past trailing metadata
+            continue
+        frames.append(pkt)
+    if not frames:
+        raise AudioDecodeError("ogg-flac: no audio frames")
+    native += b"".join(frames)
+    return decode_flac(bytes(native))
+
+
+def encode_ogg_flac_pcm16(
+    x: np.ndarray, rate: int = 8000, block: int = 4096,
+    serial: int = 0x0F1AC
+) -> bytes:
+    """Fixture encoder for the FLAC-to-Ogg mapping: BOS page (mapping
+    header + native fLaC/STREAMINFO, last-metadata cleared because a
+    header packet follows), one mandatory VorbisComment header packet,
+    then one page per native FLAC frame with the granule position at
+    the last complete PCM sample, EOS on the final page."""
+    from dedup_spark.functions.containers import _ogg_page
+
+    header, frames = _flac_stream_parts(x, rate, block)
+    streaminfo = bytearray(header)  # b'fLaC' + STREAMINFO block
+    streaminfo[4] &= 0x7F  # a VorbisComment header packet follows
+    bos = b"\x7fFLAC\x01\x00" + (1).to_bytes(2, "big") + bytes(streaminfo)
+    # VorbisComment metadata block: last=1, type 4; body = empty
+    # vendor string + zero user comments (two LE-32 zero counts)
+    vc = bytes([0x84]) + (8).to_bytes(3, "big") + bytes(8)
+    pages = [_ogg_page(serial, 0, 0, 0x02, bos), _ogg_page(serial, 1, 0, 0x00, vc)]
+    n = int(np.asarray(x).shape[0])
+    gran = 0
+    for k, frame in enumerate(frames):
+        gran = min(n, (k + 1) * block)
+        flag = 0x04 if k == len(frames) - 1 else 0x00
+        pages.append(_ogg_page(serial, 2 + k, gran, flag, frame))
+    return b"".join(pages)
 
 
 

@@ -917,6 +917,7 @@ def decode_samples(payload: bytes, fake: bool = False) -> tuple:
         decode_aiff,
         decode_au,
         decode_flac,
+        decode_ogg_flac,
         decode_wav,
     )
     from dedup_spark.functions.mpegaudio import decode_mpeg
@@ -937,6 +938,15 @@ def decode_samples(payload: bytes, fake: bool = False) -> tuple:
             x, rate = decode_flac(raw)
             return x, rate, "flac"
         if raw[:4] == b"OggS":
+            # dispatch on the BOS packet's codec identification header
+            # (plain bits in every mapped codec): FLAC-in-Ogg reuses
+            # the native FLAC frame decoder; everything else goes to
+            # the Vorbis path, which rejects Opus/Speex/Theora with a
+            # typed error (stub policy preserved)
+            nsegs = raw[26] if len(raw) > 26 else 0
+            if raw[27 + nsegs : 27 + nsegs + 5] == b"\x7fFLAC":
+                x, rate = decode_ogg_flac(raw)
+                return x, rate, "oggflac"
             x, rate = decode_vorbis(raw)
             return x, rate, "vorbis"
         if raw[:3] == b"ID3" or (

@@ -465,3 +465,102 @@ def test_aiff_au_join_the_audio_pipeline(spark):
     ).collect()
     assert len({r["cluster_id"] for r in out}) == 1  # one recording
     assert sorted(r["decoder"] for r in out) == ["aiff", "au", "wav"]
+
+
+# ---------------------------------------------------------------- Ogg-FLAC
+
+
+def test_ogg_flac_decodes_identical_to_native():
+    """The FLAC-to-Ogg mapping carries native frames verbatim, so the
+    Ogg decode must be bit-identical to the flat-native decode, mono
+    AND stereo, including a short final frame."""
+    from dedup_spark.functions.audiocodec import (
+        decode_flac,
+        decode_ogg_flac,
+        encode_flac_pcm16,
+        encode_ogg_flac_pcm16,
+    )
+
+    x = _colored(31)[: RATE + 777]
+    for clip in (x, np.stack([x, -0.5 * x], axis=1)):
+        nat, _ = decode_flac(encode_flac_pcm16(clip, RATE, block=4096))
+        ogg, rate = decode_ogg_flac(encode_ogg_flac_pcm16(clip, RATE, block=4096))
+        assert rate == RATE
+        assert np.array_equal(nat, ogg)
+
+
+def test_ogg_flac_unknown_header_count_sync_scans():
+    """n_headers == 0 (unknown) forces the decoder to sync-scan past
+    metadata packets instead of trusting a count."""
+    from dedup_spark.functions.audiocodec import (
+        decode_ogg_flac,
+        encode_ogg_flac_pcm16,
+    )
+
+    blob = bytearray(encode_ogg_flac_pcm16(_colored(5)[:4000], 8000))
+    # BOS page: 27-byte header + 1-seg table; mapping n_headers lives
+    # at packet bytes 7-8 → file offset 28 + 7
+    assert blob[28 + 7 : 28 + 9] == b"\x00\x01"
+    blob[28 + 7 : 28 + 9] = b"\x00\x00"
+    # page CRC must be rewritten for the packet walk to accept it
+    from dedup_spark.functions.containers import _ogg_crc
+
+    nsegs = blob[26]
+    page_len = 27 + nsegs + sum(blob[27 : 27 + nsegs])
+    page = bytearray(blob[:page_len])
+    page[22:26] = b"\x00\x00\x00\x00"
+    blob[22:26] = _ogg_crc(bytes(page)).to_bytes(4, "little")
+    x, rate = decode_ogg_flac(bytes(blob))
+    assert rate == 8000 and len(x) == 4000
+
+
+def test_ogg_flac_rejects_corrupt_streams():
+    from dedup_spark.functions.audiocodec import (
+        decode_ogg_flac,
+        encode_ogg_flac_pcm16,
+    )
+
+    good = encode_ogg_flac_pcm16(_colored(6)[:3000], 8000)
+    with pytest.raises(AudioDecodeError):
+        decode_ogg_flac(b"OggS" + bytes(80))  # not FLAC-mapped
+    with pytest.raises(AudioDecodeError):
+        decode_ogg_flac(good[: len(good) // 2])  # truncated page
+    bad_major = bytearray(good)
+    bad_major[28 + 5] = 9  # mapping major version
+    with pytest.raises(AudioDecodeError):
+        decode_ogg_flac(bytes(bad_major))
+
+
+def test_decode_samples_routes_ogg_flac(spark):
+    """Routing: OggS + FLAC BOS → the native FLAC frame decoder, and
+    the WAV/FLAC/Ogg-FLAC re-encodes of one clip land in ONE cluster
+    through the full orchestrator."""
+    from dedup_spark.functions.audiocodec import (
+        encode_flac_pcm16,
+        encode_ogg_flac_pcm16,
+        encode_wav_pcm16,
+    )
+    from dedup_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_samples,
+        detect_kind_from_magic,
+        media_near_dup_clusters,
+        sniff_media_format,
+    )
+
+    x = _colored(9)[:RATE]
+    blob = encode_ogg_flac_pcm16(x, RATE)
+    assert detect_kind_from_magic(blob) == "audio"
+    assert sniff_media_format(blob) == "ogg"
+    y, rate, dec = decode_samples(blob, fake=False)
+    assert (rate, dec) == (RATE, "oggflac") and len(y) == len(x)
+    rows = [
+        (1, "blob", encode_wav_pcm16(x, RATE), None),
+        (2, "blob", encode_flac_pcm16(x, RATE), None),
+        (3, "blob", blob, None),
+    ]
+    out = media_near_dup_clusters(
+        spark.createDataFrame(rows, ASSET_SCHEMA)
+    ).collect()
+    assert len({r["cluster_id"] for r in out}) == 1
+    assert sorted(r["decoder"] for r in out) == ["flac", "oggflac", "wav"]

@@ -362,6 +362,7 @@ def test_cross_format_cluster_wav_flac_mp3_vorbis(spark):
     from dedup_spark.config import DedupConfig
     from dedup_spark.functions.audiocodec import (
         encode_flac_pcm16,
+        encode_ogg_flac_pcm16,
         encode_wav_pcm16,
     )
     from dedup_spark.functions.mpeg3 import encode_mp3_pcm16
@@ -375,6 +376,7 @@ def test_cross_format_cluster_wav_flac_mp3_vorbis(spark):
         (3, "audio", bytearray(encode_mp3_pcm16(clip, 32000)), ""),
         (4, "audio", bytearray(encode_vorbis_pcm16(clip, 32000)), ""),
         (5, "audio", bytearray(encode_wav_pcm16(other, 32000)), ""),
+        (6, "audio", bytearray(encode_ogg_flac_pcm16(clip, 32000)), ""),
     ]
     df = spark.createDataFrame(
         rows, "asset_id long, kind string, payload binary, mime string"
@@ -385,6 +387,8 @@ def test_cross_format_cluster_wav_flac_mp3_vorbis(spark):
     assert out[2]["decoder"] == "flac"
     assert out[3]["decoder"] == "mp3"
     assert out[4]["decoder"] == "vorbis"
+    assert out[6]["decoder"] == "oggflac"
     assert (out[1]["cluster_id"] == out[2]["cluster_id"]
-            == out[3]["cluster_id"] == out[4]["cluster_id"])
+            == out[3]["cluster_id"] == out[4]["cluster_id"]
+            == out[6]["cluster_id"])
     assert out[5]["cluster_id"] != out[1]["cluster_id"]
