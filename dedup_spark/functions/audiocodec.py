@@ -634,6 +634,345 @@ def encode_ogg_flac_pcm16(
     return b"".join(pages)
 
 
+# --------------------------------------------------------------------------
+# Matroska/WebM audio tracks (.mka, audio-only .webm/.mkv) — the
+# remaining AUDIO carriers the reference's ffmpeg route opens that
+# wrap codecs this engine already decodes. Pure container plumbing:
+# the EBML walk is shared with functions/containers.py, the samples
+# come out of the existing FLAC / Vorbis / PCM decoders — zero new
+# entropy tables. Files that also carry a VIDEO track are refused
+# with a typed error: they are video files, and fingerprinting them
+# by soundtrack would merge different videos that share audio.
+# --------------------------------------------------------------------------
+
+_MKA_PCM_CODECS = {"A_PCM/INT/LIT": "<i2", "A_PCM/INT/BIG": ">i2"}
+
+
+def _block_frames(d: bytes, i: int, hi: int) -> list[tuple[int, int]]:
+    """Frame spans of one Matroska (Simple)Block body after the track
+    vint: 2-byte timestamp + flags, then no/Xiph/fixed/EBML lacing
+    (RFC 9559 §10): laced sizes cover all but the last frame, which
+    takes the remainder."""
+    if i + 3 > hi:
+        raise AudioDecodeError("truncated Matroska block")
+    flags = d[i + 2]
+    i += 3
+    lace = flags & 0x06
+    if lace == 0x00:
+        return [(i, hi)]
+    if i >= hi:
+        raise AudioDecodeError("laced block missing frame count")
+    n_frames = d[i] + 1
+    i += 1
+    sizes: list[int] = []
+    if lace == 0x02:  # Xiph: 255-run sums for the first n-1 frames
+        for _ in range(n_frames - 1):
+            size = 0
+            while True:
+                if i >= hi:
+                    raise AudioDecodeError("truncated Xiph lace sizes")
+                size += d[i]
+                last = d[i] != 255
+                i += 1
+                if last:
+                    break
+            sizes.append(size)
+    elif lace == 0x06:  # EBML: first size a vint, then signed deltas
+        from dedup_spark.functions.containers import _read_vint
+
+        size, j = _read_vint(d, i, keep_marker=False)
+        ln = j - i
+        i = j
+        sizes.append(size)
+        for _ in range(n_frames - 2):
+            v, j = _read_vint(d, i, keep_marker=False)
+            ln = j - i
+            size += v - ((1 << (7 * ln - 1)) - 1)  # range-shifted delta
+            if size < 0:
+                raise AudioDecodeError("negative EBML lace size")
+            i = j
+            sizes.append(size)
+    else:  # 0x04 fixed: equal split of the remainder
+        body = hi - i
+        if n_frames == 0 or body % n_frames:
+            raise AudioDecodeError("fixed lacing does not divide block")
+        sizes = [body // n_frames] * (n_frames - 1)
+    spans: list[tuple[int, int]] = []
+    for size in sizes:
+        if i + size > hi:
+            raise AudioDecodeError("lace size overruns block")
+        spans.append((i, i + size))
+        i += size
+    spans.append((i, hi))  # last frame = remainder
+    return spans
+
+
+def decode_mka(payload: bytes) -> tuple[np.ndarray, int, str]:
+    """Audio-only Matroska/WebM → (mono float64 samples, rate, codec
+    token ∈ {flac, vorbis, pcm}). Typed AudioDecodeError on video
+    tracks, unsupported codecs and corrupt streams."""
+    try:
+        return _decode_mka(payload)
+    except AudioDecodeError:
+        raise
+    except (ValueError, IndexError, OverflowError, MemoryError,
+            ZeroDivisionError) as exc:
+        raise AudioDecodeError(f"corrupt Matroska audio: {exc!r}") from exc
+
+
+def _decode_mka(payload: bytes) -> tuple[np.ndarray, int, str]:
+    import struct as _struct
+
+    from dedup_spark.functions.containers import (
+        ContainerParseError,
+        _ebml_children,
+        _ebml_uint,
+        _read_vint,
+    )
+
+    d = payload or b""
+    if d[:4] != b"\x1a\x45\xdf\xa3":
+        raise AudioDecodeError("not an EBML/Matroska payload")
+    tscale = 1_000_000
+    duration_ticks = 0.0
+    track_no = None
+    codec = ""
+    codec_private = b""
+    sfreq = 0.0
+    channels = 1
+    bit_depth = 16
+    blocks: list[tuple[int, int, int]] = []  # (track, body_start, body_end)
+    try:
+        for eid, a, b in _ebml_children(d, 0, len(d)):
+            if eid != 0x18538067:  # Segment
+                continue
+            for cid, ca, cb in _ebml_children(d, a, b):
+                if cid == 0x1549A966:  # Info
+                    for iid, ia, ib in _ebml_children(d, ca, cb):
+                        if iid == 0x2AD7B1:
+                            tscale = _ebml_uint(d, ia, ib)
+                        elif iid == 0x4489 and ib - ia in (4, 8):
+                            fmt = ">f" if ib - ia == 4 else ">d"
+                            (duration_ticks,) = _struct.unpack(fmt, d[ia:ib])
+                elif cid == 0x1654AE6B:  # Tracks
+                    for tid, ta, tb in _ebml_children(d, ca, cb):
+                        if tid != 0xAE:
+                            continue
+                        tnum, ttype, tcodec, tcp = None, 0, "", b""
+                        tfreq, tch, tbits = 0.0, 1, 16
+                        for fid, fa, fb in _ebml_children(d, ta, tb):
+                            if fid == 0xD7:
+                                tnum = _ebml_uint(d, fa, fb)
+                            elif fid == 0x83:
+                                ttype = _ebml_uint(d, fa, fb)
+                            elif fid == 0x86:
+                                tcodec = d[fa:fb].decode("ascii", "replace")
+                            elif fid == 0x63A2:
+                                tcp = d[fa:fb]
+                            elif fid == 0xE1:  # Audio
+                                for gid, ga, gb in _ebml_children(d, fa, fb):
+                                    if gid == 0xB5 and gb - ga in (4, 8):
+                                        fmt = ">f" if gb - ga == 4 else ">d"
+                                        (tfreq,) = _struct.unpack(
+                                            fmt, d[ga:gb])
+                                    elif gid == 0x9F:
+                                        tch = _ebml_uint(d, ga, gb)
+                                    elif gid == 0x6264:
+                                        tbits = _ebml_uint(d, ga, gb)
+                        if ttype == 1:
+                            raise AudioDecodeError(
+                                "Matroska has a video track — route it "
+                                "through the video fingerprint instead"
+                            )
+                        if ttype == 2 and track_no is None:
+                            track_no = tnum
+                            codec, codec_private = tcodec, tcp
+                            sfreq, channels, bit_depth = tfreq, tch, tbits
+                elif cid == 0x1F43B675:  # Cluster
+                    for bid, ba, bb in _ebml_children(d, ca, cb):
+                        if bid == 0xA3:  # SimpleBlock
+                            tno, i = _read_vint(d, ba, keep_marker=False)
+                            blocks.append((tno, i, bb))
+                        elif bid == 0xA0:  # BlockGroup
+                            for gid, ga, gb in _ebml_children(d, ba, bb):
+                                if gid == 0xA1:  # Block
+                                    tno, i = _read_vint(
+                                        d, ga, keep_marker=False)
+                                    blocks.append((tno, i, gb))
+    except ContainerParseError as exc:
+        raise AudioDecodeError(f"EBML parse failed: {exc}") from exc
+    if track_no is None:
+        raise AudioDecodeError("no audio track in Matroska file")
+    frames: list[bytes] = []
+    for tno, i, hi in blocks:
+        if tno != track_no:
+            continue
+        frames.extend(d[lo:hi2] for lo, hi2 in _block_frames(d, i, hi))
+    if not frames:
+        raise AudioDecodeError("audio track has no block frames")
+    duration_s = duration_ticks * tscale / 1e9
+    if codec == "A_FLAC":
+        # CodecPrivate is the native 'fLaC' + metadata; blocks carry
+        # native frames verbatim (the same reuse as the Ogg mapping)
+        x, rate = decode_flac(codec_private + b"".join(frames))
+        return x, rate, "flac"
+    if codec == "A_VORBIS":
+        # CodecPrivate = Xiph-laced header packets (count byte, then
+        # 255-run sizes for all but the last)
+        from dedup_spark.functions.vorbis import decode_vorbis_packets
+
+        cp = codec_private
+        if not cp or cp[0] != 2:
+            raise AudioDecodeError("A_VORBIS CodecPrivate must lace "
+                                   "3 header packets")
+        i = 1
+        sizes = []
+        for _ in range(2):
+            size = 0
+            while True:
+                if i >= len(cp):
+                    raise AudioDecodeError("truncated CodecPrivate lacing")
+                size += cp[i]
+                last = cp[i] != 255
+                i += 1
+                if last:
+                    break
+            sizes.append(size)
+        headers = []
+        for size in sizes:
+            headers.append(cp[i : i + size])
+            i += size
+        headers.append(cp[i:])
+        if any(not h for h in headers):
+            raise AudioDecodeError("empty Vorbis header packet")
+        rate_hint = int.from_bytes(headers[0][12:16], "little") or 0
+        total = int(round(duration_s * rate_hint)) if duration_s > 0 else 0
+        x, rate = decode_vorbis_packets(headers + frames, total)
+        return x, rate, "vorbis"
+    if codec in _MKA_PCM_CODECS:
+        if bit_depth != 16:
+            raise AudioDecodeError(f"unsupported PCM bit depth {bit_depth}")
+        rate = int(round(sfreq))
+        if rate <= 0:
+            raise AudioDecodeError("PCM track missing SamplingFrequency")
+        raw = b"".join(frames)
+        s = np.frombuffer(
+            raw[: len(raw) - len(raw) % (2 * channels)],
+            dtype=_MKA_PCM_CODECS[codec],
+        ).astype(np.float64) / 32768.0
+        if channels > 1:
+            s = s.reshape(-1, channels).mean(axis=1)
+        if s.size == 0:
+            raise AudioDecodeError("PCM track decodes to zero samples")
+        return np.clip(s, -1.0, 1.0), rate, "pcm"
+    raise AudioDecodeError(f"unsupported Matroska audio codec {codec!r}")
+
+
+def _xiph_lace_sizes(sizes: list[int]) -> bytes:
+    out = bytearray()
+    for s in sizes:
+        out += b"\xff" * (s // 255) + bytes([s % 255])
+    return bytes(out)
+
+
+def _laced_block(track: int, frames: list[bytes], lacing: str) -> bytes:
+    """One SimpleBlock body carrying ``frames`` under the requested
+    lacing mode (fixture side of ``_block_frames``)."""
+    head = bytes([0x80 | track]) + b"\x00\x00"  # track vint, timestamp 0
+    if lacing == "none":
+        assert len(frames) == 1
+        return head + b"\x80" + frames[0]
+    n = len(frames)
+    if lacing == "xiph":
+        return (head + b"\x82" + bytes([n - 1])
+                + _xiph_lace_sizes([len(f) for f in frames[:-1]])
+                + b"".join(frames))
+    if lacing == "fixed":
+        assert len({len(f) for f in frames}) == 1
+        return head + b"\x84" + bytes([n - 1]) + b"".join(frames)
+    # EBML lacing: first size as a plain vint (2 bytes), deltas
+    # range-shifted by 2^13 - 1 in 2-byte vints
+    sizes = [len(f) for f in frames]
+    lace = bytearray(bytes([n - 1]))
+    lace += ((1 << 14) | sizes[0]).to_bytes(2, "big")
+    for k in range(1, n - 1):
+        stored = sizes[k] - sizes[k - 1] + (1 << 13) - 1
+        assert 0 <= stored < (1 << 14) - 1
+        lace += ((1 << 14) | stored).to_bytes(2, "big")
+    return head + b"\x86" + bytes(lace) + b"".join(frames)
+
+
+def encode_mka(
+    x: np.ndarray, rate: int = 8000, codec: str = "flac",
+    lacing: str = "none", frames_per_block: int = 4,
+) -> bytes:
+    """Fixture muxer: one audio-only Matroska track carrying FLAC /
+    Vorbis / S16LE-PCM produced by this module's own encoders —
+    CodecPrivate per the Matroska codec mappings, SimpleBlocks under
+    any of the four lacing modes."""
+    import struct as _struct
+
+    from dedup_spark.functions.containers import _ebml_elem
+
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    ch = 1 if x.ndim == 1 else x.shape[1]
+    if codec == "flac":
+        codec_id, bits = b"A_FLAC", 16
+        codec_private, frames = _flac_stream_parts(x, rate, block=4096)
+    elif codec == "vorbis":
+        from dedup_spark.functions.vorbis import _vorbis_stream_packets
+
+        codec_id, bits = b"A_VORBIS", 16
+        xi = np.clip(np.round(x * 32767), -32768, 32767)
+        packets, _granules, _r = _vorbis_stream_packets(xi, rate)
+        headers, frames = packets[:3], packets[3:]
+        codec_private = (bytes([2])
+                         + _xiph_lace_sizes([len(h) for h in headers[:2]])
+                         + b"".join(headers))
+    elif codec == "pcm":
+        codec_id, bits = b"A_PCM/INT/LIT", 16
+        s = np.clip(np.round(x * 32767), -32768, 32767).astype("<i2")
+        raw = s.tobytes()  # interleaved when 2-D (C order)
+        step = 4096 * 2 * ch
+        frames = [raw[i : i + step] for i in range(0, len(raw), step)]
+        codec_private = b""
+    else:
+        raise ValueError(f"unsupported fixture codec {codec!r}")
+    header = _ebml_elem(0x1A45DFA3, _ebml_elem(0x4282, b"matroska"))
+    info = _ebml_elem(
+        0x1549A966,
+        _ebml_elem(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+        + _ebml_elem(0x4489, _struct.pack(">d", n * 1000.0 / rate)),
+    )
+    entry = (
+        _ebml_elem(0xD7, b"\x01")
+        + _ebml_elem(0x83, b"\x02")  # TrackType 2 = audio
+        + _ebml_elem(0x86, codec_id)
+        + _ebml_elem(
+            0xE1,
+            _ebml_elem(0xB5, _struct.pack(">f", float(rate)))
+            + _ebml_elem(0x9F, bytes([ch]))
+            + _ebml_elem(0x6264, bytes([bits])),
+        )
+    )
+    if codec_private:
+        entry += _ebml_elem(0x63A2, codec_private)
+    tracks = _ebml_elem(0x1654AE6B, _ebml_elem(0xAE, entry))
+    blocks = b""
+    if lacing == "none":
+        for f in frames:
+            blocks += _ebml_elem(0xA3, _laced_block(1, [f], "none"))
+    else:
+        group = max(2, frames_per_block)
+        for i in range(0, len(frames), group):
+            batch = frames[i : i + group]
+            mode = lacing if len(batch) > 1 else "none"
+            blocks += _ebml_elem(0xA3, _laced_block(1, batch, mode))
+    cluster = _ebml_elem(0x1F43B675, _ebml_elem(0xE7, b"\x00") + blocks)
+    return header + _ebml_elem(0x18538067, info + tracks + cluster)
+
+
 
 
 # --------------------------------------------------------------------------

@@ -860,6 +860,29 @@ def decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
 
 def _decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
     packets, granule = _ogg_packets(payload or b"")
+    return _decode_vorbis_packets(packets, granule)
+
+
+def decode_vorbis_packets(
+    packets: list[bytes], total_samples: int = 0
+) -> tuple[np.ndarray, int]:
+    """Container-agnostic Vorbis decode over a raw packet list (the
+    three header packets followed by audio packets) — the shape both
+    Ogg (RFC 3533 lacing) and Matroska (CodecPrivate Xiph lacing +
+    one packet per block) deliver. ``total_samples`` truncates the
+    lapped tail exactly like the Ogg EOS granule; 0 = keep all."""
+    try:
+        return _decode_vorbis_packets(packets, total_samples)
+    except AudioDecodeError:
+        raise
+    except (ValueError, IndexError, OverflowError, MemoryError,
+            ZeroDivisionError) as exc:
+        raise AudioDecodeError(f"corrupt vorbis stream: {exc!r}") from exc
+
+
+def _decode_vorbis_packets(
+    packets: list[bytes], granule: int
+) -> tuple[np.ndarray, int]:
     if len(packets) < 3:
         raise AudioDecodeError("vorbis stream lacks its three headers")
     if packets[0][:7] != b"\x01vorbis":
@@ -1129,18 +1152,36 @@ def encode_vorbis_pcm16(x: np.ndarray, rate: int = 8000,
     and interleave through the type-2 residue."""
     from dedup_spark.functions.containers import _ogg_page
 
+    packets, granules, _rate = _vorbis_stream_packets(x, rate, mixed_blocks)
+    serial = 0x7153EED
+    pages = [
+        _ogg_page(serial, 0, 0, 0x02, packets[0]),
+        _ogg_page(serial, 1, 0, 0x00, packets[1]),
+        _ogg_page(serial, 2, 0, 0x00, packets[2]),
+    ]
+    audio = packets[3:]
+    for k, (pkt, gran) in enumerate(zip(audio, granules)):
+        last = k == len(audio) - 1
+        pages.append(_ogg_page(serial, 3 + k, gran, 0x04 if last else 0x00,
+                               pkt))
+    return b"".join(pages)
+
+
+def _vorbis_stream_packets(
+    x: np.ndarray, rate: int, mixed_blocks: bool = True
+) -> tuple[list[bytes], list[int], int]:
+    """The container-agnostic encoder core: (packets, per-audio-packet
+    granule positions, rate) where packets = [ident, comment, setup,
+    audio...] — laid out as Ogg pages by ``encode_vorbis_pcm16`` and
+    as Matroska CodecPrivate + SimpleBlocks by ``encode_mka``."""
     x = np.asarray(x, dtype=np.float64) / 32768.0
     if x.ndim == 1:
         x = x[:, None]
     n_samples, ch = x.shape
     if n_samples == 0 or not 1 <= ch <= 8:
         raise ValueError("empty signal or unsupported channel count")
-    serial = 0x7153EED
-    pages = [
-        _ogg_page(serial, 0, 0, 0x02, _enc_ident(rate, ch)),
-        _ogg_page(serial, 1, 0, 0x00, _enc_comment()),
-        _ogg_page(serial, 2, 0, 0x00, _enc_setup()),
-    ]
+    packets = [_enc_ident(rate, ch), _enc_comment(), _enc_setup()]
+    granules: list[int] = []
     # block-size schedule: frame k covers [c_k - n_k/2, c_k + n_k/2),
     # c_0 = 0, c_{k+1} = c_k + n_k/4 + n_{k+1}/4
     sizes = []
@@ -1160,7 +1201,6 @@ def encode_vorbis_pcm16(x: np.ndarray, rate: int = 8000,
         [np.zeros((_ENC_BS1, ch)), x, np.zeros((3 * _ENC_BS1, ch))])
     center = 0
     produced = 0
-    seq = 3
     for k, n in enumerate(sizes):
         prev_n = sizes[k - 1] if k else n
         next_n = sizes[k + 1] if k + 1 < len(sizes) else n
@@ -1175,17 +1215,13 @@ def encode_vorbis_pcm16(x: np.ndarray, rate: int = 8000,
         # analysis normalization 4/n: OLA of w * C @ C.T @ (w x) has
         # gain n/4 with this basis (power-complementary slopes)
         Y = (4.0 / n) * (C.T @ (wnd[:, None] * seg)).T  # (ch, n/2)
-        pkt = _enc_audio_packet(Y, n, prev_short, next_short)
+        packets.append(_enc_audio_packet(Y, n, prev_short, next_short))
         if k:
             produced += prev_n // 4 + n // 4
-        last = k == len(sizes) - 1
-        gran = min(produced, n_samples)
-        pages.append(_ogg_page(serial, seq, gran, 0x04 if last else 0x00,
-                               pkt))
-        seq += 1
+        granules.append(min(produced, n_samples))
         if k + 1 < len(sizes):
             center += n // 4 + sizes[k + 1] // 4
-    return b"".join(pages)
+    return packets, granules, rate
 
 
 def _enc_audio_packet(Y: np.ndarray, n: int, prev_short: bool,

@@ -917,6 +917,7 @@ def decode_samples(payload: bytes, fake: bool = False) -> tuple:
         decode_aiff,
         decode_au,
         decode_flac,
+        decode_mka,
         decode_ogg_flac,
         decode_wav,
     )
@@ -949,6 +950,14 @@ def decode_samples(payload: bytes, fake: bool = False) -> tuple:
                 return x, rate, "oggflac"
             x, rate = decode_vorbis(raw)
             return x, rate, "vorbis"
+        if raw[:4] == b"\x1aE\xdf\xa3":
+            # audio-only Matroska/WebM (.mka, audio .webm): the
+            # carried codec is FLAC / Vorbis / PCM — all decoders this
+            # engine already has. Files with a video track raise (they
+            # are video files; see decode_mka) and keep the video
+            # route's honest-stub policy.
+            x, rate, inner = decode_mka(raw)
+            return x, rate, f"mka{inner}"
         if raw[:3] == b"ID3" or (
             len(raw) >= 4 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
         ):
@@ -1108,6 +1117,29 @@ def media_near_dup_clusters(
     # inside _signature_near_dup_clusters is skipped via precut=True;
     # without this the ~100 ms/asset JPEG decode would run twice)
     drop_meta = () if with_meta else ("width", "height")
+    video_sigs = lineage_cut(
+        video_fingerprint(
+            tagged.filter(F.col("_m") == "video"), fake=fake, on_undecodable="skip"
+        )
+        .withColumnRenamed("vfp", "sig")
+        .drop("n_frames_sampled", *drop_meta),
+        cfg,
+        eager=False,
+    )
+    # Audio-only media containers (Matroska/WebM with no video track:
+    # .mka, audio .webm) sniff as video by magic but carry only audio
+    # streams — rows the video decoders could NOT fingerprint get one
+    # retry through the audio path (kind forced so the audio gate
+    # accepts them; decode_mka refuses video-track files) before
+    # falling to byte shingles. This is the engine's analog of the
+    # reference's ffprobe routing by STREAM inventory, not extension.
+    # Cost: one asset_id anti-join against the already-cut video
+    # signature frame — the same shape as the final leftover join.
+    video_leftover = (
+        tagged.filter(F.col("_m") == "video")
+        .join(video_sigs.select("asset_id"), "asset_id", "left_anti")
+        .withColumn("kind", F.lit("audio"))
+    )
     sigs = {
         "image": lineage_cut(
             image_phash(
@@ -1120,20 +1152,14 @@ def media_near_dup_clusters(
         ),
         "audio": lineage_cut(
             audio_fingerprint(
-                tagged.filter(F.col("_m") == "audio"), fake, on_undecodable="skip"
+                tagged.filter(F.col("_m") == "audio").unionByName(video_leftover),
+                fake,
+                on_undecodable="skip",
             ).withColumnRenamed("afp", "sig"),
             cfg,
             eager=False,
         ),
-        "video": lineage_cut(
-            video_fingerprint(
-                tagged.filter(F.col("_m") == "video"), fake=fake, on_undecodable="skip"
-            )
-            .withColumnRenamed("vfp", "sig")
-            .drop("n_frames_sampled", *drop_meta),
-            cfg,
-            eager=False,
-        ),
+        "video": video_sigs,
     }
     parts = [
         labeled(_signature_near_dup_clusters(s, "sig", cfg, precut=True), modality)

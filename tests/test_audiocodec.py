@@ -564,3 +564,115 @@ def test_decode_samples_routes_ogg_flac(spark):
     ).collect()
     assert len({r["cluster_id"] for r in out}) == 1
     assert sorted(r["decoder"] for r in out) == ["flac", "oggflac", "wav"]
+
+
+# ------------------------------------------------- Matroska audio (.mka)
+
+
+def test_mka_round_trips_all_codecs_and_lacings():
+    """FLAC-in-Matroska must decode bit-identical to native FLAC
+    (frames travel verbatim), Vorbis-in-Matroska bit-identical to the
+    Ogg layout of the same packets, PCM exactly — across no/Xiph/EBML
+    lacing and BlockGroup-free SimpleBlock layout."""
+    from dedup_spark.functions.audiocodec import (
+        decode_flac,
+        decode_mka,
+        encode_flac_pcm16,
+        encode_mka,
+    )
+    from dedup_spark.functions.vorbis import decode_vorbis, encode_vorbis_pcm16
+
+    x = _colored(41)[: RATE + 511]
+    nat_flac, _ = decode_flac(encode_flac_pcm16(x, RATE, block=4096))
+    xi = np.clip(np.round(x * 32767), -32768, 32767)
+    nat_vorb, _ = decode_vorbis(encode_vorbis_pcm16(xi, RATE))
+    for lacing in ("none", "xiph", "ebml"):
+        y, r, tok = decode_mka(encode_mka(x, RATE, codec="flac", lacing=lacing))
+        assert (r, tok) == (RATE, "flac") and np.array_equal(y, nat_flac)
+        y, r, tok = decode_mka(
+            encode_mka(x, RATE, codec="vorbis", lacing=lacing))
+        assert (r, tok) == (RATE, "vorbis")
+        m = min(len(y), len(nat_vorb))
+        assert m > 0 and np.array_equal(y[:m], nat_vorb[:m])
+        y, r, tok = decode_mka(encode_mka(x, RATE, codec="pcm", lacing=lacing))
+        assert (r, tok) == (RATE, "pcm") and len(y) == len(x)
+        q = np.clip(np.round(x * 32767), -32768, 32767) / 32768.0
+        assert np.allclose(y, q, atol=0)
+    # fixed lacing needs equal frames: a block-multiple PCM clip
+    x2 = x[: 3 * 4096]
+    y, r, tok = decode_mka(encode_mka(x2, RATE, codec="pcm", lacing="fixed"))
+    assert (r, tok) == (RATE, "pcm") and len(y) == len(x2)
+
+
+def test_mka_stereo_downmixes():
+    from dedup_spark.functions.audiocodec import decode_mka, encode_mka
+
+    x = _colored(42)[:8192]
+    st = np.stack([x, -0.25 * x], axis=1)
+    q = np.clip(np.round(st * 32767), -32768, 32767) / 32768.0
+    expect = q.mean(axis=1)  # downmix = mean of the quantized channels
+    for codec in ("flac", "pcm"):
+        y, r, tok = decode_mka(encode_mka(st, RATE, codec=codec))
+        assert r == RATE and y.shape == (len(x),)
+        assert np.allclose(y, expect, atol=1e-12)
+
+
+def test_mka_refuses_video_tracks_and_corrupt_streams():
+    """A Matroska file WITH a video track must raise (it is a video
+    file; fingerprinting its soundtrack would merge different videos
+    that share audio), as must unsupported codecs and truncations."""
+    from dedup_spark.functions.audiocodec import decode_mka, encode_mka
+    from dedup_spark.functions.videocodec import encode_mkv_mjpeg
+
+    frames = (np.arange(2 * 32 * 48, dtype=np.uint8) % 251).reshape(2, 32, 48)
+    with pytest.raises(AudioDecodeError, match="video track"):
+        decode_mka(encode_mkv_mjpeg(frames))
+    good = encode_mka(_colored(7)[:6000], 8000, codec="flac")
+    with pytest.raises(AudioDecodeError):
+        decode_mka(good[: len(good) // 3])
+    with pytest.raises(AudioDecodeError):
+        decode_mka(b"\x1aE\xdf\xa3" + bytes(40))
+    # unsupported codec id
+    blob = bytearray(good)
+    i = blob.find(b"A_FLAC")
+    blob[i : i + 6] = b"A_OPUS"
+    with pytest.raises(AudioDecodeError, match="unsupported|no audio|corrupt"):
+        decode_mka(bytes(blob))
+
+
+def test_orchestrator_reroutes_audio_only_matroska(spark):
+    """Audio-only Matroska sniffs as video by magic; the orchestrator
+    retries video-undecodable rows through the audio path, so one
+    recording as WAV + FLAC-in-MKA + Vorbis-in-WebM lands in ONE
+    audio-namespaced cluster — while a real MJPEG Matroska VIDEO stays
+    in the video namespace."""
+    from dedup_spark.functions.audiocodec import encode_mka, encode_wav_pcm16
+    from dedup_spark.functions.videocodec import encode_mkv_mjpeg
+    from dedup_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_samples,
+        media_near_dup_clusters,
+    )
+
+    x = _colored(12)[:RATE]
+    mka = encode_mka(x, RATE, codec="flac")
+    y, rate, dec = decode_samples(mka, fake=False)
+    assert (rate, dec) == (RATE, "mkaflac") and len(y) == len(x)
+    vid = (np.arange(3 * 48 * 64, dtype=np.uint8) % 250).reshape(3, 48, 64)
+    rows = [
+        (1, "blob", encode_wav_pcm16(x, RATE), None),
+        (2, "blob", mka, None),
+        (3, "blob", encode_mka(x, RATE, codec="vorbis", lacing="xiph"), None),
+        (4, "blob", encode_mkv_mjpeg(vid), None),
+    ]
+    out = {
+        r["asset_id"]: r
+        for r in media_near_dup_clusters(
+            spark.createDataFrame(rows, ASSET_SCHEMA)
+        ).collect()
+    }
+    assert out[1]["modality"] == out[2]["modality"] == out[3]["modality"] == "audio"
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
+    assert out[2]["decoder"] == "mkaflac"
+    assert out[3]["decoder"] == "mkavorbis"
+    assert out[4]["modality"] == "video" and out[4]["decoder"] == "mkv-mjpeg"
