@@ -73,6 +73,14 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         body = payload[pos + 8 : pos + 8 + clen]
         if tag == b"fmt " and len(body) >= 16:
             fmt = struct.unpack("<HHIIHH", body[:16])
+            if fmt[0] == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: the real
+                # format tag is the first two bytes of the SubFormat
+                # GUID in the extension (after cbSize + valid bits +
+                # channel mask)
+                if len(body) < 26:
+                    raise AudioDecodeError("truncated EXTENSIBLE fmt chunk")
+                (sub,) = struct.unpack("<H", body[24:26])
+                fmt = (sub, *fmt[1:])
         elif tag == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
@@ -96,6 +104,10 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         x = v.astype(np.float64) / 8388608.0
     elif tag_fmt == 3 and bits == 32:
         x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    elif tag_fmt == 6 and bits in (0, 8):  # G.711 A-law (shared with AU)
+        x = _alaw_to_linear(np.frombuffer(data, dtype=np.uint8)) / 32768.0
+    elif tag_fmt == 7 and bits in (0, 8):  # G.711 mu-law (shared with AU)
+        x = _mulaw_to_linear(np.frombuffer(data, dtype=np.uint8)) / 32768.0
     else:
         raise AudioDecodeError(f"unsupported WAV encoding (tag={tag_fmt}, bits={bits})")
     if channels > 1:

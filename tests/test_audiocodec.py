@@ -676,3 +676,60 @@ def test_orchestrator_reroutes_audio_only_matroska(spark):
     assert out[2]["decoder"] == "mkaflac"
     assert out[3]["decoder"] == "mkavorbis"
     assert out[4]["modality"] == "video" and out[4]["decoder"] == "mkv-mjpeg"
+
+
+# ----------------------------------------- WAV: EXTENSIBLE + G.711 tags
+
+
+def _wav_blob(tag: int, bits: int, rate: int, data: bytes,
+              extensible: bool = False, channels: int = 1) -> bytes:
+    import struct as _s
+
+    if extensible:
+        ext = _s.pack("<HHI", 22, bits, 0) + _s.pack("<H", tag) + bytes(14)
+        fmt = _s.pack("<HHIIHH", 0xFFFE, channels, rate,
+                      rate * channels * max(bits, 8) // 8,
+                      channels * max(bits, 8) // 8, bits) + ext
+    else:
+        fmt = _s.pack("<HHIIHH", tag, channels, rate,
+                      rate * channels * max(bits, 8) // 8,
+                      channels * max(bits, 8) // 8, bits)
+    body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def test_wav_extensible_decodes_like_plain_pcm():
+    x = _colored(21)[:5000]
+    s = np.clip(np.round(x * 32767), -32768, 32767).astype("<i2")
+    plain = decode_wav(_wav_blob(1, 16, RATE, s.tobytes()))
+    ext = decode_wav(_wav_blob(1, 16, RATE, s.tobytes(), extensible=True))
+    assert plain[1] == ext[1] == RATE
+    assert np.array_equal(plain[0], ext[0])
+    with pytest.raises(AudioDecodeError):  # truncated extension
+        import struct as _s
+        fmt = _s.pack("<HHIIHH", 0xFFFE, 1, RATE, RATE * 2, 2, 16)
+        body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                + b"data" + _s.pack("<I", 4) + bytes(4))
+        decode_wav(b"RIFF" + _s.pack("<I", len(body)) + body)
+
+
+def test_wav_g711_tags_share_the_au_companding():
+    """mu-law (tag 7) and A-law (tag 6) WAVs decode through the same
+    published-formula expanders as Sun AU — pinned byte-for-byte
+    against them over every 8-bit code."""
+    from dedup_spark.functions.audiocodec import (
+        _alaw_to_linear,
+        _mulaw_to_linear,
+    )
+
+    codes = bytes(range(256)) * 4
+    for tag, expand in ((7, _mulaw_to_linear), (6, _alaw_to_linear)):
+        x, rate = decode_wav(_wav_blob(tag, 8, 8000, codes))
+        assert rate == 8000 and len(x) == len(codes)
+        expect = expand(np.frombuffer(codes, np.uint8)) / 32768.0
+        assert np.array_equal(x, expect)
+        # EXTENSIBLE wrapping of the same subformat
+        x2, _ = decode_wav(_wav_blob(tag, 8, 8000, codes, extensible=True))
+        assert np.array_equal(x2, x)
