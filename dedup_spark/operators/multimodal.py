@@ -1658,27 +1658,36 @@ def documents_as_jpeg_assets(spark, sf_dir: str) -> DataFrame:
 
 def documents_as_wav_assets(spark, sf_dir: str) -> DataFrame:
     """Fixture adapter for the REAL audio decode paths: byte-derived
-    samples encoded as 16-bit PCM WAV, FLAC or Ogg/Vorbis (cycling
-    deterministically on text length % 3, like the video fixture) —
-    so the format-blind geometry oracle (`wav_decode_meta`)
-    value-verifies all three real audio stacks through one query
-    (Vorbis sample count is exact: the EOS granule truncates the
-    final lapped block to the encoder's input length)."""
+    samples encoded as 16-bit PCM WAV, FLAC, Ogg/Vorbis, Ogg-FLAC,
+    FLAC-in-Matroska or Vorbis-in-Matroska (cycling deterministically
+    on text length % 6, like the video fixture) — so the format-blind
+    geometry oracle (`wav_decode_meta`) value-verifies all six real
+    audio carriers through one query (Vorbis sample counts are exact:
+    the EOS granule — or the Matroska Duration — truncates the final
+    lapped block to the encoder's input length)."""
 
     def make(raw: bytes) -> bytes:
         from dedup_spark.functions.audiocodec import (
             encode_flac_pcm16,
+            encode_mka,
+            encode_ogg_flac_pcm16,
             encode_wav_pcm16,
         )
         from dedup_spark.functions.vorbis import encode_vorbis_pcm16
 
         x, rate = _fake_samples(raw)
-        sel = len(raw) % 3
+        sel = len(raw) % 6
         if sel == 0:
             return encode_wav_pcm16(x, rate)
         if sel == 1:
             return encode_flac_pcm16(x, rate)
-        return encode_vorbis_pcm16(x, rate)
+        if sel == 2:
+            return encode_vorbis_pcm16(x, rate)
+        if sel == 3:
+            return encode_ogg_flac_pcm16(x, rate)
+        if sel == 4:
+            return encode_mka(x, rate, codec="flac", lacing="xiph")
+        return encode_mka(x, rate, codec="vorbis", lacing="xiph")
 
     return _documents_as_media_assets(spark, sf_dir, "audio", "audio/wav", make)
 

@@ -1380,8 +1380,10 @@ FROM documents
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
        CAST(greatest(16, octet_length(encode(text))) AS BIGINT) AS n_samples,
        CAST(8000 AS BIGINT) AS sample_rate,
-       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'wav'
-            WHEN 1 THEN 'flac' ELSE 'vorbis' END AS decoder
+       CASE octet_length(encode(text)) % 6 WHEN 0 THEN 'wav'
+            WHEN 1 THEN 'flac' WHEN 2 THEN 'vorbis'
+            WHEN 3 THEN 'oggflac' WHEN 4 THEN 'mkaflac'
+            ELSE 'mkavorbis' END AS decoder
 FROM documents
 """,
     "mpeg_decode_meta": """
