@@ -617,12 +617,351 @@ def encode_mp4(duration_ms: int, handlers: list[str],
     return ftyp + _box(b"moov", mvhd + traks)
 
 
+# ------------------------------------------------- MPEG-PS / MPEG-TS ------
+#
+# The two classic MPEG SYSTEM layers (.mpg program streams, .ts
+# broadcast transport streams) — pure structural demultiplex per
+# ISO/IEC 11172-1 and 13818-1: pack headers, PES packets, 188-byte
+# TS packets with PAT/PMT program tables. No entropy tables of any
+# kind live at this layer; the demuxed elementary streams feed the
+# engine's existing MPEG-1/2 video and MPEG-audio decoders.
+
+
+def _pes_payload(d: bytes, i: int, end: int) -> bytes:
+    """Strip one PES packet's header starting at the byte AFTER the
+    2-byte PES_packet_length field; returns the payload bytes.
+    Handles both header forms: MPEG-2 ('10xxxxxx' flags + 3-byte
+    fixed header + header_data_length) and MPEG-1 (0xFF stuffing,
+    optional STD buffer field, PTS/DTS markers)."""
+    if i >= end:
+        return b""
+    if (d[i] & 0xC0) == 0x80:  # MPEG-2 PES header
+        if i + 3 > end:
+            raise ContainerParseError("truncated MPEG-2 PES header")
+        hlen = d[i + 2]
+        if i + 3 + hlen > end:
+            raise ContainerParseError("PES header overruns packet")
+        return d[i + 3 + hlen : end]
+    # MPEG-1 form
+    while i < end and d[i] == 0xFF:  # stuffing
+        i += 1
+    if i < end and (d[i] & 0xC0) == 0x40:  # STD buffer size
+        i += 2
+    if i < end and (d[i] & 0xF0) == 0x20:  # PTS only
+        i += 5
+    elif i < end and (d[i] & 0xF0) == 0x30:  # PTS + DTS
+        i += 10
+    elif i < end:
+        if d[i] != 0x0F:
+            raise ContainerParseError("bad MPEG-1 PES header terminator")
+        i += 1
+    if i > end:
+        raise ContainerParseError("MPEG-1 PES header overruns packet")
+    return d[i:end]
+
+
+def _next_start_code(d: bytes, i: int) -> int:
+    """Offset of the next 00 00 01 prefix at/after i, or len(d)."""
+    j = d.find(b"\x00\x00\x01", i)
+    return len(d) if j < 0 else j
+
+
+def demux_mpeg_ps(payload: bytes) -> dict[int, bytes]:
+    """MPEG program stream → {stream_id: elementary stream bytes}.
+    Walks pack headers (both the MPEG-1 '0010' and MPEG-2 '01'
+    forms, incl. MPEG-2 pack stuffing), system headers, and PES
+    packets (bounded by PES_packet_length; 0 = scan to the next
+    start code, the unbounded-video convention)."""
+    d = payload or b""
+    if d[:4] != b"\x00\x00\x01\xba":
+        raise ContainerParseError("not an MPEG program stream")
+    streams: dict[int, bytearray] = {}
+    i = 0
+    n = len(d)
+    while i + 4 <= n:
+        if d[i : i + 3] != b"\x00\x00\x01":
+            i = _next_start_code(d, i)
+            continue
+        sid = d[i + 3]
+        i += 4
+        if sid == 0xBA:  # pack header
+            if i >= n:
+                break
+            if (d[i] & 0xC0) == 0x40:  # MPEG-2: 10 bytes + stuffing
+                if i + 10 > n:
+                    raise ContainerParseError("truncated MPEG-2 pack header")
+                stuff = d[i + 9] & 0x07
+                i += 10 + stuff
+            elif (d[i] & 0xF0) == 0x20:  # MPEG-1: 8 bytes
+                i += 8
+            else:
+                raise ContainerParseError("bad pack header marker")
+        elif sid == 0xB9:  # program end
+            break
+        elif sid in (0xBB, 0xBC, 0xBE, 0xBF):  # system hdr / PSM / padding
+            if i + 2 > n:
+                raise ContainerParseError("truncated system header")
+            i += 2 + int.from_bytes(d[i : i + 2], "big")
+        elif 0xBD <= sid <= 0xEF:  # PES packet
+            if i + 2 > n:
+                raise ContainerParseError("truncated PES length")
+            plen = int.from_bytes(d[i : i + 2], "big")
+            i += 2
+            end = i + plen if plen else _next_start_code(d, i)
+            if end > n:
+                raise ContainerParseError("PES packet overruns stream")
+            streams.setdefault(sid, bytearray()).extend(
+                _pes_payload(d, i, end))
+            i = end
+        else:
+            raise ContainerParseError(f"unexpected start code 0x{sid:02x}")
+    if not streams:
+        raise ContainerParseError("program stream has no PES packets")
+    return {sid: bytes(b) for sid, b in streams.items()}
+
+
+def demux_mpeg_ts(payload: bytes) -> dict[int, tuple[int, bytes]]:
+    """MPEG transport stream → {elementary_PID: (stream_type, ES
+    bytes)}. Reads the PAT (PID 0) for program-map PIDs, the PMTs for
+    (stream_type, elementary_PID) entries, then reassembles each
+    elementary PID's PES packets across 188-byte TS packets
+    (adaptation fields skipped, PES headers stripped at each
+    payload_unit_start)."""
+    d = payload or b""
+    if len(d) < 188 or d[0] != 0x47:
+        raise ContainerParseError("not an MPEG transport stream")
+    pmts: set[int] = set()
+    es_types: dict[int, int] = {}
+    pes_chunks: dict[int, list[bytes]] = {}
+    open_pes: dict[int, bytearray] = {}
+
+    def flush(pid: int) -> None:
+        buf = open_pes.pop(pid, None)
+        if buf is None:
+            return
+        if len(buf) < 6 or buf[:3] != b"\x00\x00\x01":
+            raise ContainerParseError("TS PES lacks start code")
+        plen = int.from_bytes(buf[4:6], "big")
+        end = 6 + plen if plen else len(buf)
+        if end > len(buf):
+            raise ContainerParseError("TS PES shorter than declared")
+        pes_chunks.setdefault(pid, []).append(
+            _pes_payload(bytes(buf), 6, end))
+
+    for off in range(0, len(d) - 187, 188):
+        pkt = d[off : off + 188]
+        if pkt[0] != 0x47:
+            raise ContainerParseError(f"lost TS sync at offset {off}")
+        pusi = bool(pkt[1] & 0x40)
+        pid = ((pkt[1] & 0x1F) << 8) | pkt[2]
+        afc = (pkt[3] >> 4) & 0x3
+        i = 4
+        if afc & 0x2:  # adaptation field
+            if i >= 188:
+                raise ContainerParseError("truncated adaptation field")
+            i += 1 + pkt[i]
+        if not afc & 0x1 or i > 188:
+            continue  # no payload
+        body = pkt[i:]
+        if pid == 0 or pid in pmts:  # PSI: PAT or PMT section
+            if not pusi or not body:
+                continue
+            sec = body[1 + body[0] :]  # pointer_field skip
+            if len(sec) < 12:
+                raise ContainerParseError("truncated PSI section")
+            slen = ((sec[1] & 0x0F) << 8) | sec[2]
+            rows = sec[8 : 3 + slen - 4]  # after fixed header, before CRC
+            if pid == 0:  # PAT: (program_number, map_PID) pairs
+                for j in range(0, len(rows) - 3, 4):
+                    prog = int.from_bytes(rows[j : j + 2], "big")
+                    if prog != 0:
+                        pmts.add(((rows[j + 2] & 0x1F) << 8) | rows[j + 3])
+            else:  # PMT: program_info then ES loop
+                if len(sec) < 12:
+                    continue
+                pil = ((sec[10] & 0x0F) << 8) | sec[11]
+                j = 12 + pil
+                esl_end = 3 + slen - 4
+                while j + 5 <= esl_end:
+                    stype = sec[j]
+                    epid = ((sec[j + 1] & 0x1F) << 8) | sec[j + 2]
+                    einfo = ((sec[j + 3] & 0x0F) << 8) | sec[j + 4]
+                    es_types[epid] = stype
+                    j += 5 + einfo
+        elif pid in es_types:
+            if pusi:
+                flush(pid)
+                open_pes[pid] = bytearray(body)
+            elif pid in open_pes:
+                open_pes[pid].extend(body)
+    for pid in list(open_pes):
+        flush(pid)
+    if not pes_chunks:
+        raise ContainerParseError("transport stream has no PES payload")
+    return {
+        pid: (es_types.get(pid, 0), b"".join(chunks))
+        for pid, chunks in pes_chunks.items()
+    }
+
+
+def encode_mpeg_ps(
+    es: bytes, stream_id: int = 0xE0, pes_size: int = 2048
+) -> bytes:
+    """Fixture muxer: wrap one elementary stream in an MPEG-2 program
+    stream — a pack header per PES packet (zeroed SCR/mux_rate with
+    the mandatory marker bits), MPEG-2 PES headers with no optional
+    fields, program_end_code last."""
+    out = bytearray()
+    pack = (b"\x00\x00\x01\xba"
+            + bytes([0x44, 0x00, 0x04, 0x00, 0x04, 0x01,  # SCR markers
+                     0x00, 0x00, 0x03,                     # mux_rate + marker
+                     0xF8]))                               # no stuffing
+    for lo in range(0, len(es), pes_size):
+        chunk = es[lo : lo + pes_size]
+        body = b"\x80\x00\x00" + chunk  # MPEG-2 flags, no header data
+        out += pack
+        out += (b"\x00\x00\x01" + bytes([stream_id])
+                + len(body).to_bytes(2, "big") + body)
+    out += b"\x00\x00\x01\xb9"
+    return bytes(out)
+
+
+def encode_mpeg_ts(
+    es: bytes, stream_type: int, pid: int = 0x100, stream_id: int = 0xE0
+) -> bytes:
+    """Fixture muxer: one-program transport stream — PAT (program 1 →
+    PMT PID 0x20), PMT (one elementary stream), then the ES as one
+    PES packet split across 188-byte packets, the final partial
+    packet padded with an adaptation field."""
+
+    def _crc32_mpeg(data: bytes) -> int:
+        crc = 0xFFFFFFFF
+        for byte in data:
+            crc ^= byte << 24
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF \
+                    if crc & 0x80000000 else (crc << 1) & 0xFFFFFFFF
+        return crc
+
+    def section(table_id: int, tsi: int, rows: bytes) -> bytes:
+        body = (tsi.to_bytes(2, "big") + b"\xc1\x00\x00" + rows)
+        slen = len(body) + 4  # + CRC
+        hdr = bytes([table_id, 0xB0 | (slen >> 8), slen & 0xFF])
+        sec = hdr + body
+        return sec + _crc32_mpeg(sec).to_bytes(4, "big")
+
+    def psi_packet(pid_: int, sec: bytes, cc: int) -> bytes:
+        body = b"\x00" + sec  # pointer_field 0
+        pkt = bytes([0x47, 0x40 | (pid_ >> 8), pid_ & 0xFF, 0x10 | cc]) + body
+        return pkt + b"\xff" * (188 - len(pkt))
+
+    pmt_pid = 0x20
+    pat = section(0x00, 1, (1).to_bytes(2, "big")
+                  + bytes([0xE0 | (pmt_pid >> 8), pmt_pid & 0xFF]))
+    pmt_rows = (bytes([0xE0 | (pid >> 8), pid & 0xFF, 0xF0, 0x00])  # PCR PID
+                + bytes([stream_type, 0xE0 | (pid >> 8), pid & 0xFF,
+                         0xF0, 0x00]))
+    pmt = section(0x02, 1, pmt_rows)
+    out = bytearray(psi_packet(0, pat, 0) + psi_packet(pmt_pid, pmt, 0))
+    pes = (b"\x00\x00\x01" + bytes([stream_id]) + b"\x00\x00"  # unbounded
+           + b"\x80\x00\x00" + es)
+    cc = 0
+    i = 0
+    first = True
+    while i < len(pes):
+        room = 184
+        chunk = pes[i : i + room]
+        hdr = bytes([0x47, (0x40 if first else 0x00) | (pid >> 8),
+                     pid & 0xFF, 0x10 | (cc & 0x0F)])
+        if len(chunk) < 184:
+            # pad with an adaptation field so the packet is 188 bytes
+            pad = 184 - len(chunk)
+            af = bytes([pad - 1]) + (b"\x00" + b"\xff" * (pad - 2)
+                                     if pad > 1 else b"")
+            hdr = bytes([0x47, (0x40 if first else 0x00) | (pid >> 8),
+                         pid & 0xFF, 0x30 | (cc & 0x0F)])
+            out += hdr + af + chunk
+        else:
+            out += hdr + chunk
+        i += len(chunk)
+        cc += 1
+        first = False
+    return bytes(out)
+
+
+def _es_codec_token(stream_kind: str, es: bytes) -> str:
+    """Name the elementary stream inside a system layer: video by the
+    sequence-extension probe (MPEG-2 has one right after the sequence
+    header), audio by the frame-sync version/layer bits."""
+    if stream_kind == "video":
+        j = es.find(b"\x00\x00\x01\xb3")
+        if j >= 0 and es.find(b"\x00\x00\x01\xb5", j) >= 0:
+            return "mpeg2video"
+        return "mpeg1video" if j >= 0 else "video"
+    for j in range(0, max(0, len(es) - 1)):
+        if es[j] == 0xFF and (es[j + 1] & 0xE0) == 0xE0:
+            layer = 4 - ((es[j + 1] >> 1) & 0x3)
+            return f"mp{layer}" if layer in (1, 2, 3) else "audio"
+    return "audio"
+
+
+def parse_mpeg_ps(payload: bytes) -> dict:
+    """Program-stream metadata: stream inventory from the PES walk,
+    codec tokens from the demuxed elementary streams."""
+    streams = demux_mpeg_ps(payload)
+    vids = sorted(s for s in streams if 0xE0 <= s <= 0xEF)
+    auds = sorted(s for s in streams if 0xC0 <= s <= 0xDF)
+    if vids:
+        codec = _es_codec_token("video", streams[vids[0]])
+    elif auds:
+        codec = _es_codec_token("audio", streams[auds[0]])
+    else:
+        codec = ""
+    return {
+        "container": "mpegps",
+        "codec": codec,
+        "n_tracks": len(vids) + len(auds),
+        "n_frames": 0,  # frame counts live at the ES layer
+        "sample_rate": 0,
+        "bitrate_kbps": 0,
+        "duration_ms": 0,
+    }
+
+
+def parse_mpeg_ts(payload: bytes) -> dict:
+    """Transport-stream metadata: PAT/PMT stream inventory, codec
+    token from the first video (or audio) elementary stream."""
+    pids = demux_mpeg_ts(payload)
+    vids = sorted(p for p, (st, _) in pids.items() if st in (0x01, 0x02))
+    auds = sorted(p for p, (st, _) in pids.items() if st in (0x03, 0x04))
+    if vids:
+        codec = _es_codec_token("video", pids[vids[0]][1])
+    elif auds:
+        codec = _es_codec_token("audio", pids[auds[0]][1])
+    else:
+        codec = ""
+    return {
+        "container": "mpegts",
+        "codec": codec,
+        "n_tracks": len(pids),
+        "n_frames": (len(payload) // 188),  # TS packets, like Ogg pages
+        "sample_rate": 0,
+        "bitrate_kbps": 0,
+        "duration_ms": 0,
+    }
+
+
 def parse_container(payload: bytes) -> dict:
     """Route by magic to the right structural parser; raises
     ContainerParseError for anything unrecognized."""
     d = payload or b""
     if d[:4] == b"\x1a\x45\xdf\xa3":
         return parse_mkv(d)
+    if d[:4] == b"\x00\x00\x01\xba":
+        return parse_mpeg_ps(d)
+    if (len(d) >= 3 * 188 and d[0] == 0x47 and d[188] == 0x47
+            and d[376] == 0x47):
+        return parse_mpeg_ts(d)
     if d[4:8] == b"ftyp" or _qt_atom_led(d):
         return parse_mp4(d)
     if d[:4] == b"OggS":

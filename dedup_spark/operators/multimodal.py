@@ -67,7 +67,20 @@ _MAGIC_KINDS = {
     "1a45dfa3": "video",  # Matroska/WebM
     "59555634": "video",  # "YUV4" — YUV4MPEG2 raw video
     "000001b3": "video",  # MPEG-1 video elementary stream (sequence hdr)
+    "000001ba": "video",  # MPEG program stream (pack header)
 }
+
+
+def _is_mpeg_ts(payload: bytes) -> bool:
+    """MPEG transport stream probe: 0x47 sync bytes at three
+    consecutive 188-byte packet boundaries (a single 'G' prefix is
+    far too weak — this is the standard ffprobe-style heuristic)."""
+    return (
+        len(payload) >= 3 * 188
+        and payload[0] == 0x47
+        and payload[188] == 0x47
+        and payload[376] == 0x47
+    )
 
 
 def detect_kind_from_magic(payload: bytes | None) -> str:
@@ -140,6 +153,9 @@ def detect_kind_from_magic(payload: bytes | None) -> str:
         and payload[4:8] in (b"moov", b"mdat", b"wide", b"free", b"skip", b"pnot")
         and 8 <= int.from_bytes(payload[:4], "big") <= len(payload)
     ):
+        return "video"
+    # MPEG transport stream: sync bytes at three packet boundaries
+    if _is_mpeg_ts(payload):
         return "video"
     # raw MPEG-audio frame sync (MP3 without an ID3 tag): 11-bit sync
     # plus VALIDATED header fields (layer != reserved, version !=
@@ -228,6 +244,7 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
         .when(hx.startswith("4f676753"), "audio")                     # Ogg ("OggS")
         .when(hx.startswith("1a45dfa3"), "video")                     # Matroska/WebM
         .when(hx.startswith("000001b3"), "video")                     # MPEG-1/2 ES
+        .when(hx.startswith("000001ba"), "video")                     # MPEG program stream
         .when(F.substring(hx, 9, 8) == "66747970", "video")           # ISO-BMFF "ftyp"
         .when(
             # legacy QuickTime .mov: moov/mdat/wide/free/skip/pnot at
@@ -243,6 +260,17 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
                 F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
                 <= F.length(payload)
             ),
+            "video",
+        )
+        .when(
+            # MPEG transport stream: 0x47 sync at three consecutive
+            # 188-byte packet boundaries (byte for byte the Python
+            # sniffer's _is_mpeg_ts; offsets are beyond the 12-byte
+            # hex window, so the probe reads the binary directly)
+            (F.length(payload) >= 3 * 188)
+            & (F.substring(payload, 1, 1) == F.lit(b"\x47"))
+            & (F.substring(payload, 189, 1) == F.lit(b"\x47"))
+            & (F.substring(payload, 377, 1) == F.lit(b"\x47")),
             "video",
         )
         .when(
@@ -963,6 +991,41 @@ def decode_samples(payload: bytes, fake: bool = False) -> tuple:
         ):
             x, rate, layer = decode_mpeg(raw)
             return x, rate, f"mp{layer}"
+        if raw[:4] == b"\x00\x00\x01\xba" or _is_mpeg_ts(raw):
+            # audio-only MPEG system streams (MP2 radio/DVB dumps):
+            # same stream-inventory policy as Matroska — a video
+            # stream present means it is a video file, refuse here
+            from dedup_spark.functions.containers import (
+                ContainerParseError,
+                demux_mpeg_ps,
+                demux_mpeg_ts,
+            )
+            from dedup_spark.functions.audiocodec import AudioDecodeError
+
+            try:
+                if raw[:4] == b"\x00\x00\x01\xba":
+                    streams = demux_mpeg_ps(raw)
+                    if any(0xE0 <= s <= 0xEF for s in streams):
+                        raise AudioDecodeError(
+                            "program stream has a video stream")
+                    auds = sorted(s for s in streams if 0xC0 <= s <= 0xDF)
+                    es = streams[auds[0]] if auds else b""
+                    wrapper = "ps"
+                else:
+                    ts = demux_mpeg_ts(raw)
+                    if any(st in (0x01, 0x02) for st, _ in ts.values()):
+                        raise AudioDecodeError(
+                            "transport stream has a video stream")
+                    auds = sorted(p for p, (st, _) in ts.items()
+                                  if st in (0x03, 0x04))
+                    es = ts[auds[0]][1] if auds else b""
+                    wrapper = "ts"
+            except ContainerParseError as exc:
+                raise AudioDecodeError(f"system-layer demux: {exc}") from exc
+            if not es:
+                raise AudioDecodeError(f"{wrapper}: no MPEG audio stream")
+            x, rate, layer = decode_mpeg(es)
+            return x, rate, f"{wrapper}-mp{layer}"
     except AudioDecodeError:
         pass  # corrupt or unsupported variant → stub policy below
     if fake:
@@ -1214,10 +1277,19 @@ def media_keeper_meta(assets: DataFrame, fake: bool = False) -> DataFrame:
                     if kind == "image":
                         _img, w, h, _dec = decode_pixels(raw, fake=fake)
                     elif kind == "video":
-                        frames, _fps, _dec = decode_frames(
-                            raw, fake=fake, max_frames=1
-                        )
-                        h, w = int(frames.shape[1]), int(frames.shape[2])
+                        try:
+                            frames, _fps, _dec = decode_frames(
+                                raw, fake=fake, max_frames=1
+                            )
+                            h, w = int(frames.shape[1]), int(frames.shape[2])
+                        except Exception:
+                            # audio-only media container (.mka, audio
+                            # .webm): ffprobe succeeds on these — audio
+                            # metadata, NULL dimensions — so the keeper
+                            # keeps the format token instead of the
+                            # failed-extraction None. Anything else
+                            # re-raises into the outer None path.
+                            decode_samples(raw, fake=fake)
                     elif kind == "audio":
                         decode_samples(raw, fake=fake)  # w/h stay NULL
                     else:
@@ -1476,6 +1548,40 @@ def decode_frames(
         if raw[:4] == b"\x00\x00\x01\xb3":
             # variant detected from the bitstream: 'm1v' or 'm2v'
             return decode_mpeg_video(raw, max_frames=max_frames)
+        if raw[:4] == b"\x00\x00\x01\xba" or _is_mpeg_ts(raw):
+            # MPEG system layers (.mpg program stream / .ts transport
+            # stream): structural demux → the same MPEG-1/2 video ES
+            # decoder; audio-only system streams raise here and take
+            # the orchestrator's audio retry (like audio-only MKV)
+            from dedup_spark.functions.containers import (
+                ContainerParseError,
+                demux_mpeg_ps,
+                demux_mpeg_ts,
+            )
+
+            try:
+                if raw[:4] == b"\x00\x00\x01\xba":
+                    streams = demux_mpeg_ps(raw)
+                    vids = sorted(s for s in streams if 0xE0 <= s <= 0xEF)
+                    es = streams[vids[0]] if vids else None
+                    wrapper = "ps"
+                else:
+                    ts = demux_mpeg_ts(raw)
+                    vids = sorted(p for p, (st, _) in ts.items()
+                                  if st in (0x01, 0x02))
+                    es = ts[vids[0]][1] if vids else None
+                    wrapper = "ts"
+            except ContainerParseError as exc:
+                raise VideoDecodeError(f"system-layer demux: {exc}") from exc
+            if es is None:
+                raise VideoDecodeError(
+                    f"{wrapper}: no MPEG video stream (audio-only?)")
+            j = es.find(b"\x00\x00\x01\xb3")
+            if j < 0:
+                raise VideoDecodeError(f"{wrapper}: video ES lacks a "
+                                       "sequence header")
+            frames, fps, tag = decode_mpeg_video(es[j:], max_frames=max_frames)
+            return frames, fps, f"{wrapper}-{tag}"
         if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
             frames, fps = decode_avi_mjpeg(raw, max_frames=max_frames)
             return frames, fps, "avi-mjpeg"

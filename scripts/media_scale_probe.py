@@ -3,7 +3,9 @@
 Generates N mixed-format assets EXECUTOR-SIDE (deterministic per
 asset_id — no driver bottleneck, no external data): groups of three
 carriers of one source signal (images as PNG + lossless WebP + QOI;
-audio as WAV + AIFF + AU) plus unique singletons, then runs the full
+audio as WAV + FLAC-in-Matroska + AU, the middle carrier routed
+through the orchestrator's video→audio retry) plus unique
+singletons, then runs the full
 `media_near_dup_clusters` pipeline (real decode → per-modality
 perceptual signature → Hamming block-pair join → CC) and reports
 
@@ -37,8 +39,8 @@ def _make_payload(aid: int) -> tuple[bytes, int]:
     import numpy as np
 
     from dedup_spark.functions.audiocodec import (
-        encode_aiff_pcm16,
         encode_au_pcm16,
+        encode_mka,
         encode_wav_pcm16,
     )
     from dedup_spark.functions.imagecodec import (
@@ -74,7 +76,11 @@ def _make_payload(aid: int) -> tuple[bytes, int]:
     if variant == 0:
         return encode_wav_pcm16(x, 8000), gid
     if variant == 1:
-        return encode_aiff_pcm16(x, 8000), gid
+        # FLAC-in-Matroska: sniffs as VIDEO by magic, so this carrier
+        # exercises the orchestrator's video→audio reroute (one
+        # anti-join retry) at probe scale — 1/3 of all audio assets
+        # take that path and must still land in the group's cluster
+        return encode_mka(x, 8000, codec="flac"), gid
     return encode_au_pcm16(x, 8000), gid
 
 

@@ -1,0 +1,245 @@
+"""MPEG system layers: program-stream (.mpg) and transport-stream
+(.ts) demux feeding the existing MPEG-1/2 video and MPEG-audio
+decoders (reference analog: ffmpeg opens these containers for the
+keyframe/audio fingerprint routes, video_fingerprint.rs:59-103,
+audio_fingerprint.rs:9-121). Pure structural walks — pack/PES headers
+and 188-byte packets with PAT/PMT — so every assertion here is
+bit-identity against the raw elementary-stream decode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dedup_spark.functions.containers import (
+    ContainerParseError,
+    demux_mpeg_ps,
+    demux_mpeg_ts,
+    encode_mpeg_ps,
+    encode_mpeg_ts,
+)
+
+
+def _frames(n: int = 4, h: int = 48, w: int = 64) -> np.ndarray:
+    return (np.arange(n * h * w, dtype=np.uint8) % 241).reshape(n, h, w)
+
+
+def _clip(seed: int = 5, n: int = 20000) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return np.clip(rng.standard_normal(n) * 0.2, -1, 1)
+
+
+# ------------------------------------------------------------- demux ------
+
+
+def test_ps_demux_round_trips_payload_exactly():
+    es = bytes(range(256)) * 40
+    for pes_size in (512, 2048, 100000):
+        streams = demux_mpeg_ps(encode_mpeg_ps(es, pes_size=pes_size))
+        assert streams == {0xE0: es}
+
+
+def test_ts_demux_round_trips_payload_exactly():
+    es = bytes(range(256)) * 40
+    out = demux_mpeg_ts(encode_mpeg_ts(es, stream_type=0x02, pid=0x123))
+    assert out == {0x123: (0x02, es)}
+
+
+def test_ps_demux_mpeg1_pes_header_form():
+    """Hand-built MPEG-1 layout: '0010' pack header, PES with 0xFF
+    stuffing + STD buffer + PTS — the demuxer must strip all of it."""
+    payload = b"\xdewey decimal content"
+    pack = b"\x00\x00\x01\xba" + bytes([0x21, 0, 1, 0, 1, 0, 0x80, 1])
+    pes_body = (b"\xff\xff"              # stuffing
+                + bytes([0x40, 0x20])    # STD buffer size
+                + bytes([0x21, 0, 1, 0, 1])  # PTS-only marker form
+                + payload)
+    pes = b"\x00\x00\x01\xc0" + len(pes_body).to_bytes(2, "big") + pes_body
+    streams = demux_mpeg_ps(pack + pes + b"\x00\x00\x01\xb9")
+    assert streams == {0xC0: payload}
+    # no-PTS terminator form (0x0F)
+    pes_body2 = b"\xff\x0f" + payload
+    pes2 = b"\x00\x00\x01\xc0" + len(pes_body2).to_bytes(2, "big") + pes_body2
+    assert demux_mpeg_ps(pack + pes2) == {0xC0: payload}
+
+
+def test_system_demux_rejects_corrupt():
+    es = bytes(64)
+    good_ps = encode_mpeg_ps(es)
+    good_ts = encode_mpeg_ts(es, stream_type=0x02)
+    with pytest.raises(ContainerParseError):
+        demux_mpeg_ps(b"\x00\x00\x01\xb3 not a pack header")
+    with pytest.raises(ContainerParseError):
+        demux_mpeg_ps(good_ps[: len(good_ps) // 2])  # truncated PES
+    with pytest.raises(ContainerParseError):
+        demux_mpeg_ts(b"not a transport stream at all")
+    bad_sync = bytearray(good_ts)
+    bad_sync[188] = 0x48
+    with pytest.raises(ContainerParseError):
+        demux_mpeg_ts(bytes(bad_sync))
+
+
+# ----------------------------------------------------- decode routing -----
+
+
+def test_ps_ts_video_decode_bit_identical_to_es():
+    from dedup_spark.functions.mpeg1video import (
+        decode_mpeg_video,
+        encode_m1v,
+        encode_m2v,
+    )
+    from dedup_spark.operators.multimodal import (
+        decode_frames,
+        detect_kind_from_magic,
+    )
+
+    frames = _frames()
+    for enc, st in ((encode_m1v, 0x01), (encode_m2v, 0x02)):
+        es = enc(frames)
+        ref, ref_fps, tag = decode_mpeg_video(es)
+        ps = encode_mpeg_ps(es)
+        out, fps, dec = decode_frames(ps, fake=False)
+        assert dec == f"ps-{tag}" and fps == ref_fps
+        assert np.array_equal(out, ref)
+        assert detect_kind_from_magic(ps) == "video"
+        ts = encode_mpeg_ts(es, stream_type=st)
+        out2, _, dec2 = decode_frames(ts, fake=False)
+        assert dec2 == f"ts-{tag}"
+        assert np.array_equal(out2, ref)
+        assert detect_kind_from_magic(ts) == "video"
+
+
+def test_ps_ts_audio_only_decode_bit_identical_to_es():
+    from dedup_spark.functions.mpegaudio import decode_mpeg, encode_mp2_pcm16
+    from dedup_spark.operators.multimodal import decode_samples
+
+    aes = encode_mp2_pcm16(_clip(), 48000)
+    ref, ref_rate, _layer = decode_mpeg(aes)
+    y, rate, dec = decode_samples(encode_mpeg_ps(aes, stream_id=0xC0),
+                                  fake=False)
+    assert (dec, rate) == ("ps-mp2", ref_rate)
+    assert np.array_equal(y, ref)
+    y2, rate2, dec2 = decode_samples(
+        encode_mpeg_ts(aes, stream_type=0x04, stream_id=0xC0), fake=False)
+    assert (dec2, rate2) == ("ts-mp2", ref_rate)
+    assert np.array_equal(y2, ref)
+
+
+def test_audio_path_refuses_video_bearing_system_streams():
+    """Stream-inventory policy (same as Matroska): a PS/TS with a
+    video stream is a VIDEO file — the audio path must not claim it."""
+    from dedup_spark.functions.mpeg1video import encode_m1v
+    from dedup_spark.operators.multimodal import decode_samples
+
+    ps = encode_mpeg_ps(encode_m1v(_frames()))
+    with pytest.raises(NotImplementedError):  # typed refusal → stub policy
+        decode_samples(ps, fake=False)
+
+
+def test_system_decode_totality_under_mutation():
+    """Any mutation either decodes or raises a typed error — never an
+    untyped exception escaping the Spark-task catch."""
+    from dedup_spark.functions.mpeg1video import encode_m1v
+    from dedup_spark.functions.mpegaudio import encode_mp2_pcm16
+    from dedup_spark.operators.multimodal import decode_frames, decode_samples
+
+    vid = encode_mpeg_ts(encode_m1v(_frames(2, 32, 32)), stream_type=0x02)
+    aud = encode_mpeg_ps(encode_mp2_pcm16(_clip(7, 4000), 48000),
+                         stream_id=0xC0)
+    rng = np.random.default_rng(99)
+    for blob, fn in ((vid, decode_frames), (aud, decode_samples)):
+        for _ in range(80):
+            mut = bytearray(blob)
+            for _ in range(rng.integers(1, 4)):
+                mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+            try:
+                fn(bytes(mut), fake=False)
+            except NotImplementedError:
+                pass  # typed decode failure → honest stub policy
+
+
+# -------------------------------------------------------- end to end ------
+
+
+def test_cross_container_video_cluster_y4m_es_ps_ts(spark):
+    """ONE clip as raw Y4M, MPEG-1 ES, PS-wrapped and TS-wrapped lands
+    in ONE video cluster through the full orchestrator."""
+    from dedup_spark.functions.mpeg1video import encode_m1v
+    from dedup_spark.functions.videocodec import encode_y4m
+    from dedup_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        media_near_dup_clusters,
+    )
+
+    frames = _frames(4, 64, 80)
+    es = encode_m1v(frames)
+    rows = [
+        (1, "blob", encode_y4m(frames), None),
+        (2, "blob", es, None),
+        (3, "blob", encode_mpeg_ps(es), None),
+        (4, "blob", encode_mpeg_ts(es, stream_type=0x01), None),
+    ]
+    out = {
+        r["asset_id"]: r
+        for r in media_near_dup_clusters(
+            spark.createDataFrame(rows, ASSET_SCHEMA)
+        ).collect()
+    }
+    assert all(out[i]["modality"] == "video" for i in out)
+    assert len({out[i]["cluster_id"] for i in out}) == 1
+    assert out[3]["decoder"] == "ps-m1v"
+    assert out[4]["decoder"] == "ts-m1v"
+
+
+def test_audio_only_ps_reroutes_to_audio_cluster(spark):
+    """An audio-only program stream sniffs as video but carries only
+    MP2: the orchestrator's video→audio retry must land it in the
+    AUDIO cluster with its WAV twin."""
+    from dedup_spark.functions.audiocodec import encode_wav_pcm16
+    from dedup_spark.functions.mpegaudio import encode_mp2_pcm16
+    from dedup_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        media_near_dup_clusters,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 32000
+    spec = np.fft.rfft(rng.standard_normal(n))
+    f = np.fft.rfftfreq(n, 1 / 16000)
+    x = np.fft.irfft(spec / (1 + f / 800.0), n)
+    x = x / np.abs(x).max() * 0.8
+    rows = [
+        (1, "blob", encode_wav_pcm16(x, 48000), None),
+        (2, "blob", encode_mpeg_ps(encode_mp2_pcm16(x, 48000),
+                                   stream_id=0xC0), None),
+    ]
+    out = {
+        r["asset_id"]: r
+        for r in media_near_dup_clusters(
+            spark.createDataFrame(rows, ASSET_SCHEMA)
+        ).collect()
+    }
+    assert out[1]["modality"] == out[2]["modality"] == "audio"
+    assert out[2]["decoder"] == "ps-mp2"
+    assert out[1]["cluster_id"] == out[2]["cluster_id"]
+
+
+# ------------------------------------------------------ container meta ----
+
+
+def test_parse_container_names_system_layers():
+    from dedup_spark.functions.containers import parse_container
+    from dedup_spark.functions.mpeg1video import encode_m1v, encode_m2v
+    from dedup_spark.functions.mpegaudio import encode_mp2_pcm16
+
+    m = parse_container(encode_mpeg_ps(encode_m1v(_frames())))
+    assert (m["container"], m["codec"], m["n_tracks"]) == ("mpegps", "mpeg1video", 1)
+    m = parse_container(encode_mpeg_ps(encode_m2v(_frames())))
+    assert m["codec"] == "mpeg2video"
+    m = parse_container(
+        encode_mpeg_ps(encode_mp2_pcm16(_clip(3, 4000), 48000), stream_id=0xC0))
+    assert (m["container"], m["codec"]) == ("mpegps", "mp2")
+    ts = encode_mpeg_ts(encode_m1v(_frames()), stream_type=0x01)
+    m = parse_container(ts)
+    assert (m["container"], m["codec"], m["n_tracks"]) == ("mpegts", "mpeg1video", 1)
+    assert m["n_frames"] == len(ts) // 188

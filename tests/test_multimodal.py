@@ -258,6 +258,12 @@ def test_kind_column_matches_python(spark):
         b"FORM\x00\x00\x00\x208SVX" + bytes(8),  # other IFF form -> blob
         b".snd" + bytes(20),  # Sun AU -> audio
         b".sndwich text, oddly",  # AU magic is only 4 bytes -> audio (header validates later)
+        b"\x00\x00\x01\xba\x44\x00\x04\x00\x04\x01\x00\x00\x03\xf8",  # MPEG-PS -> video
+        b"\x00\x00\x01\xb9",  # program end alone: not a pack header -> blob
+        (b"\x47" + bytes(187)) * 3,  # MPEG-TS: 3 sync'd packets -> video
+        (b"\x47" + bytes(187)) * 2,  # only 2 packets -> blob (too weak)
+        b"\x47" + bytes(187) + b"\x48" + bytes(187) + b"\x47" + bytes(187),  # broken sync -> blob
+        b"G major chord text " * 40,  # 'G'-led text, no 188-sync -> blob
     ]
     rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
     df = spark.createDataFrame(rows, "i long, payload binary")
