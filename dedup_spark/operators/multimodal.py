@@ -1692,28 +1692,38 @@ def video_near_dup_clusters(
 def documents_as_y4m_assets(spark, sf_dir: str, n_frames: int = 8) -> DataFrame:
     """Fixture adapter for the REAL raw/legacy video decode paths:
     byte-derived pixels, rolled per frame, encoded as an actual Y4M
-    stream (text length % 3 == 0), an MPEG-1 video elementary stream
-    of escape-coded I-pictures (% 3 == 1) or an MPEG-2 stream with
-    sequence/picture-coding extensions (% 3 == 2) — so the
-    format-blind geometry oracle (`y4m_decode_meta`) value-verifies
-    the raw-plane parser AND both MPEG intra layer stacks through one
-    query (same pattern as the WAV/FLAC and baseline/progressive JPEG
-    fixtures)."""
+    stream (text length % 5 == 0), an MPEG-1 video elementary stream
+    of escape-coded I-pictures (% 5 == 1), an MPEG-2 stream with
+    sequence/picture-coding extensions (% 5 == 2), the MPEG-1 ES
+    wrapped in a program stream (% 5 == 3) or the MPEG-2 ES wrapped
+    in a transport stream (% 5 == 4) — so the format-blind geometry
+    oracle (`y4m_decode_meta`) value-verifies the raw-plane parser,
+    both MPEG intra layer stacks AND both system-layer demuxers
+    through one query (same pattern as the six-carrier audio
+    fixture)."""
     import numpy as np
 
     def make(raw: bytes) -> bytes:
+        from dedup_spark.functions.containers import (
+            encode_mpeg_ps,
+            encode_mpeg_ts,
+        )
         from dedup_spark.functions.mpeg1video import encode_m1v, encode_m2v
         from dedup_spark.functions.videocodec import encode_y4m
 
         img, w, h = _fake_pixels(raw)
         img = img[: h - h % 2, : w - w % 2]  # C420 needs even dims
         stack = np.stack([np.roll(img, 7 * i, axis=1) for i in range(n_frames)])
-        sel = len(raw) % 3
+        sel = len(raw) % 5
         if sel == 0:
             return encode_y4m(stack)
         if sel == 1:
             return encode_m1v(stack)
-        return encode_m2v(stack)
+        if sel == 2:
+            return encode_m2v(stack)
+        if sel == 3:
+            return encode_mpeg_ps(encode_m1v(stack))
+        return encode_mpeg_ts(encode_m2v(stack), stream_type=0x02)
 
     return _documents_as_media_assets(
         spark, sf_dir, "video", "video/x-yuv4mpeg", make

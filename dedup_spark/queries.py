@@ -1412,7 +1412,8 @@ SELECT CAST(doc_id AS BIGINT) AS asset_id,
        CAST(8 AS BIGINT) AS n_frames,
        CAST(w - w % 2 AS BIGINT) AS width,
        CAST(h - h % 2 AS BIGINT) AS height,
-       CASE L % 3 WHEN 0 THEN 'y4m' WHEN 1 THEN 'm1v' ELSE 'm2v' END AS decoder
+       CASE L % 5 WHEN 0 THEN 'y4m' WHEN 1 THEN 'm1v' WHEN 2 THEN 'm2v'
+            WHEN 3 THEN 'ps-m1v' ELSE 'ts-m2v' END AS decoder
 FROM (
   SELECT doc_id,
          octet_length(encode(text)) AS L,
