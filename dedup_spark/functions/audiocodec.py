@@ -801,6 +801,14 @@ def _decode_mka(payload: bytes) -> tuple[np.ndarray, int, str]:
                             codec, codec_private = tcodec, tcp
                             sfreq, channels, bit_depth = tfreq, tch, tbits
                 elif cid == 0x1F43B675:  # Cluster
+                    # scale hygiene: an unsupported audio codec (AAC,
+                    # Opus, ...) must raise BEFORE the O(file) block
+                    # scan — Tracks precede Clusters in any sane file
+                    if (track_no is not None and codec != "A_FLAC"
+                            and codec != "A_VORBIS"
+                            and codec not in _MKA_PCM_CODECS):
+                        raise AudioDecodeError(
+                            f"unsupported Matroska audio codec {codec!r}")
                     for bid, ba, bb in _ebml_children(d, ca, cb):
                         if bid == 0xA3:  # SimpleBlock
                             tno, i = _read_vint(d, ba, keep_marker=False)

@@ -369,6 +369,10 @@ def sniff_media_format(payload: bytes | None) -> str | None:
         return "mp3"
     if d[:4] == b"\x00\x00\x01\xb3":
         return "mpg"
+    if d[:4] == b"\x00\x00\x01\xba":
+        return "mpg"  # program stream: the classic .mpg layout
+    if _is_mpeg_ts(d):
+        return "ts"
     if d[4:8] == b"ftyp":
         return "mov" if d[8:12] == b"qt  " else "mp4"
     if d[4:8] in (b"moov", b"mdat", b"wide", b"free", b"skip", b"pnot") and (
@@ -1197,9 +1201,20 @@ def media_near_dup_clusters(
     # falling to byte shingles. This is the engine's analog of the
     # reference's ffprobe routing by STREAM inventory, not extension.
     # Cost: one asset_id anti-join against the already-cut video
-    # signature frame — the same shape as the final leftover join.
+    # signature frame — the same shape as the final leftover join. The
+    # JVM-side magic filter keeps the retry to the three container
+    # families that CAN be audio-only (Matroska, MPEG-PS, MPEG-TS):
+    # failed Y4M/AVI/MP4/H.264 payloads never ship through the extra
+    # Arrow stage at all.
+    _hx4 = F.lower(F.hex(F.substring(F.col("payload"), 1, 4)))
+    _audio_capable = _hx4.isin("1a45dfa3", "000001ba") | (
+        (F.length("payload") >= 3 * 188)
+        & (F.substring(F.col("payload"), 1, 1) == F.lit(b"\x47"))
+        & (F.substring(F.col("payload"), 189, 1) == F.lit(b"\x47"))
+        & (F.substring(F.col("payload"), 377, 1) == F.lit(b"\x47"))
+    )
     video_leftover = (
-        tagged.filter(F.col("_m") == "video")
+        tagged.filter((F.col("_m") == "video") & _audio_capable)
         .join(video_sigs.select("asset_id"), "asset_id", "left_anti")
         .withColumn("kind", F.lit("audio"))
     )
