@@ -1934,8 +1934,8 @@ def media_container_meta(assets: DataFrame) -> DataFrame:
 
 def documents_as_container_assets(spark, sf_dir: str) -> DataFrame:
     """Fixture adapter for the REAL container parsers: each document's
-    byte length L deterministically picks a format (L%5: mp3 / mkv /
-    mp4 / adts / ogg) and the stream parameters — the same integer
+    byte length L deterministically picks a format (L%7: mp3 / mkv /
+    mp4 / adts / ogg / mpeg-ps / mpeg-ts) and the stream parameters — the same integer
     arithmetic the `container_meta` DuckDB oracle recomputes from
     octet_length, so the parse results are value-verified
     format-blind."""
@@ -1946,21 +1946,46 @@ def documents_as_container_assets(spark, sf_dir: str) -> DataFrame:
             encode_mkv,
             encode_mp3,
             encode_mp4,
+            encode_mpeg_ps,
+            encode_mpeg_ts,
             encode_ogg,
         )
 
         n = len(raw)
-        if n % 5 == 0:
+        if n % 7 == 0:
             return encode_mp3(3 + n % 7, 128, 44100, seed=n)
-        if n % 5 == 1:
+        if n % 7 == 1:
             return encode_mkv(
                 1000 + n % 5000, ["V_TEST", "A_TEST", "S_TEST"][: 1 + n % 3]
             )
-        if n % 5 == 2:
+        if n % 7 == 2:
             return encode_mp4(500 + n % 9000, ["vide", "soun"][: 1 + n % 2])
-        if n % 5 == 3:
+        if n % 7 == 3:
             return encode_adts(3 + n % 6, 40 + n % 50, 48000, seed=n)
-        return encode_ogg(10000 + n % 90000, 48000, 2 + n % 3, seed=n)
+        if n % 7 == 4:
+            return encode_ogg(10000 + n % 90000, 48000, 2 + n % 3, seed=n)
+        # system layers: elementary-stream kind cycles m1v / m2v / mp2
+        # (PS) and m1v / mp2 (TS); filler bytes stay in 0x10..0xDF so
+        # no accidental start codes or frame syncs appear
+        filler = bytes(0x10 + (n + j * 13) % 0xC0 for j in range(60 + n % 80))
+        if n % 7 == 5:
+            k = (n // 7) % 3
+            if k == 0:
+                return encode_mpeg_ps(b"\x00\x00\x01\xb3" + filler)
+            if k == 1:
+                return encode_mpeg_ps(
+                    b"\x00\x00\x01\xb3" + filler + b"\x00\x00\x01\xb5")
+            return encode_mpeg_ps(b"\xff\xfd" + filler, stream_id=0xC0)
+        es_len = 100 + n % 400  # total ES length → TS packet count in SQL
+        if (n // 7) % 2 == 0:
+            head = b"\x00\x00\x01\xb3"
+        else:
+            head = b"\xff\xfd"
+        fill = bytes(0x10 + (n + j * 11) % 0xC0
+                     for j in range(es_len - len(head)))
+        if (n // 7) % 2 == 0:
+            return encode_mpeg_ts(head + fill, stream_type=0x02)
+        return encode_mpeg_ts(head + fill, stream_type=0x03, stream_id=0xC0)
 
     return _documents_as_media_assets(
         spark, sf_dir, "blob", "application/octet-stream", make
