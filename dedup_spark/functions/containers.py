@@ -670,8 +670,9 @@ def demux_mpeg_ps(payload: bytes) -> dict[int, bytes]:
     """MPEG program stream → {stream_id: elementary stream bytes}.
     Walks pack headers (both the MPEG-1 '0010' and MPEG-2 '01'
     forms, incl. MPEG-2 pack stuffing), system headers, and PES
-    packets (bounded by PES_packet_length; 0 = scan to the next
-    start code, the unbounded-video convention)."""
+    packets (bounded by PES_packet_length — length 0 is only legal
+    in transport streams and is rejected here); ECM/EMM/DSMCC and
+    other 0xF0-0xFF stream ids are skipped, not fatal."""
     d = payload or b""
     if d[:4] != b"\x00\x00\x01\xba":
         raise ContainerParseError("not an MPEG program stream")
@@ -707,12 +708,22 @@ def demux_mpeg_ps(payload: bytes) -> dict[int, bytes]:
                 raise ContainerParseError("truncated PES length")
             plen = int.from_bytes(d[i : i + 2], "big")
             i += 2
-            end = i + plen if plen else _next_start_code(d, i)
+            if plen == 0:
+                # length 0 (unbounded) is only legal for video in
+                # TRANSPORT streams (13818-1 §2.4.3.7) — never in PS
+                raise ContainerParseError("unbounded PES illegal in "
+                                          "program stream")
+            end = i + plen
             if end > n:
                 raise ContainerParseError("PES packet overruns stream")
             streams.setdefault(sid, bytearray()).extend(
                 _pes_payload(d, i, end))
             i = end
+        elif 0xF0 <= sid <= 0xFF:  # ECM/EMM/DSMCC/ITU-reserved/directory:
+            # same 16-bit length field — skip, do not reject the file
+            if i + 2 > n:
+                raise ContainerParseError("truncated stream header")
+            i += 2 + int.from_bytes(d[i : i + 2], "big")
         else:
             raise ContainerParseError(f"unexpected start code 0x{sid:02x}")
     if not streams:
@@ -776,12 +787,14 @@ def demux_mpeg_ts(payload: bytes) -> dict[int, tuple[int, bytes]]:
                     prog = int.from_bytes(rows[j : j + 2], "big")
                     if prog != 0:
                         pmts.add(((rows[j + 2] & 0x1F) << 8) | rows[j + 3])
-            else:  # PMT: program_info then ES loop
-                if len(sec) < 12:
-                    continue
+            else:  # PMT: program_info then ES loop — the loop bound
+                # is clamped to the bytes actually present so a
+                # declared length larger than one packet (multi-packet
+                # PMT, or corruption) degrades to a partial inventory
+                # instead of an untyped IndexError
                 pil = ((sec[10] & 0x0F) << 8) | sec[11]
                 j = 12 + pil
-                esl_end = 3 + slen - 4
+                esl_end = min(3 + slen - 4, len(sec))
                 while j + 5 <= esl_end:
                     stype = sec[j]
                     epid = ((sec[j + 1] & 0x1F) << 8) | sec[j + 2]
@@ -889,6 +902,29 @@ def encode_mpeg_ts(
     return bytes(out)
 
 
+def is_mpeg_ts_prefix(payload: bytes) -> bool:
+    """MPEG transport stream probe: 0x47 sync bytes at three
+    consecutive 188-byte packet boundaries — the single shared
+    definition behind the Python sniffer, the JVM router column, the
+    orchestrator retry filter and parse_container."""
+    return (
+        len(payload) >= 3 * 188
+        and payload[0] == 0x47
+        and payload[188] == 0x47
+        and payload[376] == 0x47
+    )
+
+
+# ISO 13818-1 stream_type values that mean VIDEO — the refusal set for
+# the audio path (a TS with ANY of these is a video file) and the
+# codec-naming map for parse_mpeg_ts. Decoding itself supports only
+# MPEG-1/2 (0x01/0x02); the rest are honest metadata.
+TS_VIDEO_STREAM_TYPES = {
+    0x01: "mpeg1video", 0x02: "mpeg2video", 0x10: "mpeg4video",
+    0x1B: "h264", 0x24: "hevc", 0xD1: "dirac", 0xEA: "vc1",
+}
+
+
 def _es_codec_token(stream_kind: str, es: bytes) -> str:
     """Name the elementary stream inside a system layer: video by the
     sequence-extension probe (MPEG-2 has one right after the sequence
@@ -898,7 +934,9 @@ def _es_codec_token(stream_kind: str, es: bytes) -> str:
         if j >= 0 and es.find(b"\x00\x00\x01\xb5", j) >= 0:
             return "mpeg2video"
         return "mpeg1video" if j >= 0 else "video"
-    for j in range(0, max(0, len(es) - 1)):
+    # any real MPEG-audio ES syncs within its first frame — bound the
+    # interpreter-speed scan so a mislabeled multi-MB ES costs O(4K)
+    for j in range(0, max(0, min(len(es), 4096) - 1)):
         if es[j] == 0xFF and (es[j + 1] & 0xE0) == 0xE0:
             layer = 4 - ((es[j + 1] >> 1) & 0x3)
             return f"mp{layer}" if layer in (1, 2, 3) else "audio"
@@ -932,10 +970,13 @@ def parse_mpeg_ts(payload: bytes) -> dict:
     """Transport-stream metadata: PAT/PMT stream inventory, codec
     token from the first video (or audio) elementary stream."""
     pids = demux_mpeg_ts(payload)
-    vids = sorted(p for p, (st, _) in pids.items() if st in (0x01, 0x02))
+    vids = sorted(p for p, (st, _) in pids.items()
+                  if st in TS_VIDEO_STREAM_TYPES)
     auds = sorted(p for p, (st, _) in pids.items() if st in (0x03, 0x04))
     if vids:
-        codec = _es_codec_token("video", pids[vids[0]][1])
+        st = pids[vids[0]][0]
+        codec = (_es_codec_token("video", pids[vids[0]][1])
+                 if st in (0x01, 0x02) else TS_VIDEO_STREAM_TYPES[st])
     elif auds:
         codec = _es_codec_token("audio", pids[auds[0]][1])
     else:
@@ -959,8 +1000,7 @@ def parse_container(payload: bytes) -> dict:
         return parse_mkv(d)
     if d[:4] == b"\x00\x00\x01\xba":
         return parse_mpeg_ps(d)
-    if (len(d) >= 3 * 188 and d[0] == 0x47 and d[188] == 0x47
-            and d[376] == 0x47):
+    if is_mpeg_ts_prefix(d):
         return parse_mpeg_ts(d)
     if d[4:8] == b"ftyp" or _qt_atom_led(d):
         return parse_mp4(d)

@@ -72,14 +72,24 @@ _MAGIC_KINDS = {
 
 
 def _is_mpeg_ts(payload: bytes) -> bool:
-    """MPEG transport stream probe: 0x47 sync bytes at three
-    consecutive 188-byte packet boundaries (a single 'G' prefix is
-    far too weak — this is the standard ffprobe-style heuristic)."""
+    """MPEG transport stream probe — delegates to the single shared
+    definition in functions/containers.py (a lone 'G' prefix is far
+    too weak; three packet-boundary syncs is the standard
+    ffprobe-style heuristic)."""
+    from dedup_spark.functions.containers import is_mpeg_ts_prefix
+
+    return is_mpeg_ts_prefix(payload)
+
+
+def _mpeg_ts_probe_col(payload: "F.Column") -> "F.Column":
+    """The same triple-sync probe as a JVM Column expression — the one
+    builder behind both the kind router and the orchestrator's
+    audio-retry filter, kept byte-for-byte with is_mpeg_ts_prefix."""
     return (
-        len(payload) >= 3 * 188
-        and payload[0] == 0x47
-        and payload[188] == 0x47
-        and payload[376] == 0x47
+        (F.length(payload) >= 3 * 188)
+        & (F.substring(payload, 1, 1) == F.lit(b"\x47"))
+        & (F.substring(payload, 189, 1) == F.lit(b"\x47"))
+        & (F.substring(payload, 377, 1) == F.lit(b"\x47"))
     )
 
 
@@ -263,14 +273,10 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
             "video",
         )
         .when(
-            # MPEG transport stream: 0x47 sync at three consecutive
-            # 188-byte packet boundaries (byte for byte the Python
-            # sniffer's _is_mpeg_ts; offsets are beyond the 12-byte
-            # hex window, so the probe reads the binary directly)
-            (F.length(payload) >= 3 * 188)
-            & (F.substring(payload, 1, 1) == F.lit(b"\x47"))
-            & (F.substring(payload, 189, 1) == F.lit(b"\x47"))
-            & (F.substring(payload, 377, 1) == F.lit(b"\x47")),
+            # MPEG transport stream: the shared triple-sync probe
+            # (offsets are beyond the 12-byte hex window, so it reads
+            # the binary directly)
+            _mpeg_ts_probe_col(payload),
             "video",
         )
         .when(
@@ -1016,8 +1022,13 @@ def decode_samples(payload: bytes, fake: bool = False) -> tuple:
                     es = streams[auds[0]] if auds else b""
                     wrapper = "ps"
                 else:
+                    from dedup_spark.functions.containers import (
+                        TS_VIDEO_STREAM_TYPES,
+                    )
+
                     ts = demux_mpeg_ts(raw)
-                    if any(st in (0x01, 0x02) for st, _ in ts.values()):
+                    if any(st in TS_VIDEO_STREAM_TYPES
+                           for st, _ in ts.values()):
                         raise AudioDecodeError(
                             "transport stream has a video stream")
                     auds = sorted(p for p, (st, _) in ts.items()
@@ -1207,11 +1218,8 @@ def media_near_dup_clusters(
     # failed Y4M/AVI/MP4/H.264 payloads never ship through the extra
     # Arrow stage at all.
     _hx4 = F.lower(F.hex(F.substring(F.col("payload"), 1, 4)))
-    _audio_capable = _hx4.isin("1a45dfa3", "000001ba") | (
-        (F.length("payload") >= 3 * 188)
-        & (F.substring(F.col("payload"), 1, 1) == F.lit(b"\x47"))
-        & (F.substring(F.col("payload"), 189, 1) == F.lit(b"\x47"))
-        & (F.substring(F.col("payload"), 377, 1) == F.lit(b"\x47"))
+    _audio_capable = _hx4.isin("1a45dfa3", "000001ba") | _mpeg_ts_probe_col(
+        F.col("payload")
     )
     video_leftover = (
         tagged.filter((F.col("_m") == "video") & _audio_capable)
@@ -1581,9 +1589,22 @@ def decode_frames(
                     es = streams[vids[0]] if vids else None
                     wrapper = "ps"
                 else:
+                    from dedup_spark.functions.containers import (
+                        TS_VIDEO_STREAM_TYPES,
+                    )
+
                     ts = demux_mpeg_ts(raw)
                     vids = sorted(p for p, (st, _) in ts.items()
                                   if st in (0x01, 0x02))
+                    if not vids and any(
+                        st in TS_VIDEO_STREAM_TYPES for st, _ in ts.values()
+                    ):
+                        # H.264/HEVC/... video present but outside the
+                        # decodable subset: this is a VIDEO file — do
+                        # NOT let the audio retry claim it by soundtrack
+                        raise VideoDecodeError(
+                            "transport stream video codec outside the "
+                            "MPEG-1/2 subset")
                     es = ts[vids[0]][1] if vids else None
                     wrapper = "ts"
             except ContainerParseError as exc:

@@ -243,3 +243,67 @@ def test_parse_container_names_system_layers():
     m = parse_container(ts)
     assert (m["container"], m["codec"], m["n_tracks"]) == ("mpegts", "mpeg1video", 1)
     assert m["n_frames"] == len(ts) // 188
+
+
+# --------------------------------------------- review-hardening cases -----
+
+
+def test_ts_pmt_declared_length_overrun_stays_typed():
+    """A PMT whose section_length exceeds the bytes present in its
+    packet (multi-packet PMT or corruption) must degrade to a partial
+    inventory or a typed error — never an IndexError."""
+    good = bytearray(encode_mpeg_ts(bytes(range(200)) * 2, stream_type=0x02))
+    # PMT is the second packet; section_length lives 3 bytes into the
+    # section (after pointer_field). Inflate it.
+    pmt_off = 188
+    sec_off = pmt_off + 4 + 1  # header + pointer_field
+    good[sec_off + 1] = 0xBF  # section_length high bits → huge
+    try:
+        demux_mpeg_ts(bytes(good))
+    except ContainerParseError:
+        pass  # typed is fine; IndexError would fail the test
+
+
+def test_ts_h264_video_never_claimed_by_audio(spark):
+    """A TS with H.264 video (stream_type 0x1B) + MP2 audio is a VIDEO
+    file: the MPEG-1/2 decoder cannot open it, and the audio retry
+    must NOT fingerprint it by soundtrack — it lands in the blob
+    namespace."""
+    from dedup_spark.functions.mpegaudio import encode_mp2_pcm16
+    from dedup_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_frames,
+        decode_samples,
+        media_near_dup_clusters,
+    )
+
+    # one-program TS with an H.264-typed PID: reuse the muxer with
+    # stream_type 0x1B and opaque payload
+    fake_h264 = encode_mpeg_ts(bytes(range(1, 200)) * 3, stream_type=0x1B)
+    with pytest.raises(NotImplementedError):
+        decode_frames(fake_h264, fake=False)
+    with pytest.raises(NotImplementedError):
+        decode_samples(fake_h264, fake=False)
+    rows = [(1, "blob", fake_h264, None)]
+    out = media_near_dup_clusters(
+        spark.createDataFrame(rows, ASSET_SCHEMA)
+    ).collect()
+    assert out[0]["modality"] == "blob" and out[0]["decoder"] == "bytes"
+
+
+def test_ps_skips_ecm_and_rejects_unbounded_pes():
+    from dedup_spark.functions.mpeg1video import encode_m1v
+
+    es = encode_m1v(_frames(2, 32, 32))
+    ps = bytearray(encode_mpeg_ps(es))
+    # splice an ECM packet (0xF0, 4-byte body) before the program end
+    end_code = len(ps) - 4
+    assert ps[end_code:] == b"\x00\x00\x01\xb9"
+    ecm = b"\x00\x00\x01\xf0\x00\x04abcd"
+    spliced = bytes(ps[:end_code]) + ecm + bytes(ps[end_code:])
+    assert demux_mpeg_ps(spliced)[0xE0] == demux_mpeg_ps(bytes(ps))[0xE0]
+    # unbounded PES (length 0) is illegal in PS → typed rejection
+    pack = bytes(ps[: ps.find(b"\x00\x00\x01\xe0")])
+    unbounded = pack + b"\x00\x00\x01\xe0\x00\x00" + b"\x80\x00\x00" + es
+    with pytest.raises(ContainerParseError, match="unbounded"):
+        demux_mpeg_ps(unbounded)
