@@ -617,6 +617,108 @@ def encode_mp4(duration_ms: int, handlers: list[str],
     return ftyp + _box(b"moov", mvhd + traks)
 
 
+# --------------------------------------------------------------- FLV ------
+#
+# Adobe's Flash Video container (public spec: "Video File Format
+# Specification v10") — a flat tag stream. The video codecs it wraps
+# (H.263, VP6, AVC) stay honestly stubbed, but audio-only FLV files
+# carry MP3 or LPCM payloads this engine decodes for real, and the
+# container layer (codec inventory, duration from tag timestamps) is
+# pure structure.
+
+_FLV_AUDIO_CODECS = {0: "lpcm", 2: "mp3", 3: "lpcm-le", 10: "aac",
+                     14: "mp3-8k"}
+_FLV_VIDEO_CODECS = {2: "h263", 3: "screen", 4: "vp6", 5: "vp6a",
+                     7: "h264"}
+_FLV_RATES = (5512, 11025, 22050, 44100)
+
+
+def parse_flv_tags(payload: bytes):
+    """Yield (tag_type, timestamp_ms, body) for each FLV tag; typed
+    error on any structural violation."""
+    d = payload or b""
+    if d[:4] != b"FLV\x01" or len(d) < 13:
+        raise ContainerParseError("not an FLV stream")
+    data_off = int.from_bytes(d[5:9], "big")
+    if data_off < 9:
+        raise ContainerParseError("bad FLV header size")
+    i = data_off + 4  # first PreviousTagSize (always 0)
+    n = len(d)
+    while i + 11 <= n:
+        ttype = d[i] & 0x1F
+        dsize = int.from_bytes(d[i + 1 : i + 4], "big")
+        ts = int.from_bytes(d[i + 4 : i + 7], "big") | (d[i + 7] << 24)
+        body = d[i + 11 : i + 11 + dsize]
+        if len(body) < dsize:
+            raise ContainerParseError("truncated FLV tag body")
+        yield ttype, ts, body
+        i += 11 + dsize + 4  # + PreviousTagSize trailer
+
+
+def parse_flv(payload: bytes) -> dict:
+    """FLV container metadata: codec inventory from the tag headers,
+    duration from the last tag timestamp — ffprobe parity without
+    touching the codec payloads."""
+    has_audio = has_video = False
+    acodec = vcodec = ""
+    rate = 0
+    n_frames = 0
+    last_ts = 0
+    for ttype, ts, body in parse_flv_tags(payload):
+        last_ts = max(last_ts, ts)
+        if ttype == 8 and body:
+            has_audio = True
+            acodec = _FLV_AUDIO_CODECS.get(body[0] >> 4, "audio")
+            rate = _FLV_RATES[(body[0] >> 2) & 3]
+        elif ttype == 9 and body:
+            has_video = True
+            n_frames += 1
+            vcodec = _FLV_VIDEO_CODECS.get(body[0] & 0x0F, "video")
+    if not (has_audio or has_video):
+        raise ContainerParseError("FLV has no audio or video tags")
+    return {
+        "container": "flv",
+        "codec": vcodec if has_video else acodec,
+        "n_tracks": int(has_audio) + int(has_video),
+        "n_frames": n_frames,
+        "sample_rate": rate if has_audio else 0,
+        "bitrate_kbps": 0,
+        "duration_ms": last_ts,
+    }
+
+
+def encode_flv(
+    audio_payloads: list[bytes] | None = None,
+    video_payloads: list[bytes] | None = None,
+    audio_flags: int = 0x2E,  # MP3, 44.1 kHz, 16-bit, stereo
+    video_codec: int = 4,     # VP6
+    ms_per_tag: int = 26,
+) -> bytes:
+    """Fixture muxer: FLV header + audio/video tags with monotone
+    timestamps and correct PreviousTagSize trailers."""
+    has_a = bool(audio_payloads)
+    has_v = bool(video_payloads)
+    out = bytearray(b"FLV\x01" + bytes([has_a << 2 | has_v])
+                    + (9).to_bytes(4, "big") + b"\x00\x00\x00\x00")
+
+    def tag(ttype: int, ts: int, body: bytes) -> bytes:
+        hdr = (bytes([ttype]) + len(body).to_bytes(3, "big")
+               + (ts & 0xFFFFFF).to_bytes(3, "big") + bytes([ts >> 24])
+               + b"\x00\x00\x00")
+        t = hdr + body
+        return t + (len(t)).to_bytes(4, "big")
+
+    ts = 0
+    for body in audio_payloads or ():
+        out += tag(8, ts, bytes([audio_flags]) + body)
+        ts += ms_per_tag
+    ts = 0
+    for body in video_payloads or ():
+        out += tag(9, ts, bytes([0x10 | video_codec]) + body)
+        ts += ms_per_tag
+    return bytes(out)
+
+
 # ------------------------------------------------- MPEG-PS / MPEG-TS ------
 #
 # The two classic MPEG SYSTEM layers (.mpg program streams, .ts
@@ -1000,6 +1102,8 @@ def parse_container(payload: bytes) -> dict:
         return parse_mkv(d)
     if d[:4] == b"\x00\x00\x01\xba":
         return parse_mpeg_ps(d)
+    if d[:4] == b"FLV\x01":
+        return parse_flv(d)
     if is_mpeg_ts_prefix(d):
         return parse_mpeg_ts(d)
     if d[4:8] == b"ftyp" or _qt_atom_led(d):

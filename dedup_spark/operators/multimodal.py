@@ -68,6 +68,7 @@ _MAGIC_KINDS = {
     "59555634": "video",  # "YUV4" — YUV4MPEG2 raw video
     "000001b3": "video",  # MPEG-1 video elementary stream (sequence hdr)
     "000001ba": "video",  # MPEG program stream (pack header)
+    "464c5601": "video",  # FLV ("FLV" + version 1)
 }
 
 
@@ -255,6 +256,7 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
         .when(hx.startswith("1a45dfa3"), "video")                     # Matroska/WebM
         .when(hx.startswith("000001b3"), "video")                     # MPEG-1/2 ES
         .when(hx.startswith("000001ba"), "video")                     # MPEG program stream
+        .when(hx.startswith("464c5601"), "video")                     # FLV
         .when(F.substring(hx, 9, 8) == "66747970", "video")           # ISO-BMFF "ftyp"
         .when(
             # legacy QuickTime .mov: moov/mdat/wide/free/skip/pnot at
@@ -377,6 +379,8 @@ def sniff_media_format(payload: bytes | None) -> str | None:
         return "mpg"
     if d[:4] == b"\x00\x00\x01\xba":
         return "mpg"  # program stream: the classic .mpg layout
+    if d[:4] == b"FLV\x01":
+        return "flv"
     if _is_mpeg_ts(d):
         return "ts"
     if d[4:8] == b"ftyp":
@@ -1001,6 +1005,49 @@ def decode_samples(payload: bytes, fake: bool = False) -> tuple:
         ):
             x, rate, layer = decode_mpeg(raw)
             return x, rate, f"mp{layer}"
+        if raw[:4] == b"FLV\x01":
+            # audio-only FLV: MP3 and LPCM sound formats decode for
+            # real; video tags present → refuse (same stream-inventory
+            # policy); H.263/VP6/AVC video stays honestly stubbed
+            from dedup_spark.functions.containers import (
+                ContainerParseError,
+                parse_flv_tags,
+            )
+
+            chunks: list[bytes] = []
+            flags = None
+            try:
+                for ttype, _ts, body in parse_flv_tags(raw):
+                    if ttype == 9 and body:
+                        raise AudioDecodeError("FLV has a video tag")
+                    if ttype == 8 and len(body) > 1:
+                        if flags is None:
+                            flags = body[0]
+                        chunks.append(body[1:])
+            except ContainerParseError as exc:
+                raise AudioDecodeError(f"FLV parse: {exc}") from exc
+            if flags is None:
+                raise AudioDecodeError("FLV has no audio tags")
+            fmt = flags >> 4
+            es = b"".join(chunks)
+            if fmt in (2, 14):  # MP3 frames ride verbatim in the tags
+                x, rate, layer = decode_mpeg(es)
+                return x, rate, f"flv-mp{layer}"
+            if fmt == 3 and (flags >> 1) & 1:  # LPCM little-endian 16-bit
+                import numpy as np
+
+                stereo = flags & 1
+                width = 2 * (2 if stereo else 1)
+                s = np.frombuffer(
+                    es[: len(es) - len(es) % width], dtype="<i2"
+                ).astype(np.float64) / 32768.0
+                if stereo:
+                    s = s.reshape(-1, 2).mean(axis=1)
+                if s.size == 0:
+                    raise AudioDecodeError("FLV LPCM decodes to nothing")
+                rate = (5512, 11025, 22050, 44100)[(flags >> 2) & 3]
+                return np.clip(s, -1.0, 1.0), rate, "flv-pcm"
+            raise AudioDecodeError(f"unsupported FLV sound format {fmt}")
         if raw[:4] == b"\x00\x00\x01\xba" or _is_mpeg_ts(raw):
             # audio-only MPEG system streams (MP2 radio/DVB dumps):
             # same stream-inventory policy as Matroska — a video
@@ -1218,9 +1265,9 @@ def media_near_dup_clusters(
     # failed Y4M/AVI/MP4/H.264 payloads never ship through the extra
     # Arrow stage at all.
     _hx4 = F.lower(F.hex(F.substring(F.col("payload"), 1, 4)))
-    _audio_capable = _hx4.isin("1a45dfa3", "000001ba") | _mpeg_ts_probe_col(
-        F.col("payload")
-    )
+    _audio_capable = _hx4.isin(
+        "1a45dfa3", "000001ba", "464c5601"
+    ) | _mpeg_ts_probe_col(F.col("payload"))
     video_leftover = (
         tagged.filter((F.col("_m") == "video") & _audio_capable)
         .join(video_sigs.select("asset_id"), "asset_id", "left_anti")
@@ -1955,8 +2002,8 @@ def media_container_meta(assets: DataFrame) -> DataFrame:
 
 def documents_as_container_assets(spark, sf_dir: str) -> DataFrame:
     """Fixture adapter for the REAL container parsers: each document's
-    byte length L deterministically picks a format (L%7: mp3 / mkv /
-    mp4 / adts / ogg / mpeg-ps / mpeg-ts) and the stream parameters — the same integer
+    byte length L deterministically picks a format (L%8: mp3 / mkv /
+    mp4 / adts / ogg / mpeg-ps / mpeg-ts / flv) and the stream parameters — the same integer
     arithmetic the `container_meta` DuckDB oracle recomputes from
     octet_length, so the parse results are value-verified
     format-blind."""
@@ -1964,6 +2011,7 @@ def documents_as_container_assets(spark, sf_dir: str) -> DataFrame:
     def make(raw: bytes) -> bytes:
         from dedup_spark.functions.containers import (
             encode_adts,
+            encode_flv,
             encode_mkv,
             encode_mp3,
             encode_mp4,
@@ -1973,24 +2021,29 @@ def documents_as_container_assets(spark, sf_dir: str) -> DataFrame:
         )
 
         n = len(raw)
-        if n % 7 == 0:
+        if n % 8 == 0:
             return encode_mp3(3 + n % 7, 128, 44100, seed=n)
-        if n % 7 == 1:
+        if n % 8 == 1:
             return encode_mkv(
                 1000 + n % 5000, ["V_TEST", "A_TEST", "S_TEST"][: 1 + n % 3]
             )
-        if n % 7 == 2:
+        if n % 8 == 2:
             return encode_mp4(500 + n % 9000, ["vide", "soun"][: 1 + n % 2])
-        if n % 7 == 3:
+        if n % 8 == 3:
             return encode_adts(3 + n % 6, 40 + n % 50, 48000, seed=n)
-        if n % 7 == 4:
+        if n % 8 == 4:
             return encode_ogg(10000 + n % 90000, 48000, 2 + n % 3, seed=n)
+        if n % 8 == 7:
+            return encode_flv(video_payloads=[
+                bytes((n + k + j * 17) % 251 for j in range(40))
+                for k in range(2 + n % 9)
+            ])
         # system layers: elementary-stream kind cycles m1v / m2v / mp2
         # (PS) and m1v / mp2 (TS); filler bytes stay in 0x10..0xDF so
         # no accidental start codes or frame syncs appear
         filler = bytes(0x10 + (n + j * 13) % 0xC0 for j in range(60 + n % 80))
-        if n % 7 == 5:
-            k = (n // 7) % 3
+        if n % 8 == 5:
+            k = (n // 8) % 3
             if k == 0:
                 return encode_mpeg_ps(b"\x00\x00\x01\xb3" + filler)
             if k == 1:
@@ -1998,13 +2051,13 @@ def documents_as_container_assets(spark, sf_dir: str) -> DataFrame:
                     b"\x00\x00\x01\xb3" + filler + b"\x00\x00\x01\xb5")
             return encode_mpeg_ps(b"\xff\xfd" + filler, stream_id=0xC0)
         es_len = 100 + n % 400  # total ES length → TS packet count in SQL
-        if (n // 7) % 2 == 0:
+        if (n // 8) % 2 == 0:
             head = b"\x00\x00\x01\xb3"
         else:
             head = b"\xff\xfd"
         fill = bytes(0x10 + (n + j * 11) % 0xC0
                      for j in range(es_len - len(head)))
-        if (n // 7) % 2 == 0:
+        if (n // 8) % 2 == 0:
             return encode_mpeg_ts(head + fill, stream_type=0x02)
         return encode_mpeg_ts(head + fill, stream_type=0x03, stream_id=0xC0)
 

@@ -1432,34 +1432,38 @@ FROM documents
 """,
     "container_meta": """
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
-       CASE L % 7 WHEN 0 THEN 'mp3' WHEN 1 THEN 'matroska' WHEN 2 THEN 'mp4'
+       CASE L % 8 WHEN 0 THEN 'mp3' WHEN 1 THEN 'matroska' WHEN 2 THEN 'mp4'
                   WHEN 3 THEN 'adts' WHEN 4 THEN 'ogg'
-                  WHEN 5 THEN 'mpegps' ELSE 'mpegts' END AS container,
-       CASE L % 7 WHEN 0 THEN 'mp3' WHEN 1 THEN 'V_TEST' WHEN 2 THEN 'vide'
+                  WHEN 5 THEN 'mpegps' WHEN 6 THEN 'mpegts'
+                  ELSE 'flv' END AS container,
+       CASE L % 8 WHEN 0 THEN 'mp3' WHEN 1 THEN 'V_TEST' WHEN 2 THEN 'vide'
                   WHEN 3 THEN 'aac' WHEN 4 THEN 'vorbis'
-                  WHEN 5 THEN (CASE (L // 7) % 3 WHEN 0 THEN 'mpeg1video'
+                  WHEN 5 THEN (CASE (L // 8) % 3 WHEN 0 THEN 'mpeg1video'
                                WHEN 1 THEN 'mpeg2video' ELSE 'mp2' END)
-                  ELSE (CASE (L // 7) % 2 WHEN 0 THEN 'mpeg1video'
-                        ELSE 'mp2' END) END AS codec,
-       CAST(CASE L % 7 WHEN 0 THEN 1 WHEN 1 THEN 1 + L % 3
+                  WHEN 6 THEN (CASE (L // 8) % 2 WHEN 0 THEN 'mpeg1video'
+                               ELSE 'mp2' END)
+                  ELSE 'vp6' END AS codec,
+       CAST(CASE L % 8 WHEN 0 THEN 1 WHEN 1 THEN 1 + L % 3
                        WHEN 2 THEN 1 + L % 2 ELSE 1 END AS BIGINT) AS n_tracks,
-       CAST(CASE L % 7 WHEN 0 THEN 3 + L % 7
+       CAST(CASE L % 8 WHEN 0 THEN 3 + L % 7
                        WHEN 3 THEN 3 + L % 6
                        WHEN 4 THEN 4 + L % 3
                        WHEN 6 THEN 2 + (292 + L % 400) // 184
+                       WHEN 7 THEN 2 + L % 9
                        ELSE 0 END AS BIGINT) AS n_frames,
-       CAST(CASE L % 7 WHEN 0 THEN 44100
+       CAST(CASE L % 8 WHEN 0 THEN 44100
                        WHEN 3 THEN 48000 WHEN 4 THEN 48000
                        ELSE 0 END AS BIGINT) AS sample_rate,
-       CAST(CASE L % 7 WHEN 0 THEN 128
+       CAST(CASE L % 8 WHEN 0 THEN 128
                        WHEN 3 THEN ((3 + L % 6) * (47 + L % 50) * 8 * 48000)
                                    // ((3 + L % 6) * 1024 * 1000)
                        ELSE 0 END AS BIGINT) AS bitrate_kbps,
-       CAST(CASE L % 7 WHEN 0 THEN ((3 + L % 7) * 1152 * 1000) // 44100
+       CAST(CASE L % 8 WHEN 0 THEN ((3 + L % 7) * 1152 * 1000) // 44100
                        WHEN 1 THEN 1000 + L % 5000
                        WHEN 2 THEN 500 + L % 9000
                        WHEN 3 THEN ((3 + L % 6) * 1024 * 1000) // 48000
                        WHEN 4 THEN ((10000 + L % 90000) * 1000) // 48000
+                       WHEN 7 THEN (1 + L % 9) * 26
                        ELSE 0 END AS BIGINT) AS duration_ms
 FROM (SELECT doc_id, octet_length(encode(text)) AS L FROM documents)
 """,

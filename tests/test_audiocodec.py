@@ -733,3 +733,51 @@ def test_wav_g711_tags_share_the_au_companding():
         # EXTENSIBLE wrapping of the same subformat
         x2, _ = decode_wav(_wav_blob(tag, 8, 8000, codes, extensible=True))
         assert np.array_equal(x2, x)
+
+
+def test_mka_decode_totality_under_mutation():
+    """Totality contract shared with the other decoders: any byte
+    mutation of a valid Matroska audio file either decodes or raises
+    AudioDecodeError — never an untyped exception that would escape
+    the stub-policy catch and kill a Spark task."""
+    from dedup_spark.functions.audiocodec import decode_mka, encode_mka
+
+    x = _colored(17)[:6000]
+    for codec, lacing in (("flac", "xiph"), ("vorbis", "none"),
+                          ("pcm", "ebml")):
+        good = bytearray(encode_mka(x, 8000, codec=codec, lacing=lacing))
+        rng = np.random.default_rng(len(good))
+        for _ in range(120):
+            blob = bytearray(good)
+            for _ in range(rng.integers(1, 4)):
+                blob[rng.integers(0, len(blob))] = rng.integers(0, 256)
+            try:
+                y, rate, _tok = decode_mka(bytes(blob))
+                assert rate > 0 and len(y) > 0
+            except AudioDecodeError:
+                pass
+
+
+def test_media_keeper_meta_audio_only_matroska(spark):
+    """ffprobe parity: an audio-only Matroska yields its format token
+    with NULL dimensions (audio metadata), NOT the failed-extraction
+    None — while a corrupt Matroska still yields None."""
+    from dedup_spark.functions.audiocodec import encode_mka
+    from dedup_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        media_keeper_meta,
+    )
+
+    rows = [
+        (1, "blob", encode_mka(_colored(18)[:4000], 8000, codec="flac"), None),
+        (2, "blob", b"\x1aE\xdf\xa3" + bytes(64), None),
+    ]
+    out = {
+        r["asset_id"]: r
+        for r in media_keeper_meta(
+            spark.createDataFrame(rows, ASSET_SCHEMA)
+        ).collect()
+    }
+    assert out[1]["format"] == "mkv"
+    assert out[1]["width"] is None and out[1]["height"] is None
+    assert out[2]["format"] is None

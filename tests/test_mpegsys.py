@@ -307,3 +307,92 @@ def test_ps_skips_ecm_and_rejects_unbounded_pes():
     unbounded = pack + b"\x00\x00\x01\xe0\x00\x00" + b"\x80\x00\x00" + es
     with pytest.raises(ContainerParseError, match="unbounded"):
         demux_mpeg_ps(unbounded)
+
+
+# --------------------------------------------------------------- FLV ------
+
+
+def test_flv_audio_decodes_bit_identical_to_payload():
+    """MP3 frames ride verbatim in FLV audio tags, so the FLV decode
+    must equal the raw-stream decode; LPCM likewise."""
+    from dedup_spark.functions.containers import encode_flv
+    from dedup_spark.functions.mpeg3 import encode_mp3_pcm16
+    from dedup_spark.functions.mpegaudio import decode_mpeg
+    from dedup_spark.operators.multimodal import decode_samples
+
+    x = _clip(21)
+    mp3 = encode_mp3_pcm16(x, 32000)
+    ref, ref_rate, _ = decode_mpeg(mp3)
+    flv = encode_flv(
+        audio_payloads=[mp3[i : i + 600] for i in range(0, len(mp3), 600)])
+    y, rate, dec = decode_samples(flv, fake=False)
+    assert (dec, rate) == ("flv-mp3", ref_rate)
+    assert np.array_equal(y, ref)
+    s16 = np.clip(np.round(x * 32767), -32768, 32767).astype("<i2")
+    flv2 = encode_flv(
+        audio_payloads=[s16.tobytes()[i : i + 1024]
+                        for i in range(0, len(s16.tobytes()), 1024)],
+        audio_flags=0x3E)  # LPCM-LE, 44.1k, 16-bit, stereo-bit off? mono
+    y2, rate2, dec2 = decode_samples(flv2, fake=False)
+    assert (dec2, rate2) == ("flv-pcm", 44100)
+    assert np.array_equal(y2, s16.astype(np.float64) / 32768.0)
+
+
+def test_flv_refusals_and_meta():
+    from dedup_spark.functions.containers import (
+        ContainerParseError,
+        encode_flv,
+        parse_container,
+        parse_flv,
+    )
+    from dedup_spark.operators.multimodal import decode_samples
+
+    body = [bytes(range(100))] * 3
+    with_video = encode_flv(audio_payloads=body, video_payloads=[bytes(40)] * 2)
+    with pytest.raises(NotImplementedError):  # video present → stub policy
+        decode_samples(with_video, fake=False)
+    m = parse_container(with_video)
+    assert (m["container"], m["codec"], m["n_tracks"], m["n_frames"]) == (
+        "flv", "vp6", 2, 2)
+    with pytest.raises(ContainerParseError):
+        parse_flv(b"FLV\x01\x05\x00\x00\x00\x09\x00\x00\x00\x00")  # no tags
+    with pytest.raises(ContainerParseError):
+        parse_flv(encode_flv(audio_payloads=body)[:-8])  # truncated tag
+    aac_only = encode_flv(audio_payloads=body, audio_flags=0xAE)  # AAC
+    with pytest.raises(NotImplementedError):  # honest stub for AAC
+        decode_samples(aac_only, fake=False)
+
+
+def test_flv_mp3_clusters_with_wav_twin(spark):
+    """Audio-only FLV sniffs as video; the orchestrator retry lands it
+    in the audio cluster with the same recording's WAV."""
+    from test_mpeg3 import rec_clip
+
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.functions.audiocodec import encode_wav_pcm16
+    from dedup_spark.functions.containers import encode_flv
+    from dedup_spark.functions.mpeg3 import encode_mp3_pcm16
+    from dedup_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        media_near_dup_clusters,
+    )
+
+    x = rec_clip(16000, 32000)
+    mp3 = encode_mp3_pcm16(x, 32000)
+    rows = [
+        (1, "blob", encode_wav_pcm16(x, 32000), None),
+        (2, "blob", encode_flv(
+            audio_payloads=[mp3[i : i + 700]
+                            for i in range(0, len(mp3), 700)]), None),
+    ]
+    # the documented media-similarity-85 gate for lossy re-encodes
+    # (same radius as the flagship five-codec cluster tests)
+    cfg = DedupConfig(similarity_threshold=0.85, simhash_radius=9)
+    out = {
+        r["asset_id"]: r
+        for r in media_near_dup_clusters(
+            spark.createDataFrame(rows, ASSET_SCHEMA), cfg
+        ).collect()
+    }
+    assert out[2]["modality"] == "audio" and out[2]["decoder"] == "flv-mp3"
+    assert out[1]["cluster_id"] == out[2]["cluster_id"]

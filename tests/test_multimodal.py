@@ -264,6 +264,8 @@ def test_kind_column_matches_python(spark):
         (b"\x47" + bytes(187)) * 2,  # only 2 packets -> blob (too weak)
         b"\x47" + bytes(187) + b"\x48" + bytes(187) + b"\x47" + bytes(187),  # broken sync -> blob
         b"G major chord text " * 40,  # 'G'-led text, no 188-sync -> blob
+        b"FLV\x01\x05\x00\x00\x00\x09\x00\x00\x00\x00",  # FLV -> video
+        b"FLV\x02 wrong version text",  # FLV needs version 1 -> blob
     ]
     rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
     df = spark.createDataFrame(rows, "i long, payload binary")
