@@ -617,6 +617,119 @@ def encode_mp4(duration_ms: int, handlers: list[str],
     return ftyp + _box(b"moov", mvhd + traks)
 
 
+# --------------------------------------------------------------- ASF ------
+#
+# Microsoft's Advanced Systems Format (.wmv/.wma/.asf — public spec
+# "ASF Specification", the container behind Windows Media). Objects
+# are GUID-keyed with 64-bit sizes; the engine reads the header
+# object's File Properties (play duration) and Stream Properties
+# (audio/video inventory + codec tag). WMA/WMV codec payloads are
+# proprietary and stay honestly stubbed — this is metadata parity
+# only, like the reference's ffprobe pass.
+
+_ASF_HEADER = bytes.fromhex("3026b2758e66cf11a6d900aa0062ce6c")
+_ASF_FILE_PROPS = bytes.fromhex("a1dcab8c47a9cf118ee400c00c205365")
+_ASF_STREAM_PROPS = bytes.fromhex("9107dcb7b7a9cf118ee600c00c205365")
+_ASF_AUDIO_MEDIA = bytes.fromhex("409e69f84d5bcf11a8fd00805f5c442b")
+_ASF_VIDEO_MEDIA = bytes.fromhex("c0ef19bc4d5bcf11a8fd00805f5c442b")
+_ASF_AUDIO_TAGS = {0x0001: "pcm", 0x0055: "mp3", 0x0160: "wmav1",
+                   0x0161: "wmav2", 0x0162: "wmapro", 0x0163: "wmalossless"}
+
+
+def parse_asf(payload: bytes) -> dict:
+    """ASF/WMV/WMA container metadata from the header object's
+    sub-object walk. Play duration is 100-ns units minus the preroll;
+    codec = video fourcc if a video stream exists, else the audio
+    format-tag name."""
+    d = payload or b""
+    if d[:16] != _ASF_HEADER or len(d) < 30:
+        raise ContainerParseError("not an ASF stream")
+    hdr_size = int.from_bytes(d[16:24], "little")
+    n_objects = int.from_bytes(d[24:28], "little")
+    end = min(len(d), hdr_size)
+    i = 30
+    duration_ms = 0
+    n_tracks = 0
+    acodec = vcodec = ""
+    rate = 0
+    seen = 0
+    while i + 24 <= end and seen < n_objects:
+        guid = d[i : i + 16]
+        size = int.from_bytes(d[i + 16 : i + 24], "little")
+        if size < 24 or i + size > end:
+            raise ContainerParseError("ASF object overruns header")
+        body = d[i + 24 : i + size]
+        if guid == _ASF_FILE_PROPS:
+            if len(body) < 80:
+                raise ContainerParseError("short ASF file properties")
+            play_100ns = int.from_bytes(body[40:48], "little")
+            preroll_ms = int.from_bytes(body[56:64], "little")
+            duration_ms = max(0, play_100ns // 10_000 - preroll_ms)
+        elif guid == _ASF_STREAM_PROPS:
+            if len(body) < 54:
+                raise ContainerParseError("short ASF stream properties")
+            n_tracks += 1
+            stype = body[:16]
+            ts_len = int.from_bytes(body[40:44], "little")
+            ts = body[54 : 54 + ts_len]
+            if stype == _ASF_AUDIO_MEDIA and len(ts) >= 8:
+                # WAVEFORMATEX: wFormatTag + channels + sample rate
+                tag = int.from_bytes(ts[0:2], "little")
+                acodec = _ASF_AUDIO_TAGS.get(tag, f"0x{tag:04x}")
+                rate = int.from_bytes(ts[4:8], "little")
+            elif stype == _ASF_VIDEO_MEDIA and len(ts) >= 31:
+                # 11-byte header + BITMAPINFOHEADER; fourcc at +16
+                fourcc = ts[11 + 16 : 11 + 20]
+                vcodec = fourcc.decode("ascii", "replace").strip().lower()
+        i += size
+        seen += 1
+    if n_tracks == 0:
+        raise ContainerParseError("ASF header has no stream properties")
+    return {
+        "container": "asf",
+        "codec": vcodec or acodec,
+        "n_tracks": n_tracks,
+        "n_frames": 0,
+        "sample_rate": rate,
+        "bitrate_kbps": 0,
+        "duration_ms": duration_ms,
+    }
+
+
+def encode_asf(
+    duration_ms: int, streams: list[str], sample_rate: int = 44100
+) -> bytes:
+    """Fixture encoder: header object + File Properties + one Stream
+    Properties per entry ('audio' → WMA2 WAVEFORMATEX, 'video' →
+    WMV3 BITMAPINFOHEADER)."""
+
+    def obj(guid: bytes, body: bytes) -> bytes:
+        return guid + (24 + len(body)).to_bytes(8, "little") + body
+
+    preroll = 3000
+    fp = (bytes(16) + bytes(24)
+          + ((duration_ms + preroll) * 10_000).to_bytes(8, "little")
+          + bytes(8) + preroll.to_bytes(8, "little") + bytes(16))
+    parts = [obj(_ASF_FILE_PROPS, fp)]
+    for kind in streams:
+        if kind == "audio":
+            ts = (0x0161).to_bytes(2, "little") + (2).to_bytes(2, "little") \
+                + sample_rate.to_bytes(4, "little") + bytes(10)
+            stype = _ASF_AUDIO_MEDIA
+        else:
+            bih = (40).to_bytes(4, "little") + bytes(12) + b"WMV3" + bytes(20)
+            ts = bytes(11) + bih
+            stype = _ASF_VIDEO_MEDIA
+        body = (stype + bytes(16) + bytes(8)
+                + len(ts).to_bytes(4, "little") + bytes(4) + bytes(2)
+                + bytes(4) + ts)
+        parts.append(obj(_ASF_STREAM_PROPS, body))
+    inner = b"".join(parts)
+    hdr = (_ASF_HEADER + (30 + len(inner)).to_bytes(8, "little")
+           + len(parts).to_bytes(4, "little") + b"\x01\x02" + inner)
+    return hdr
+
+
 # --------------------------------------------------------------- FLV ------
 #
 # Adobe's Flash Video container (public spec: "Video File Format
@@ -1104,6 +1217,8 @@ def parse_container(payload: bytes) -> dict:
         return parse_mpeg_ps(d)
     if d[:4] == b"FLV\x01":
         return parse_flv(d)
+    if d[:16] == _ASF_HEADER:
+        return parse_asf(d)
     if is_mpeg_ts_prefix(d):
         return parse_mpeg_ts(d)
     if d[4:8] == b"ftyp" or _qt_atom_led(d):

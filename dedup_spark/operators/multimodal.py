@@ -69,6 +69,7 @@ _MAGIC_KINDS = {
     "000001b3": "video",  # MPEG-1 video elementary stream (sequence hdr)
     "000001ba": "video",  # MPEG program stream (pack header)
     "464c5601": "video",  # FLV ("FLV" + version 1)
+    "3026b275": "video",  # ASF/WMV/WMA (header-object GUID prefix)
 }
 
 
@@ -257,6 +258,7 @@ def kind_from_magic_col(payload: "F.Column") -> "F.Column":
         .when(hx.startswith("000001b3"), "video")                     # MPEG-1/2 ES
         .when(hx.startswith("000001ba"), "video")                     # MPEG program stream
         .when(hx.startswith("464c5601"), "video")                     # FLV
+        .when(hx.startswith("3026b275"), "video")                     # ASF/WMV
         .when(F.substring(hx, 9, 8) == "66747970", "video")           # ISO-BMFF "ftyp"
         .when(
             # legacy QuickTime .mov: moov/mdat/wide/free/skip/pnot at
@@ -381,6 +383,8 @@ def sniff_media_format(payload: bytes | None) -> str | None:
         return "mpg"  # program stream: the classic .mpg layout
     if d[:4] == b"FLV\x01":
         return "flv"
+    if d[:4] == b"\x30\x26\xb2\x75":
+        return "wmv"  # ASF family: .wmv/.wma/.asf
     if _is_mpeg_ts(d):
         return "ts"
     if d[4:8] == b"ftyp":

@@ -377,3 +377,34 @@ def test_mkv_nan_duration_raises_typed():
         bad[i + 3 : i + 11] = struct.pack(">d", bad_val)
         with pytest.raises(ContainerParseError):
             parse_mkv(bytes(bad))
+
+
+def test_asf_metadata_round_trip():
+    """ASF/WMV/WMA: header-object walk — duration from File
+    Properties (100-ns play time minus preroll), stream inventory and
+    codec naming from Stream Properties; corrupt objects stay typed."""
+    import pytest
+
+    from dedup_spark.functions.containers import (
+        ContainerParseError,
+        encode_asf,
+        parse_container,
+    )
+
+    m = parse_container(encode_asf(61500, ["audio", "video"]))
+    assert (m["container"], m["codec"], m["n_tracks"], m["duration_ms"]) == (
+        "asf", "wmv3", 2, 61500)
+    m2 = parse_container(encode_asf(5000, ["audio"], 22050))
+    assert (m2["codec"], m2["sample_rate"]) == ("wmav2", 22050)
+    blob = bytearray(encode_asf(1000, ["audio"]))
+    blob[40] ^= 0x80  # corrupt an object size high byte
+    with pytest.raises(ContainerParseError):
+        parse_container(bytes(blob[: len(blob) // 2]))
+    from dedup_spark.operators.multimodal import (
+        detect_kind_from_magic,
+        sniff_media_format,
+    )
+
+    good = encode_asf(1000, ["video"])
+    assert detect_kind_from_magic(good) == "video"
+    assert sniff_media_format(good) == "wmv"

@@ -266,6 +266,8 @@ def test_kind_column_matches_python(spark):
         b"G major chord text " * 40,  # 'G'-led text, no 188-sync -> blob
         b"FLV\x01\x05\x00\x00\x00\x09\x00\x00\x00\x00",  # FLV -> video
         b"FLV\x02 wrong version text",  # FLV needs version 1 -> blob
+        b"\x30\x26\xb2\x75\x8e\x66\xcf\x11\xa6\xd9\x00\xaa\x00\x62\xce\x6c",  # ASF -> video
+        b"\x30\x26\xb2\x74 near-miss guid",  # not the ASF guid -> blob
     ]
     rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
     df = spark.createDataFrame(rows, "i long, payload binary")
