@@ -758,6 +758,10 @@ def parse_flv_tags(payload: bytes):
     i = data_off + 4  # first PreviousTagSize (always 0)
     n = len(d)
     while i + 11 <= n:
+        if d[i] & 0x20:
+            # Filter bit: encrypted E-FLV — the body starts with an
+            # EncryptionTagHeader, not codec flags; refuse typed
+            raise ContainerParseError("encrypted (filtered) FLV tag")
         ttype = d[i] & 0x1F
         dsize = int.from_bytes(d[i + 1 : i + 4], "big")
         ts = int.from_bytes(d[i + 4 : i + 7], "big") | (d[i + 7] << 24)
@@ -766,6 +770,10 @@ def parse_flv_tags(payload: bytes):
             raise ContainerParseError("truncated FLV tag body")
         yield ttype, ts, body
         i += 11 + dsize + 4  # + PreviousTagSize trailer
+    if i != n:
+        # a partial trailing tag header (or missing trailer) is a
+        # truncation, same strictness as the PS/TS demuxers
+        raise ContainerParseError("truncated FLV tag header")
 
 
 def parse_flv(payload: bytes) -> dict:
@@ -782,7 +790,9 @@ def parse_flv(payload: bytes) -> dict:
         if ttype == 8 and body:
             has_audio = True
             acodec = _FLV_AUDIO_CODECS.get(body[0] >> 4, "audio")
-            rate = _FLV_RATES[(body[0] >> 2) & 3]
+            # SoundFormat 14 is MP3-at-8kHz: the spec fixes the rate,
+            # the SoundRate bits are meaningless for it
+            rate = 8000 if body[0] >> 4 == 14 else _FLV_RATES[(body[0] >> 2) & 3]
         elif ttype == 9 and body:
             has_video = True
             n_frames += 1
@@ -803,7 +813,7 @@ def parse_flv(payload: bytes) -> dict:
 def encode_flv(
     audio_payloads: list[bytes] | None = None,
     video_payloads: list[bytes] | None = None,
-    audio_flags: int = 0x2E,  # MP3, 44.1 kHz, 16-bit, stereo
+    audio_flags: int = 0x2E,  # MP3, 44.1 kHz, 16-bit, mono
     video_codec: int = 4,     # VP6
     ms_per_tag: int = 26,
 ) -> bytes:

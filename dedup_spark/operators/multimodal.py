@@ -1014,6 +1014,7 @@ def decode_samples(payload: bytes, fake: bool = False) -> tuple:
             # real; video tags present → refuse (same stream-inventory
             # policy); H.263/VP6/AVC video stays honestly stubbed
             from dedup_spark.functions.containers import (
+                _FLV_RATES,
                 ContainerParseError,
                 parse_flv_tags,
             )
@@ -1049,7 +1050,7 @@ def decode_samples(payload: bytes, fake: bool = False) -> tuple:
                     s = s.reshape(-1, 2).mean(axis=1)
                 if s.size == 0:
                     raise AudioDecodeError("FLV LPCM decodes to nothing")
-                rate = (5512, 11025, 22050, 44100)[(flags >> 2) & 3]
+                rate = _FLV_RATES[(flags >> 2) & 3]
                 return np.clip(s, -1.0, 1.0), rate, "flv-pcm"
             raise AudioDecodeError(f"unsupported FLV sound format {fmt}")
         if raw[:4] == b"\x00\x00\x01\xba" or _is_mpeg_ts(raw):
@@ -1264,8 +1265,9 @@ def media_near_dup_clusters(
     # reference's ffprobe routing by STREAM inventory, not extension.
     # Cost: one asset_id anti-join against the already-cut video
     # signature frame — the same shape as the final leftover join. The
-    # JVM-side magic filter keeps the retry to the three container
-    # families that CAN be audio-only (Matroska, MPEG-PS, MPEG-TS):
+    # JVM-side magic filter keeps the retry to the four container
+    # families that CAN be audio-only (Matroska, MPEG-PS, MPEG-TS,
+    # FLV):
     # failed Y4M/AVI/MP4/H.264 payloads never ship through the extra
     # Arrow stage at all.
     _hx4 = F.lower(F.hex(F.substring(F.col("payload"), 1, 4)))

@@ -397,9 +397,13 @@ def test_asf_metadata_round_trip():
     m2 = parse_container(encode_asf(5000, ["audio"], 22050))
     assert (m2["codec"], m2["sample_rate"]) == ("wmav2", 22050)
     blob = bytearray(encode_asf(1000, ["audio"]))
-    blob[40] ^= 0x80  # corrupt an object size high byte
+    # first sub-object's 64-bit size lives at header offset 30+16;
+    # inflating it must trip the overrun bound on the intact blob
+    blob[30 + 16 + 2] = 0x7F
+    with pytest.raises(ContainerParseError, match="overruns"):
+        parse_container(bytes(blob))
     with pytest.raises(ContainerParseError):
-        parse_container(bytes(blob[: len(blob) // 2]))
+        parse_container(bytes(bytearray(encode_asf(1000, ["audio"]))[:40]))
     from dedup_spark.operators.multimodal import (
         detect_kind_from_magic,
         sniff_media_format,
