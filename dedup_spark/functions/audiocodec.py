@@ -1066,14 +1066,17 @@ def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
             channels, frames = struct.unpack(">HI", body[:6])
             (bits,) = struct.unpack(">H", body[6:8])
             rate = _read_f80(body[8:18])
+            comp = b"NONE"
             if is_aifc:
-                comp = body[18:22]
+                comp = body[18:22] or b"NONE"
                 if comp == b"sowt":
                     little = True
-                elif comp not in (b"NONE", b""):
+                elif comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+                    pass  # G.711 companded — shared expanders below
+                elif comp != b"NONE":
                     raise AudioDecodeError(
                         f"unsupported AIFF-C compression {comp!r}")
-            comm = (channels, frames, bits, rate)
+            comm = (channels, frames, bits, rate, comp)
         elif tag == b"SSND":
             if len(body) < 8:
                 raise AudioDecodeError("AIFF SSND chunk truncated")
@@ -1082,11 +1085,25 @@ def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if comm is None or data is None:
         raise AudioDecodeError("AIFF missing COMM or SSND chunk")
-    channels, frames, bits, rate_f = comm
+    channels, frames, bits, rate_f, comp = comm
     rate = int(round(rate_f))
     if channels < 1 or rate <= 0 or bits not in (8, 16, 24, 32):
         raise AudioDecodeError(
             f"invalid AIFF header (ch={channels}, rate={rate}, bits={bits})")
+    if comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+        # G.711-companded AIFF-C: 8-bit codes regardless of the COMM
+        # sampleSize (which conventionally reads 16); shared expanders
+        need = frames * channels
+        if len(data) < need:
+            raise AudioDecodeError("AIFF sample data truncated")
+        codes = np.frombuffer(data, np.uint8, count=need)
+        expand = (_mulaw_to_linear if comp in (b"ulaw", b"ULAW")
+                  else _alaw_to_linear)
+        x = expand(codes) / 32768.0
+        if channels > 1:
+            x = x[: (x.shape[0] // channels) * channels]
+            x = x.reshape(-1, channels).mean(axis=1)
+        return x, rate
     bypf = bits // 8
     need = frames * channels * bypf
     if len(data) < need:
@@ -1182,6 +1199,22 @@ def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
             x = np.frombuffer(data, ">i2").astype(np.float64) / 32768.0
         elif enc == 27:
             x = _alaw_to_linear(np.frombuffer(data, np.uint8)) / 32768.0
+        elif enc == 4:  # 24-bit BE PCM
+            raw = np.frombuffer(data, np.uint8)
+            raw = raw[: (raw.shape[0] // 3) * 3].reshape(-1, 3).astype(np.int64)
+            v = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+            v = v - ((v >> 23) << 24)  # sign-extend
+            x = v.astype(np.float64) / 8388608.0
+        elif enc == 5:  # 32-bit BE PCM
+            x = np.frombuffer(
+                data[: len(data) - len(data) % 4], ">i4"
+            ).astype(np.float64) / 2147483648.0
+        elif enc == 6:  # IEEE float32 BE
+            x = np.frombuffer(
+                data[: len(data) - len(data) % 4], ">f4").astype(np.float64)
+        elif enc == 7:  # IEEE float64 BE
+            x = np.frombuffer(
+                data[: len(data) - len(data) % 8], ">f8").astype(np.float64)
         else:
             raise AudioDecodeError(f"unsupported AU encoding {enc}")
         if channels > 1:

@@ -781,3 +781,59 @@ def test_media_keeper_meta_audio_only_matroska(spark):
     assert out[1]["format"] == "mkv"
     assert out[1]["width"] is None and out[1]["height"] is None
     assert out[2]["format"] is None
+
+
+def test_au_wide_encodings_and_aifc_g711():
+    """AU encodings 4/5/6/7 (24/32-bit PCM, float32/64) and AIFF-C
+    ulaw/alaw compression decode through the shared expanders —
+    pinned against hand-built payloads."""
+    import struct as _s
+
+    from dedup_spark.functions.audiocodec import (
+        _alaw_to_linear,
+        _mulaw_to_linear,
+        decode_aiff,
+        decode_au,
+    )
+
+    x = _colored(51)[:2000]
+
+    def au(enc: int, body: bytes) -> bytes:
+        return (b".snd" + _s.pack(">IIIII", 24, len(body), enc, 8000, 1)
+                + body)
+
+    v24 = np.clip(np.round(x * (1 << 23 - 1)), -(1 << 23), (1 << 23) - 1
+                  ).astype(np.int64)
+    b24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "big") for v in v24)
+    y, r = decode_au(au(4, b24))
+    assert r == 8000 and np.allclose(y, v24 / 8388608.0, atol=0)
+    v32 = np.clip(np.round(x * 2147483647), -2147483648, 2147483647
+                  ).astype(">i4")
+    y, _ = decode_au(au(5, v32.tobytes()))
+    assert np.allclose(y, v32.astype(np.float64) / 2147483648.0, atol=0)
+    y, _ = decode_au(au(6, x.astype(">f4").tobytes()))
+    assert np.allclose(y, x.astype(">f4").astype(np.float64), atol=0)
+    y, _ = decode_au(au(7, x.astype(">f8").tobytes()))
+    assert np.array_equal(y, x)
+
+    # AIFF-C ulaw/alaw: COMM with compression type, 8-bit code body
+    codes = bytes(range(256)) * 2
+    for comp, expand in ((b"ulaw", _mulaw_to_linear),
+                         (b"alaw", _alaw_to_linear)):
+        from dedup_spark.functions.audiocodec import _write_f80
+
+        # COMM: channels/frames/bits + f80 rate + compression type +
+        # empty pstring (1 byte) = 23 bytes, odd → chunk pad byte
+        comm = (_s.pack(">HIH", 1, len(codes), 16) + _write_f80(8000.0)
+                + comp + b"\x00")
+        pad = b"\x00" if len(comm) & 1 else b""
+        ssnd = _s.pack(">II", 0, 0) + codes
+        blob = (b"FORM"
+                + _s.pack(">I", 4 + 8 + len(comm) + len(pad) + 8 + len(ssnd))
+                + b"AIFC"
+                + b"COMM" + _s.pack(">I", len(comm)) + comm + pad
+                + b"SSND" + _s.pack(">I", len(ssnd)) + ssnd)
+        y, r = decode_aiff(blob)
+        assert r == 8000 and len(y) == len(codes)
+        assert np.array_equal(
+            y, expand(np.frombuffer(codes, np.uint8)) / 32768.0)
