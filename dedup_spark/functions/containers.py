@@ -964,7 +964,9 @@ def demux_mpeg_ts(payload: bytes) -> dict[int, tuple[int, bytes]]:
     (adaptation fields skipped, PES headers stripped at each
     payload_unit_start)."""
     d = payload or b""
-    if len(d) < 188 or d[0] != 0x47:
+    stride = mpeg_ts_packet_size(d) or (188 if len(d) >= 188 and d[0] == 0x47
+                                        else 0)
+    if stride == 0:
         raise ContainerParseError("not an MPEG transport stream")
     pmts: set[int] = set()
     es_types: dict[int, int] = {}
@@ -984,8 +986,9 @@ def demux_mpeg_ts(payload: bytes) -> dict[int, tuple[int, bytes]]:
         pes_chunks.setdefault(pid, []).append(
             _pes_payload(bytes(buf), 6, end))
 
-    for off in range(0, len(d) - 187, 188):
-        pkt = d[off : off + 188]
+    for off in range(0, len(d) - 187, stride):
+        pkt = d[off : off + 188]  # the 204-byte form's trailing 16
+        # bytes are Reed-Solomon parity — not payload, skipped
         if pkt[0] != 0x47:
             raise ContainerParseError(f"lost TS sync at offset {off}")
         pusi = bool(pkt[1] & 0x40)
@@ -1127,17 +1130,26 @@ def encode_mpeg_ts(
     return bytes(out)
 
 
+def mpeg_ts_packet_size(payload: bytes) -> int:
+    """0 if not a transport stream, else the packet stride: 188
+    (plain) or 204 (DVB capture with 16 Reed-Solomon parity bytes per
+    packet) — judged by 0x47 syncs at three consecutive packet
+    boundaries. 188 is tested first, so a plain stream whose parity
+    region happens to contain 0x47 cannot be misread."""
+    for stride in (188, 204):
+        if (len(payload) >= 3 * stride
+                and payload[0] == 0x47
+                and payload[stride] == 0x47
+                and payload[2 * stride] == 0x47):
+            return stride
+    return 0
+
+
 def is_mpeg_ts_prefix(payload: bytes) -> bool:
-    """MPEG transport stream probe: 0x47 sync bytes at three
-    consecutive 188-byte packet boundaries — the single shared
-    definition behind the Python sniffer, the JVM router column, the
+    """MPEG transport stream probe — the single shared definition
+    behind the Python sniffer, the JVM router column, the
     orchestrator retry filter and parse_container."""
-    return (
-        len(payload) >= 3 * 188
-        and payload[0] == 0x47
-        and payload[188] == 0x47
-        and payload[376] == 0x47
-    )
+    return mpeg_ts_packet_size(payload) != 0
 
 
 # ISO 13818-1 stream_type values that mean VIDEO — the refusal set for
@@ -1194,6 +1206,7 @@ def parse_mpeg_ps(payload: bytes) -> dict:
 def parse_mpeg_ts(payload: bytes) -> dict:
     """Transport-stream metadata: PAT/PMT stream inventory, codec
     token from the first video (or audio) elementary stream."""
+    stride = mpeg_ts_packet_size(payload) or 188
     pids = demux_mpeg_ts(payload)
     vids = sorted(p for p, (st, _) in pids.items()
                   if st in TS_VIDEO_STREAM_TYPES)
@@ -1210,7 +1223,7 @@ def parse_mpeg_ts(payload: bytes) -> dict:
         "container": "mpegts",
         "codec": codec,
         "n_tracks": len(pids),
-        "n_frames": (len(payload) // 188),  # TS packets, like Ogg pages
+        "n_frames": (len(payload) // stride),  # TS packets, like Ogg pages
         "sample_rate": 0,
         "bitrate_kbps": 0,
         "duration_ms": 0,

@@ -87,12 +87,19 @@ def _mpeg_ts_probe_col(payload: "F.Column") -> "F.Column":
     """The same triple-sync probe as a JVM Column expression — the one
     builder behind both the kind router and the orchestrator's
     audio-retry filter, kept byte-for-byte with is_mpeg_ts_prefix."""
-    return (
+    plain = (
         (F.length(payload) >= 3 * 188)
         & (F.substring(payload, 1, 1) == F.lit(b"\x47"))
         & (F.substring(payload, 189, 1) == F.lit(b"\x47"))
         & (F.substring(payload, 377, 1) == F.lit(b"\x47"))
     )
+    dvb = (  # 204-byte DVB capture stride (16 RS parity bytes/packet)
+        (F.length(payload) >= 3 * 204)
+        & (F.substring(payload, 1, 1) == F.lit(b"\x47"))
+        & (F.substring(payload, 205, 1) == F.lit(b"\x47"))
+        & (F.substring(payload, 409, 1) == F.lit(b"\x47"))
+    )
+    return plain | dvb
 
 
 def detect_kind_from_magic(payload: bytes | None) -> str:

@@ -396,3 +396,32 @@ def test_flv_mp3_clusters_with_wav_twin(spark):
     }
     assert out[2]["modality"] == "audio" and out[2]["decoder"] == "flv-mp3"
     assert out[1]["cluster_id"] == out[2]["cluster_id"]
+
+
+def test_ts_204_byte_dvb_stride():
+    """DVB captures carry 16 Reed-Solomon parity bytes per packet
+    (204-byte stride): same demux result as the plain 188 form, the
+    probe names the stride, decode is bit-identical."""
+    from dedup_spark.functions.containers import (
+        mpeg_ts_packet_size,
+        parse_container,
+    )
+    from dedup_spark.functions.mpeg1video import encode_m1v
+    from dedup_spark.operators.multimodal import (
+        decode_frames,
+        detect_kind_from_magic,
+    )
+
+    es = encode_m1v(_frames(2, 32, 48))
+    ts = encode_mpeg_ts(es, stream_type=0x02)
+    dvb = b"".join(ts[i : i + 188] + bytes(16)
+                   for i in range(0, len(ts), 188))
+    assert mpeg_ts_packet_size(ts) == 188
+    assert mpeg_ts_packet_size(dvb) == 204
+    assert demux_mpeg_ts(dvb) == demux_mpeg_ts(ts)
+    assert detect_kind_from_magic(dvb) == "video"
+    a, _, da = decode_frames(ts, fake=False)
+    b, _, db = decode_frames(dvb, fake=False)
+    assert da == db == "ts-m1v"
+    assert np.array_equal(a, b)
+    assert parse_container(dvb)["n_frames"] == len(dvb) // 204

@@ -268,6 +268,8 @@ def test_kind_column_matches_python(spark):
         b"FLV\x02 wrong version text",  # FLV needs version 1 -> blob
         b"\x30\x26\xb2\x75\x8e\x66\xcf\x11\xa6\xd9\x00\xaa\x00\x62\xce\x6c",  # ASF -> video
         b"\x30\x26\xb2\x74 near-miss guid",  # not the ASF guid -> blob
+        (b"\x47" + bytes(203)) * 3,  # 204-byte DVB TS -> video
+        (b"\x47" + bytes(195)) * 3,  # 196-byte stride: neither form -> blob
     ]
     rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
     df = spark.createDataFrame(rows, "i long, payload binary")
