@@ -1961,7 +1961,7 @@ def documents_as_assets(spark, sf_dir: str) -> DataFrame:
 CONTAINER_META_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
-        StructField("container", StringType(), False),  # mp3|matroska|webm|mp4|unknown
+        StructField("container", StringType(), False),  # mp3|matroska|webm|mp4|adts|ogg|mpegps|mpegts|flv|asf|unknown
         StructField("codec", StringType(), False),
         StructField("n_tracks", LongType(), False),
         StructField("n_frames", LongType(), False),
