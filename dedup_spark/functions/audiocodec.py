@@ -104,6 +104,8 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         x = v.astype(np.float64) / 8388608.0
     elif tag_fmt == 3 and bits == 32:
         x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        if not np.all(np.isfinite(x)):
+            raise AudioDecodeError("non-finite WAV float samples")
     elif tag_fmt == 6 and bits in (0, 8):  # G.711 A-law (shared with AU)
         x = _alaw_to_linear(np.frombuffer(data, dtype=np.uint8)) / 32768.0
     elif tag_fmt == 7 and bits in (0, 8):  # G.711 mu-law (shared with AU)
@@ -1177,7 +1179,8 @@ def _linear_to_mulaw(x: np.ndarray) -> np.ndarray:
 
 def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
     """Sun AU (.snd): big-endian header, encodings 1 (G.711 mu-law),
-    2 (8-bit linear PCM), 3 (16-bit BE PCM) and 27 (G.711 A-law)."""
+    2/3/4/5 (8/16/24/32-bit BE linear PCM), 6/7 (IEEE float32/64 BE,
+    finiteness-checked) and 27 (G.711 A-law)."""
     try:
         if len(payload) < 24 or payload[:4] != b".snd":
             raise AudioDecodeError("not an AU payload")
@@ -1212,9 +1215,13 @@ def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
         elif enc == 6:  # IEEE float32 BE
             x = np.frombuffer(
                 data[: len(data) - len(data) % 4], ">f4").astype(np.float64)
+            if not np.all(np.isfinite(x)):
+                raise AudioDecodeError("non-finite AU float samples")
         elif enc == 7:  # IEEE float64 BE
             x = np.frombuffer(
                 data[: len(data) - len(data) % 8], ">f8").astype(np.float64)
+            if not np.all(np.isfinite(x)):
+                raise AudioDecodeError("non-finite AU float samples")
         else:
             raise AudioDecodeError(f"unsupported AU encoding {enc}")
         if channels > 1:

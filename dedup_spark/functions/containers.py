@@ -1133,16 +1133,24 @@ def encode_mpeg_ts(
 def mpeg_ts_packet_size(payload: bytes) -> int:
     """0 if not a transport stream, else the packet stride: 188
     (plain) or 204 (DVB capture with 16 Reed-Solomon parity bytes per
-    packet) — judged by 0x47 syncs at three consecutive packet
-    boundaries. 188 is tested first, so a plain stream whose parity
-    region happens to contain 0x47 cannot be misread."""
-    for stride in (188, 204):
-        if (len(payload) >= 3 * stride
-                and payload[0] == 0x47
-                and payload[stride] == 0x47
-                and payload[2 * stride] == 0x47):
-            return stride
-    return 0
+    packet). Each stride is scored by how many consecutive packet
+    boundaries (up to 8) carry the 0x47 sync; the better-scoring
+    stride wins (ties → 188), so a DVB stream whose parity bytes
+    coincidentally contain 0x47 at the 188-boundaries is still
+    probed correctly — the 188 run breaks within a few packets while
+    the true 204 run holds."""
+    def score(stride: int) -> int:
+        k = 0
+        while k < 8 and (k + 1) * stride <= len(payload):
+            if payload[k * stride] != 0x47:
+                return k
+            k += 1
+        return k
+
+    s188, s204 = score(188), score(204)
+    if max(s188, s204) < 3:
+        return 0
+    return 204 if s204 > s188 else 188
 
 
 def is_mpeg_ts_prefix(payload: bytes) -> bool:

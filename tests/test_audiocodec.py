@@ -802,8 +802,9 @@ def test_au_wide_encodings_and_aifc_g711():
         return (b".snd" + _s.pack(">IIIII", 24, len(body), enc, 8000, 1)
                 + body)
 
-    v24 = np.clip(np.round(x * (1 << 23 - 1)), -(1 << 23), (1 << 23) - 1
+    v24 = np.clip(np.round(x * ((1 << 23) - 1)), -(1 << 23), (1 << 23) - 1
                   ).astype(np.int64)
+    v24[:2] = ((1 << 23) - 1, -(1 << 23))  # pin the sign-extension edge
     b24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "big") for v in v24)
     y, r = decode_au(au(4, b24))
     assert r == 8000 and np.allclose(y, v24 / 8388608.0, atol=0)
