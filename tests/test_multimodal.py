@@ -454,3 +454,141 @@ def test_mass_duplicate_signatures_cluster_past_bucket_cap(spark):
     sizes = sorted(len(v) for v in by_cluster.values())
     assert sizes == [3, 40], sizes  # complete clusters, no dropped copies
     assert all(r["cluster_size"] in (3, 40) for r in out)
+
+
+def test_capstone_all_audio_carriers_one_cluster(spark):
+    """Capstone: ONE recording through EVERY real audio carrier the
+    engine decodes — WAV, FLAC, Ogg-FLAC, Ogg-Vorbis, Matroska
+    (A_FLAC / A_VORBIS / A_PCM), MPEG Layers I/II/III, FLV-MP3,
+    PS-MP2, TS-MP2, AIFF(sowt) and AU — lands in ONE audio-namespaced
+    cluster at the documented media-similarity-85 gate, while a
+    different recording stays out. This guards against any silent
+    fragmentation across the routing/retry/namespace machinery."""
+    from test_mpeg3 import rec_clip
+
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.functions.audiocodec import (
+        encode_aiff_pcm16,
+        encode_au_pcm16,
+        encode_flac_pcm16,
+        encode_mka,
+        encode_ogg_flac_pcm16,
+        encode_wav_pcm16,
+    )
+    from dedup_spark.functions.containers import (
+        encode_flv,
+        encode_mpeg_ps,
+        encode_mpeg_ts,
+    )
+    from dedup_spark.functions.mpeg3 import encode_mp3_pcm16
+    from dedup_spark.functions.mpegaudio import (
+        encode_mp1_pcm16,
+        encode_mp2_pcm16,
+    )
+    from dedup_spark.functions.vorbis import encode_vorbis_pcm16
+    from dedup_spark.operators.multimodal import media_near_dup_clusters
+    import numpy as np
+
+    x = rec_clip(16000, 32000)
+    other = rec_clip(16000, 32000, seed=77, nlines=9)
+    mp3 = encode_mp3_pcm16(x, 32000)
+    mp2 = encode_mp2_pcm16(x, 32000)
+    xi = np.clip(np.round(np.asarray(x) * 32767), -32768, 32767)
+    payloads = {
+        "wav": encode_wav_pcm16(x, 32000),
+        "flac": encode_flac_pcm16(x, 32000),
+        "oggflac": encode_ogg_flac_pcm16(x, 32000),
+        "vorbis": encode_vorbis_pcm16(xi, 32000),
+        "mkaflac": encode_mka(x, 32000, codec="flac", lacing="xiph"),
+        "mkavorbis": encode_mka(x, 32000, codec="vorbis", lacing="ebml"),
+        "mkapcm": encode_mka(x, 32000, codec="pcm"),
+        "mp1": encode_mp1_pcm16(x, 32000),
+        "mp2": mp2,
+        "mp3": mp3,
+        "flv-mp3": encode_flv(audio_payloads=[
+            mp3[i : i + 700] for i in range(0, len(mp3), 700)]),
+        "ps-mp2": encode_mpeg_ps(mp2, stream_id=0xC0),
+        "ts-mp2": encode_mpeg_ts(mp2, stream_type=0x04, stream_id=0xC0),
+        "aiff": encode_aiff_pcm16(x, 32000, sowt=True),
+        "au": encode_au_pcm16(x, 32000),
+    }
+    rows = [(i, "blob", bytearray(p), None)
+            for i, p in enumerate(payloads.values())]
+    rows.append((99, "blob", bytearray(encode_wav_pcm16(other, 32000)), None))
+    cfg = DedupConfig(similarity_threshold=0.85, simhash_radius=9)
+    out = {
+        r["asset_id"]: r
+        for r in media_near_dup_clusters(
+            spark.createDataFrame(
+                rows, "asset_id long, kind string, payload binary, mime string"
+            ),
+            cfg,
+        ).collect()
+    }
+    decoders = {name: out[i]["decoder"]
+                for i, name in enumerate(payloads)}
+    assert decoders == {
+        "wav": "wav", "flac": "flac", "oggflac": "oggflac",
+        "vorbis": "vorbis", "mkaflac": "mkaflac",
+        "mkavorbis": "mkavorbis", "mkapcm": "mkapcm", "mp1": "mp1",
+        "mp2": "mp2", "mp3": "mp3", "flv-mp3": "flv-mp3",
+        "ps-mp2": "ps-mp2", "ts-mp2": "ts-mp2", "aiff": "aiff",
+        "au": "au",
+    }
+    clusters = {out[i]["cluster_id"] for i in range(len(payloads))}
+    assert len(clusters) == 1, clusters
+    assert all(out[i]["modality"] == "audio" for i in range(len(payloads)))
+    assert out[99]["cluster_id"] not in clusters
+
+
+def test_capstone_all_video_carriers_one_cluster(spark):
+    """Capstone: ONE clip through every real video carrier — raw Y4M,
+    MPEG-1/2 elementary streams, PS- and TS-wrapped, MJPEG in
+    AVI/Matroska/MP4/legacy-MOV — lands in ONE video cluster."""
+    import numpy as np
+
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.functions.containers import (
+        encode_mpeg_ps,
+        encode_mpeg_ts,
+    )
+    from dedup_spark.functions.mpeg1video import encode_m1v, encode_m2v
+    from dedup_spark.functions.videocodec import (
+        encode_avi_mjpeg,
+        encode_mkv_mjpeg,
+        encode_mp4_mjpeg,
+        encode_y4m,
+    )
+    from dedup_spark.operators.multimodal import media_near_dup_clusters
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(40, 216, (64, 80)).astype(np.uint8)
+    frames = np.stack([np.roll(base, 5 * i, axis=1) for i in range(4)])
+    m1v, m2v = encode_m1v(frames), encode_m2v(frames)
+    payloads = {
+        "y4m": encode_y4m(frames),
+        "m1v": m1v,
+        "m2v": m2v,
+        "ps-m1v": encode_mpeg_ps(m1v),
+        "ts-m2v": encode_mpeg_ts(m2v, stream_type=0x02),
+        "avi-mjpeg": encode_avi_mjpeg(frames),
+        "mkv-mjpeg": encode_mkv_mjpeg(frames),
+        "mp4-mjpeg": encode_mp4_mjpeg(frames),
+        "mov-mjpeg": encode_mp4_mjpeg(frames, legacy_mov=True),
+    }
+    rows = [(i, "blob", bytearray(p), None)
+            for i, p in enumerate(payloads.values())]
+    cfg = DedupConfig(similarity_threshold=0.85, simhash_radius=9)
+    out = {
+        r["asset_id"]: r
+        for r in media_near_dup_clusters(
+            spark.createDataFrame(
+                rows, "asset_id long, kind string, payload binary, mime string"
+            ),
+            cfg,
+        ).collect()
+    }
+    decoders = {name: out[i]["decoder"] for i, name in enumerate(payloads)}
+    assert decoders == {name: name for name in payloads}
+    assert len({out[i]["cluster_id"] for i in range(len(payloads))}) == 1
+    assert all(out[i]["modality"] == "video" for i in range(len(payloads)))
