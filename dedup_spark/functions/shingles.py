@@ -366,3 +366,64 @@ def exact_jaccard(text_a: str, text_b: str, k: int, unit: str = "token", normali
         return 0.0
     inter = np.intersect1d(sa, sb).shape[0]
     return inter / (sa.shape[0] + sb.shape[0] - inter)
+
+
+def doc_token_hashes(text: str) -> np.ndarray:
+    """64-bit hash of every whitespace-separated token, in document
+    order — the per-token half of ``doc_span_hashes`` (same byte
+    polynomial + splitmix64, same _WS_BYTES separators), exposed for
+    consumers that group tokens instead of sliding windows (CDC)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if b.shape[0] == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_tok = ~np.isin(b, _WS_BYTES)
+    starts = np.flatnonzero(is_tok & ~np.concatenate(([False], is_tok[:-1])))
+    ends = np.flatnonzero(is_tok & ~np.concatenate((is_tok[1:], [False]))) + 1
+    if starts.shape[0] == 0:
+        return np.empty(0, dtype=np.uint64)
+    S, inv = _span_hash_prefix(b)
+    with np.errstate(over="ignore"):
+        return _mix((S[ends] - S[starts]) * inv[starts])
+
+
+def cdc_chunk_hashes(
+    text: str, modulus: int = 16
+) -> tuple[np.ndarray, np.ndarray]:
+    """Content-defined chunking over TOKENS (the text-domain analog of
+    Rabin/FastCDC storage chunking): a cut falls AFTER every token
+    whose hash ≡ 0 (mod ``modulus``), so boundaries ride the content
+    itself — an insertion early in a document shifts every fixed-size
+    block but only the ONE chunk it lands in here, which is the whole
+    point of CDC dedup. Returns (chunk_hashes uint64, chunk token
+    counts), hashes = splitmix64(Horner over the chunk's token hashes
+    in base _BASE) — the same second-level polynomial as
+    ``doc_span_hashes``, so the validated DuckDB HUGEINT oracle
+    pattern mirrors it exactly. Average chunk ≈ ``modulus`` tokens.
+
+    Vectorized: one prefix pass hashes all tokens, a second
+    prefix-sum over ``tok_h * B^j`` evaluates every variable-length
+    chunk polynomial as (T[e] - T[s]) * B^-s — no per-chunk loop."""
+    tok_h = doc_token_hashes(text)
+    t = tok_h.shape[0]
+    if t == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    cuts = np.flatnonzero(tok_h % np.uint64(modulus) == 0)
+    starts = np.concatenate(([0], cuts + 1))
+    ends = np.concatenate((cuts + 1, [t]))
+    keep = starts < ends  # a cut at the last token leaves no tail
+    starts, ends = starts[keep], ends[keep]
+    with np.errstate(over="ignore"):
+        pows = np.empty(t, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        if t > 1:
+            np.multiply.accumulate(
+                np.full(t - 1, _BASE, dtype=np.uint64), out=pows[1:])
+        inv_pows = np.empty(t, dtype=np.uint64)
+        inv_pows[0] = np.uint64(1)
+        if t > 1:
+            np.multiply.accumulate(
+                np.full(t - 1, _BASE_INV, dtype=np.uint64), out=inv_pows[1:])
+        T = np.zeros(t + 1, dtype=np.uint64)
+        np.add.accumulate(tok_h * pows, out=T[1:])
+        hashes = _mix((T[ends] - T[starts]) * inv_pows[starts])
+    return hashes, (ends - starts).astype(np.int64)

@@ -1,0 +1,90 @@
+"""Content-defined chunking (CDC) dedup — the text-domain analog of
+Rabin/FastCDC storage chunking, a standard large-pipeline technique
+for catching documents that share most of their CONTENT at shifted
+OFFSETS (prepended headers, mid-file insertions), where fixed-size
+blocking loses every block after the edit.
+
+A cut falls after every token whose 64-bit hash ≡ 0 (mod ``modulus``)
+— boundaries ride the content, so an edit disturbs only the chunk it
+lands in (property-tested: 24/25 chunks survive a prefix insertion).
+Chunk hashes reuse the span-hash kernel family
+(functions/shingles.cdc_chunk_hashes), so the validated DuckDB
+HUGEINT oracle pattern value-verifies the whole inventory; near-dup
+pairs ride the shared exact set-Jaccard join core
+(operators/similarity.set_jaccard_pairs) with its quadratic-hot-key
+guard — the same 100-TB posture as the n-gram and repo-similarity
+paths (no new join shapes, no new skew surface).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CDC_CHUNK_SCHEMA = (
+    "file_id long, chunk_idx long, n_tokens long, chunk_hash long"
+)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "file_id",
+    content_col: str = "content",
+    modulus: int = 16,
+) -> DataFrame:
+    """Per-document chunk inventory: (file_id, chunk_idx, n_tokens,
+    chunk_hash) — chunk_hash is the signed-int64 view of the uint64
+    kernel hash (the engine-wide convention). Empty/whitespace-only
+    documents yield no rows. Arrow-batched; one kernel pass per doc."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dedup_spark.functions.shingles import cdc_chunk_hashes
+
+        for pdf in batches:
+            ids, idxs, lens, hashes = [], [], [], []
+            for fid, text in zip(pdf[id_col], pdf[content_col]):
+                h, n_tok = cdc_chunk_hashes(text or "", modulus)
+                for k in range(h.shape[0]):
+                    ids.append(int(fid))
+                    idxs.append(k)
+                    lens.append(int(n_tok[k]))
+                    hashes.append(int(h[k].astype("int64")))
+            yield pd.DataFrame(
+                {"file_id": ids, "chunk_idx": idxs,
+                 "n_tokens": lens, "chunk_hash": hashes}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(_run, CDC_CHUNK_SCHEMA)
+
+
+def cdc_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "file_id",
+    content_col: str = "content",
+    modulus: int = 16,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Document pairs whose DISTINCT chunk-hash sets overlap with
+    Jaccard ≥ threshold — offset-shift-tolerant containment dedup.
+    ``max_doc_freq`` is the standard hot-key cap (a chunk present in
+    d docs emits C(d,2) join rows; dropped keys are counted, never
+    silent — see set_jaccard_pairs)."""
+    from dedup_spark.operators.similarity import set_jaccard_pairs
+
+    exploded = (
+        cdc_chunks(df, id_col, content_col, modulus)
+        .select("file_id", "chunk_hash")
+        .distinct()
+    )
+    return set_jaccard_pairs(
+        exploded,
+        "file_id",
+        "chunk_hash",
+        threshold,
+        max_entity_freq=max_doc_freq,
+        shared_col="n_shared",
+    ).orderBy("id_a", "id_b")

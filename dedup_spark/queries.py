@@ -279,6 +279,29 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(_files(spark, sf_dir), window=8).orderBy("file_id")
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk inventory (token-level Rabin chunking,
+    modulus 16): every document's (chunk_idx, n_tokens, chunk_hash).
+    Value-verified: the oracle recomputes the cut rule AND each
+    variable-length chunk polynomial in DuckDB HUGEINT arithmetic
+    over the shared tokh CTE."""
+    from dedup_spark.operators.cdc import cdc_chunks
+
+    return cdc_chunks(_files(spark, sf_dir), modulus=16).orderBy(
+        "file_id", "chunk_idx")
+
+
+def q_cdc_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-shift-tolerant near-dup pairs: DISTINCT chunk-hash set
+    Jaccard >= 0.2 (exact, no cap — the DuckDB-oracle contract
+    config; at corpus scale ``max_doc_freq`` is the documented skew
+    cap)."""
+    from dedup_spark.operators.cdc import cdc_near_dup_pairs
+
+    return cdc_near_dup_pairs(
+        _files(spark, sf_dir), modulus=16, threshold=0.2)
+
+
 def q_top_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus boilerplate inventory: 8-token spans shared by >= 2 docs."""
     from dedup_spark.operators.spans import top_duplicated_spans
@@ -1027,28 +1050,10 @@ nd_pairs AS (
 )
 """
 
-def _sql_span_cte(window: int) -> str:
-    """DuckDB CTE chain recomputing the EXACT 64-bit span-hash kernel
-    (functions/shingles.doc_span_hashes) for every ``window``-token
-    span: per-token Horner polynomial of (byte+1) in base
-    11400714819323198485 mod 2^64, splitmix64-finalized; then every
-    window-token span (stride 1, k = min(window, n_tokens))
-    polynomial-combined over the token hashes and finalized again.
-    Ends with ``spm(file_id, th)`` — one row per span occurrence (th
-    in uint64 domain as HUGEINT). HUGEINT carries the 128-bit
-    products; (a*c) mod 2^64 is computed limb-split
-    ((hi*c mod 2^64)<<32 + lo*c, mod 2^64) so nothing overflows.
-    ascii(ch) equals the utf-8 byte the kernel hashes only for ASCII
-    text — the documents corpus is pure ASCII (checked: octet_length
-    == length for every row at sf0.01/sf0.1); a non-ASCII corpus would
-    need a bytes-level split here. Shared by the doc_fingerprint
-    (XOR-reduce), dup_spans / top_dup_spans (window=8) and decontam
-    (window=13) oracles; validated bit-identical vs the numpy kernel
-    on all sf0.01 and sf0.1 docs plus edge cases (empty, 1 token, <k,
-    =k, >k tokens).
-    """
-    return rf"""
-tok AS (
+#: tok/tu/tokh CTE chain: per-token 64-bit hash (byte Horner +
+#: splitmix64) in DuckDB HUGEINT arithmetic — the shared first level
+#: of the span oracles (_sql_span_cte) and the CDC chunk oracle.
+_SQL_TOKH = r"""tok AS (
   SELECT file_id,
          list_filter(regexp_split_to_array(content, '[\t\n\x0B\f\r ]+'), t -> t <> '') AS toks
   FROM files
@@ -1073,7 +1078,31 @@ tokh AS (
      + (m3 % 4294967296) * 10723151780598845931) % 18446744073709551616 AS m4,
     xor(m4, m4 >> 31) AS th
   FROM tu
-),
+)"""
+
+
+def _sql_span_cte(window: int) -> str:
+    """DuckDB CTE chain recomputing the EXACT 64-bit span-hash kernel
+    (functions/shingles.doc_span_hashes) for every ``window``-token
+    span: per-token Horner polynomial of (byte+1) in base
+    11400714819323198485 mod 2^64, splitmix64-finalized; then every
+    window-token span (stride 1, k = min(window, n_tokens))
+    polynomial-combined over the token hashes and finalized again.
+    Ends with ``spm(file_id, th)`` — one row per span occurrence (th
+    in uint64 domain as HUGEINT). HUGEINT carries the 128-bit
+    products; (a*c) mod 2^64 is computed limb-split
+    ((hi*c mod 2^64)<<32 + lo*c, mod 2^64) so nothing overflows.
+    ascii(ch) equals the utf-8 byte the kernel hashes only for ASCII
+    text — the documents corpus is pure ASCII (checked: octet_length
+    == length for every row at sf0.01/sf0.1); a non-ASCII corpus would
+    need a bytes-level split here. Shared by the doc_fingerprint
+    (XOR-reduce), dup_spans / top_dup_spans (window=8) and decontam
+    (window=13) oracles; validated bit-identical vs the numpy kernel
+    on all sf0.01 and sf0.1 docs plus edge cases (empty, 1 token, <k,
+    =k, >k tokens).
+    """
+    return rf"""
+{_SQL_TOKH},
 agg AS (
   SELECT file_id, list(th ORDER BY tpos) AS ths, least({window}, CAST(len(list(th)) AS BIGINT)) AS k
   FROM tokh GROUP BY file_id
@@ -1858,6 +1887,92 @@ SELECT fi.file_id,
 FROM files fi LEFT JOIN fp ON fp.file_id = fi.file_id
 ORDER BY fi.file_id
 """,
+    # Content-defined chunking: cut after tokens with th % 16 == 0,
+    # chunk hash = splitmix64(Horner over the chunk's token hashes) —
+    # the same second-level polynomial as the span oracle, over
+    # VARIABLE-length groups formed by the cut rule.
+    "cdc_chunks": rf"""
+WITH {SQL_FILES},
+{_SQL_TOKH},
+cut AS (
+  SELECT file_id, tpos, th,
+         CAST(COALESCE(SUM(CASE WHEN th % 16 = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY file_id ORDER BY tpos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS chunk_idx
+  FROM tokh
+),
+chunk AS (
+  SELECT file_id, chunk_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         list(th ORDER BY tpos) AS ths
+  FROM cut GROUP BY file_id, chunk_idx
+),
+ch AS (
+  SELECT file_id, chunk_idx, n_tokens,
+    list_reduce(list_reverse(ths),
+      (a, x) -> ((((a // 4294967296) * 11400714819323198485 % 18446744073709551616) * 4294967296
+                  + (a % 4294967296) * 11400714819323198485) % 18446744073709551616 + x)
+                 % 18446744073709551616) AS p,
+    xor(p, p >> 30) AS m1,
+    (((m1 // 4294967296) * 13787848793156543929 % 18446744073709551616) * 4294967296
+     + (m1 % 4294967296) * 13787848793156543929) % 18446744073709551616 AS m2,
+    xor(m2, m2 >> 27) AS m3,
+    (((m3 // 4294967296) * 10723151780598845931 % 18446744073709551616) * 4294967296
+     + (m3 % 4294967296) * 10723151780598845931) % 18446744073709551616 AS m4,
+    xor(m4, m4 >> 31) AS th2
+  FROM chunk
+)
+SELECT file_id, chunk_idx, n_tokens,
+       {_SQL_SIGNED64.format(c="th2")} AS chunk_hash
+FROM ch ORDER BY file_id, chunk_idx
+""",
+    "cdc_near_dup": rf"""
+WITH {SQL_FILES},
+{_SQL_TOKH},
+cut AS (
+  SELECT file_id, tpos, th,
+         CAST(COALESCE(SUM(CASE WHEN th % 16 = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY file_id ORDER BY tpos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS chunk_idx
+  FROM tokh
+),
+chunk AS (
+  SELECT file_id, chunk_idx, list(th ORDER BY tpos) AS ths
+  FROM cut GROUP BY file_id, chunk_idx
+),
+ch AS (
+  SELECT file_id,
+    list_reduce(list_reverse(ths),
+      (a, x) -> ((((a // 4294967296) * 11400714819323198485 % 18446744073709551616) * 4294967296
+                  + (a % 4294967296) * 11400714819323198485) % 18446744073709551616 + x)
+                 % 18446744073709551616) AS p,
+    xor(p, p >> 30) AS m1,
+    (((m1 // 4294967296) * 13787848793156543929 % 18446744073709551616) * 4294967296
+     + (m1 % 4294967296) * 13787848793156543929) % 18446744073709551616 AS m2,
+    xor(m2, m2 >> 27) AS m3,
+    (((m3 // 4294967296) * 10723151780598845931 % 18446744073709551616) * 4294967296
+     + (m3 % 4294967296) * 10723151780598845931) % 18446744073709551616 AS m4,
+    xor(m4, m4 >> 31) AS th2
+  FROM chunk
+),
+sets AS (SELECT DISTINCT file_id, th2 FROM ch),
+cnt AS (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n FROM sets GROUP BY file_id),
+shared AS (
+  SELECT a.file_id AS id_a, b.file_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sets a JOIN sets b ON a.th2 = b.th2 AND a.file_id < b.file_id
+  GROUP BY a.file_id, b.file_id
+)
+SELECT s.id_a, s.id_b, s.n_shared,
+       round(s.n_shared / (ca.n + cb.n - s.n_shared), 6) AS jaccard
+FROM shared s
+JOIN cnt ca ON ca.file_id = s.id_a
+JOIN cnt cb ON cb.file_id = s.id_b
+WHERE round(s.n_shared / (ca.n + cb.n - s.n_shared), 6) >= 0.2
+ORDER BY s.id_a, s.id_b
+""",
     # Span-level dedup (Lee-et-al-style duplicated-substring signal):
     # per-doc distinct 8-token spans, how many occur in >= 2 docs.
     # Same span-hash kernel/CTE as doc_fingerprint (bit-validated).
@@ -1983,6 +2098,8 @@ FROM tok
 }
 
 QUERIES = {
+    "cdc_chunks": q_cdc_chunks,
+    "cdc_near_dup": q_cdc_near_dup,
     "dup_spans": q_dup_spans,
     "top_dup_spans": q_top_dup_spans,
     "decontam": q_decontam,
